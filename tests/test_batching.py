@@ -1,0 +1,87 @@
+"""Bucketed batching: coverage, masks, padding, sampling modes."""
+
+import numpy as np
+
+from toad_tpu.data.batching import BagBatcher, bucket_for
+from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+
+def test_bucket_for():
+    assert bucket_for(1, (256, 512)) == 256
+    assert bucket_for(256, (256, 512)) == 256
+    assert bucket_for(257, (256, 512)) == 512
+    assert bucket_for(9999, (256, 512)) == 512  # clamps to largest
+
+
+def _split(dummy_env, n=40):
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    return ds.subset(np.arange(n))
+
+
+def test_sequential_covers_every_bag_once(dummy_env):
+    split = _split(dummy_env)
+    batcher = BagBatcher(split, batch_size=4, bucket_sizes=(64, 128, 256), mode="sequential", prefetch=0)
+    seen = []
+    for b in batcher:
+        assert b.features.shape[0] == 4  # static batch dim even for partials
+        valid = b.bag_mask > 0
+        seen.extend(b.indices[valid].tolist())
+        # padded patches have zero mask and zero features
+        for j in range(4):
+            n_real = int(b.patch_mask[j].sum())
+            if b.bag_mask[j] > 0:
+                assert np.all(b.features[j, n_real:] == 0)
+            else:
+                assert b.indices[j] == -1
+    assert sorted(seen) == list(range(len(split)))
+
+
+def test_labels_match_split(dummy_env):
+    split = _split(dummy_env)
+    batcher = BagBatcher(split, batch_size=2, bucket_sizes=(64, 128, 256), mode="sequential", prefetch=0)
+    for b in batcher:
+        for j in range(2):
+            if b.bag_mask[j] > 0:
+                i = int(b.indices[j])
+                assert b.label[j] == split.labels[i]
+                assert b.site[j] == split.sites[i]
+                assert b.sex[j] == split.sexes[i]
+
+
+def test_shuffle_changes_order_but_not_coverage(dummy_env):
+    split = _split(dummy_env)
+    batcher = BagBatcher(split, batch_size=1, bucket_sizes=(256,), mode="shuffle", seed=1, prefetch=0)
+    batcher.set_epoch(0)
+    order0 = [int(b.indices[0]) for b in batcher]
+    batcher.set_epoch(1)
+    order1 = [int(b.indices[0]) for b in batcher]
+    assert sorted(order0) == list(range(len(split)))
+    assert sorted(order1) == list(range(len(split)))
+    assert order0 != order1
+
+
+def test_weighted_mode_oversamples_rare(dummy_env):
+    split = _split(dummy_env, n=60)
+    batcher = BagBatcher(split, batch_size=1, bucket_sizes=(256,), mode="weighted", seed=0, prefetch=0)
+    counts = np.zeros(18)
+    for _ in range(5):
+        for b in batcher:
+            counts[int(b.label[0])] += 1
+        batcher.set_epoch(np.random.randint(10000))
+    present = np.bincount(split.labels, minlength=18) > 0
+    assert counts[present].min() > 0  # every present class gets sampled
+
+
+def test_max_bag_size_truncates(dummy_env):
+    split = _split(dummy_env)
+    batcher = BagBatcher(split, batch_size=1, bucket_sizes=(64,), max_bag_size=64, mode="sequential", prefetch=0)
+    for b in batcher:
+        assert b.features.shape[1] == 64
+
+
+def test_prefetch_equals_direct(dummy_env):
+    split = _split(dummy_env)
+    kw = dict(batch_size=2, bucket_sizes=(64, 128, 256), mode="sequential")
+    direct = [b.indices.tolist() for b in BagBatcher(split, prefetch=0, **kw)]
+    pref = [b.indices.tolist() for b in BagBatcher(split, prefetch=3, **kw)]
+    assert direct == pref

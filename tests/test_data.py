@@ -1,0 +1,79 @@
+"""Dataset core: CSV ingest, label validation, patient aggregation, splits views."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from toad_tpu.config import TaskConfig
+from toad_tpu.data.wsi_dataset import LabelVocabularyError, WSIBagDataset
+
+
+def test_ingest_and_mapping(dummy_env):
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    assert ds.n_slides == len(dummy_env["manifest"])
+    assert ds.labels.min() >= 0 and ds.labels.max() < 18
+    assert set(np.unique(ds.sites)) <= {0, 1}
+    assert set(np.unique(ds.sexes)) <= {0, 1}
+    # class index caches partition the slides
+    assert sum(len(c) for c in ds.slide_cls_ids) == ds.n_slides
+
+
+def test_vocabulary_drift_fails_loudly(dummy_env, tmp_path):
+    """The reference's label-dict/CSV drift (SURVEY §2.3.4) must be a clear error."""
+    bad_dicts = list(dummy_env["task"].label_dicts)
+    d0 = dict(bad_dicts[0])
+    d0.pop("Lung")
+    d0["Lunge"] = 0
+    bad_task = TaskConfig(name="bad", csv_path=str(dummy_env["csv"]), label_dicts=(d0, *bad_dicts[1:]))
+    with pytest.raises(LabelVocabularyError, match="Lung"):
+        WSIBagDataset(bad_task)
+
+
+def test_missing_column_fails(tmp_path, dummy_env):
+    df = pd.read_csv(dummy_env["csv"]).drop(columns=["site"])
+    p = tmp_path / "nosite.csv"
+    df.to_csv(p, index=False)
+    with pytest.raises(LabelVocabularyError, match="site"):
+        WSIBagDataset(dummy_env["task"], csv_path=p)
+
+
+def test_patient_voting_max(dummy_env):
+    ds = WSIBagDataset(dummy_env["task"])
+    # every patient label is the max over their slides
+    for p, plabel in zip(ds.patient_ids, ds.patient_labels):
+        slide_labels = ds.labels[ds.case_ids == p]
+        assert plabel == slide_labels.max()
+
+
+def test_filter_dict(dummy_env):
+    ds_all = WSIBagDataset(dummy_env["task"])
+    ds_f = WSIBagDataset(dummy_env["task"], filter_dict={"sex": ["F"]})
+    assert 0 < ds_f.n_slides < ds_all.n_slides
+    assert (ds_f.sexes == 0).all()
+
+
+def test_subset_and_class_weights(dummy_env):
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    sub = ds.subset(np.arange(20))
+    assert len(sub) == 20
+    w = sub.class_weights()
+    assert w.shape == (20,)
+    assert (w > 0).all()
+    # rarer classes get larger weights
+    counts = np.bincount(sub.labels, minlength=18)
+    for i in range(20):
+        assert np.isclose(w[i], len(sub) / counts[sub.labels[i]])
+
+
+def test_bag_loading_roundtrip(dummy_env):
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    bag = ds.load_bag(0)
+    assert bag.ndim == 2 and bag.shape[1] == dummy_env["dim"]
+    assert bag.dtype == np.float32
+
+
+def test_subset_by_slide_ids(dummy_env):
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    wanted = list(ds.slide_ids[5:10])
+    sub = ds.subset_by_slide_ids(wanted)
+    assert sorted(sub.slide_ids) == sorted(wanted)

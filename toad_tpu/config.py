@@ -1,0 +1,180 @@
+"""Typed configuration for training / evaluation / split creation.
+
+The reference scatters configuration across three argparse scripts
+(``main_mtl_concat.py:81-106``, ``eval_mtl_concat.py:19-39``,
+``create_splits.py:9-18``) and hard-codes the task registry as ``elif``
+branches. Here every knob is a dataclass field with the reference's default,
+tasks are data (:mod:`toad_tpu.registry`), and configs serialize to a
+settings snapshot like the reference's ``experiment_{exp_code}.txt``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    """A classification task: the data contract between CSV and model.
+
+    Mirrors the information the reference embeds in code at
+    ``main_mtl_concat.py:140-157`` (label dictionaries + column names), plus
+    the csv path so a task is fully self-describing.
+    """
+
+    name: str
+    csv_path: str
+    label_dicts: tuple[dict[str, int], ...]
+    label_cols: tuple[str, ...] = ("label", "site", "sex")
+    patient_strat: bool = False
+    patient_voting: str = "max"
+    ignore: tuple[str, ...] = ()
+
+    @property
+    def n_classes(self) -> tuple[int, ...]:
+        return tuple(len(set(d.values())) for d in self.label_dicts)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "TaskConfig":
+        raw = json.loads(text)
+        raw["label_dicts"] = tuple(raw["label_dicts"])
+        raw["label_cols"] = tuple(raw.get("label_cols", ("label", "site", "sex")))
+        raw["ignore"] = tuple(raw.get("ignore", ()))
+        return TaskConfig(**raw)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """TOAD MIL architecture knobs (reference ``models/model_toad.py:53-75``)."""
+
+    in_dim: int = 1024
+    size_arg: str = "big"  # big: 1024->512, attn 384; small: attn 256
+    gate: bool = True
+    dropout: bool = False
+    dropout_rate: float = 0.25
+    n_classes: int = 18
+    n_site_classes: int = 2
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # bfloat16 for the TPU fast path
+    use_pallas: bool = False  # fused attention-pooling kernel
+
+    @property
+    def hidden_dim(self) -> int:
+        return {"small": 512, "big": 512}[self.size_arg]
+
+    @property
+    def attn_dim(self) -> int:
+        return {"small": 256, "big": 384}[self.size_arg]
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer knobs matching torch semantics (reference ``utils/utils.py:63-70``)."""
+
+    name: str = "adam"  # adam | sgd
+    lr: float = 1e-4
+    weight_decay: float = 1e-5  # torch-style L2-in-gradient, NOT decoupled
+    momentum: float = 0.9  # sgd only
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Bag loading + bucketed batching.
+
+    ``batch_size=1`` with ``bucket_sizes=None`` reproduces the reference's
+    bag-at-a-time semantics (``utils/utils.py:37-61``); larger batches with
+    bucketed padding are the TPU-native throughput mode.
+    """
+
+    data_dir: str | dict[str, str] | None = None
+    batch_size: int = 1
+    bucket_sizes: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072)
+    max_bag_size: int | None = None  # truncate bags longer than this
+    use_h5: bool = False
+    prefetch: int = 2
+    weighted_sample: bool = False
+    testing_frac: float | None = None  # reference --testing: 1% subsample
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """One experiment (k folds). Defaults mirror ``main_mtl_concat.py:83-106``."""
+
+    exp_code: str = "exp"
+    task: str = "dummy_mtl_concat"
+    results_dir: str = "./results"
+    split_dir: str | None = None
+    max_epochs: int = 200
+    seed: int = 1
+    k: int = 10
+    k_start: int = -1
+    k_end: int = -1
+    early_stopping: bool = False
+    patience: int = 20
+    min_stop_epoch: int = 50
+    cls_loss_weight: float = 0.75
+    site_loss_weight: float = 0.25
+    log_data: bool = False
+    testing: bool = False
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    # parallelism: number of mesh shards along each axis (1 = off)
+    data_shards: int = 1
+    bag_shards: int = 1
+
+    def settings_dict(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["num_splits"] = self.k
+        return d
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation run. Defaults mirror ``eval_mtl_concat.py:19-39``."""
+
+    save_exp_code: str = "eval"
+    models_exp_code: str = ""
+    task: str = "dummy_mtl_concat"
+    results_dir: str = "./results"
+    save_dir: str = "./eval_results"
+    splits_dir: str | None = None
+    k: int = 1
+    k_start: int = -1
+    k_end: int = -1
+    fold: int = -1
+    split: str = "test"  # train | val | test | all
+    micro_average: bool = False
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+
+@dataclass(frozen=True)
+class SplitConfig:
+    """Split creation. Defaults mirror ``create_splits.py:9-18,43-45``."""
+
+    task: str = "dummy_mtl_concat"
+    seed: int = 1
+    k: int = 10
+    label_frac: float = 1.0
+    val_frac: float = 0.1
+    test_frac: float = 0.2
+    hold_out_test: bool = False
+    split_code: str | None = None
+    split_root: str = "splits"
+
+
+def fold_range(k: int, k_start: int, k_end: int) -> range:
+    """Resolve the [k_start, k_end) fold window (reference ``main_mtl_concat.py:28-35``)."""
+    start = 0 if k_start == -1 else k_start
+    end = k if k_end == -1 else k_end
+    return range(start, end)

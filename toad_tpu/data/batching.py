@@ -1,0 +1,221 @@
+"""Bucketed bag batching with padding masks and threaded device prefetch.
+
+This replaces the reference's DataLoader stack (``utils/utils.py:15-61``:
+batch_size=1, one ``torch.load`` + H2D copy + 4 device syncs per slide —
+the primary throughput limiter per SURVEY §3.2). TPU-native design:
+
+- each bag's length N is rounded up to a bucket size; bags in a batch share
+  one bucket, so device shapes are static per bucket and XLA compiles a
+  small, fixed set of programs;
+- a batch is ``[B, N_bucket, D]`` features + ``[B, N_bucket]`` patch mask +
+  ``[B]`` bag-validity mask (partial final batches are padded, never ragged);
+- bag IO runs in a thread pool and finished batches are queued ahead of the
+  training step (processes are unnecessary: the heavy lifting is numpy/zip
+  reads that release the GIL).
+
+Sampling modes mirror the reference: sequential, shuffled (RandomSampler),
+class-balanced with replacement (WeightedRandomSampler — fixed here, the
+reference's is a TypeError, see ``utils/utils.py:140-148``), and the 1%
+``--testing`` subsample (``utils/utils.py:57-59``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+
+
+@dataclass
+class BagBatch:
+    """One device-ready batch of padded bags."""
+
+    features: np.ndarray  # [B, N, D] float32
+    patch_mask: np.ndarray  # [B, N] float32 (1 = real patch)
+    bag_mask: np.ndarray  # [B] float32 (1 = real bag)
+    label: np.ndarray  # [B] int32
+    site: np.ndarray  # [B] int32
+    sex: np.ndarray  # [B] int32
+    indices: np.ndarray  # [B] int64 — positions within the split (-1 = pad)
+
+    @property
+    def batch_size(self) -> int:
+        return self.features.shape[0]
+
+    @property
+    def bucket(self) -> int:
+        return self.features.shape[1]
+
+
+def bucket_for(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n; the largest bucket if n exceeds them all
+    (in which case the bag gets truncated to it)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _pad_bag(feats: np.ndarray, bucket: int) -> tuple[np.ndarray, np.ndarray]:
+    n, d = feats.shape
+    if n > bucket:
+        feats = feats[:bucket]
+        n = bucket
+    out = np.zeros((bucket, d), dtype=np.float32)
+    out[:n] = feats
+    mask = np.zeros((bucket,), dtype=np.float32)
+    mask[:n] = 1.0
+    return out, mask
+
+
+class BagBatcher:
+    """Iterate a split as device-ready :class:`BagBatch`es.
+
+    Parameters
+    ----------
+    split:
+        a ``WSIBagSplit`` (anything with ``__len__``, ``load_bag(i)``,
+        ``labels/sites/sexes`` arrays and ``class_weights()``).
+    batch_size:
+        bags per batch. 1 reproduces reference semantics exactly.
+    bucket_sizes:
+        padding ladder; None → single bucket = max bag length (per batch).
+    mode:
+        'sequential' | 'shuffle' | 'weighted'.
+    """
+
+    def __init__(
+        self,
+        split,
+        batch_size: int = 1,
+        bucket_sizes: Sequence[int] | None = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072),
+        mode: str = "sequential",
+        seed: int = 0,
+        testing_frac: float | None = None,
+        max_bag_size: int | None = None,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        feature_dim: int | None = None,
+    ) -> None:
+        self.split = split
+        self.batch_size = int(batch_size)
+        self.bucket_sizes = tuple(bucket_sizes) if bucket_sizes else None
+        self.mode = mode
+        self.seed = seed
+        self.testing_frac = testing_frac
+        self.max_bag_size = max_bag_size
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.feature_dim = feature_dim
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self._order(np.random.RandomState(0)))
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def n_bags(self) -> int:
+        return len(self._order(np.random.RandomState(0)))
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _order(self, rng: np.random.RandomState) -> np.ndarray:
+        n = len(self.split)
+        if self.testing_frac is not None:
+            ids = rng.choice(np.arange(n), int(n * self.testing_frac), replace=False)
+            return np.sort(ids)
+        if self.mode == "sequential":
+            return np.arange(n)
+        if self.mode == "shuffle":
+            return rng.permutation(n)
+        if self.mode == "weighted":
+            w = self.split.class_weights()
+            p = w / w.sum()
+            return rng.choice(np.arange(n), size=n, replace=True, p=p)
+        raise ValueError(f"unknown mode {self.mode!r}")
+
+    def _load(self, i: int) -> tuple[int, np.ndarray]:
+        feats = self.split.load_bag(int(i))
+        feats = np.asarray(feats, dtype=np.float32)
+        if feats.ndim != 2:
+            raise ValueError(f"bag {i} has shape {feats.shape}, expected [N, D]")
+        if self.max_bag_size is not None and feats.shape[0] > self.max_bag_size:
+            feats = feats[: self.max_bag_size]
+        return i, feats
+
+    def _assemble(self, group: list[tuple[int, np.ndarray]], bucket: int) -> BagBatch:
+        b = self.batch_size
+        d = group[0][1].shape[1]
+        feats = np.zeros((b, bucket, d), dtype=np.float32)
+        pmask = np.zeros((b, bucket), dtype=np.float32)
+        bmask = np.zeros((b,), dtype=np.float32)
+        label = np.zeros((b,), dtype=np.int32)
+        site = np.zeros((b,), dtype=np.int32)
+        sex = np.zeros((b,), dtype=np.int32)
+        idxs = np.full((b,), -1, dtype=np.int64)
+        for j, (i, bag) in enumerate(group):
+            feats[j], pmask[j] = _pad_bag(bag, bucket)
+            bmask[j] = 1.0
+            label[j] = self.split.labels[i]
+            site[j] = self.split.sites[i]
+            sex[j] = self.split.sexes[i]
+            idxs[j] = i
+        return BagBatch(feats, pmask, bmask, label, site, sex, idxs)
+
+    def _batches_raw(self) -> Iterator[BagBatch]:
+        rng = np.random.RandomState((self.seed * 1_000_003 + self._epoch) % (2**31 - 1))
+        order = self._order(rng)
+        pools: dict[int, list[tuple[int, np.ndarray]]] = {}
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            for i, feats in ex.map(self._load, order, chunksize=1):
+                n = feats.shape[0]
+                if self.bucket_sizes is None:
+                    bucket = n
+                else:
+                    bucket = bucket_for(n, self.bucket_sizes)
+                pools.setdefault(bucket, []).append((i, feats))
+                if len(pools[bucket]) == self.batch_size:
+                    yield self._assemble(pools.pop(bucket), bucket)
+            # flush partials, padded to full batch shape with bag_mask=0
+            for bucket in sorted(pools):
+                group = pools[bucket]
+                if group:
+                    yield self._assemble(group, bucket)
+
+    def __iter__(self) -> Iterator[BagBatch]:
+        if self.prefetch and self.prefetch > 0:
+            yield from _prefetch_iter(self._batches_raw, self.prefetch)
+        else:
+            yield from self._batches_raw()
+
+
+def _prefetch_iter(make_iter: Callable[[], Iterator], depth: int) -> Iterator:
+    """Run an iterator in a background thread, keeping `depth` items ready."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in make_iter():
+                q.put(item)
+        except BaseException as e:  # propagate into consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item

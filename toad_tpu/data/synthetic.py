@@ -1,0 +1,125 @@
+"""Synthetic fixtures: dummy manifest CSV and on-disk feature bags.
+
+The reference ships a 2,041-slide fixture CSV (``dataset_csv/dummy_dataset.csv``)
+but no generator and no feature bags at all (users must run CLAM first).
+Here both are generated deterministically, so tests and benchmarks are
+self-contained: the CSV schema matches the reference contract
+(``slide_id, case_id, label, sex, site``) and bags are written in any of the
+supported formats, with class-conditional means so training can actually
+learn on the fixture.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from toad_tpu.config import TaskConfig
+
+DEFAULT_ORIGINS = (
+    "Lung", "Breast", "Colorectal", "Ovarian", "Pancreatobiliary", "Adrenal",
+    "Skin", "Prostate", "Renal", "Bladder", "Esophagogastric", "Thyroid",
+    "Head Neck", "Glioma", "Germ Cell", "Endometrial", "Cervix", "Liver",
+)
+
+
+def make_dummy_manifest(
+    n_patients: int = 400,
+    max_slides_per_patient: int = 3,
+    origins: tuple[str, ...] = DEFAULT_ORIGINS,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Deterministic dummy manifest with every class populated."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    slide_counter = 0
+    for p in range(n_patients):
+        case_id = f"SYN-PATIENT_{p}"
+        # round-robin the first len(origins) patients so every class exists
+        label = origins[p % len(origins)] if p < 2 * len(origins) else origins[rng.randint(len(origins))]
+        sex = "F" if rng.rand() < 0.5 else "M"
+        n_slides = 1 + rng.randint(max_slides_per_patient)
+        for _ in range(n_slides):
+            site = "Primary" if rng.rand() < 0.66 else "Metastatic"
+            rows.append(
+                {
+                    "slide_id": f"SYN-SLIDE_{slide_counter}",
+                    "case_id": case_id,
+                    "label": label,
+                    "sex": sex,
+                    "site": site,
+                }
+            )
+            slide_counter += 1
+    return pd.DataFrame(rows, columns=["slide_id", "case_id", "label", "sex", "site"])
+
+
+def write_dummy_csv(path: str | os.PathLike, **kwargs) -> pd.DataFrame:
+    df = make_dummy_manifest(**kwargs)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    df.to_csv(path, index=False)
+    return df
+
+
+def dummy_task(csv_path: str, origins: tuple[str, ...] = DEFAULT_ORIGINS, name: str = "dummy_mtl_concat") -> TaskConfig:
+    return TaskConfig(
+        name=name,
+        csv_path=str(csv_path),
+        label_dicts=(
+            {o: i for i, o in enumerate(origins)},
+            {"Primary": 0, "Metastatic": 1},
+            {"F": 0, "M": 1},
+        ),
+    )
+
+
+def synth_bag(label: int, n_patches: int, dim: int = 1024, rng: np.random.RandomState | None = None) -> np.ndarray:
+    """A learnable synthetic bag: noise + a sparse class-conditional signal
+    on a small fraction of 'tumor' patches (MIL structure)."""
+    rng = rng or np.random.RandomState(label * 7919 + n_patches)
+    feats = rng.randn(n_patches, dim).astype(np.float32)
+    n_signal = max(1, n_patches // 8)
+    direction = np.zeros(dim, np.float32)
+    direction[(label * 13) % dim : (label * 13) % dim + 16] = 2.5
+    feats[:n_signal] += direction
+    return feats
+
+
+def write_dummy_bags(
+    data_dir: str | os.PathLike,
+    manifest: pd.DataFrame,
+    task: TaskConfig,
+    n_patches_range: tuple[int, int] = (64, 512),
+    dim: int = 1024,
+    fmt: str = "npy",
+    seed: int = 0,
+) -> None:
+    """Write one bag file per slide in `manifest` under `data_dir`."""
+    data_dir = Path(data_dir)
+    data_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    label_map = task.label_dicts[0]
+    for _, row in manifest.iterrows():
+        n = rng.randint(n_patches_range[0], n_patches_range[1] + 1)
+        feats = synth_bag(label_map[row["label"]], n, dim, rng)
+        out = data_dir / f"{row['slide_id']}.{fmt}"
+        if fmt == "npy":
+            np.save(out, feats)
+        elif fmt == "npz":
+            coords = rng.randint(0, 100_000, size=(n, 2)).astype(np.int64)
+            np.savez(out.with_suffix(""), features=feats, coords=coords)
+        elif fmt == "h5":
+            import h5py
+
+            with h5py.File(data_dir / f"{row['slide_id']}.h5", "w") as f:
+                f.create_dataset("features", data=feats)
+                f.create_dataset("coords", data=rng.randint(0, 100_000, size=(n, 2)).astype(np.int64))
+        elif fmt == "pt":
+            import torch
+
+            torch.save(torch.from_numpy(feats), data_dir / f"{row['slide_id']}.pt")
+        else:
+            raise ValueError(f"unknown bag format {fmt!r}")

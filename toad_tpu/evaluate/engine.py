@@ -1,0 +1,147 @@
+"""Evaluation engine: checkpoint → per-slide predictions → metrics + CSVs.
+
+Capability parity with the reference eval stack
+(``utils/eval_utils_mtl_concat.py:19-177`` + ``eval_mtl_concat.py:108-149``):
+partial ("strict=False") checkpoint restore, top-1/3/5 accuracy, per-class
+OVR AUCs with macro/micro averaging, the per-slide dataframe schema
+(``slide_id, sex, Y, Y_hat, site, site_hat, p_0..p_{C-1}, site_p``), and the
+-1 sentinel when only one class is present (``:131-132,157-160``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from toad_tpu.config import EvalConfig, ModelConfig
+from toad_tpu.data.batching import BagBatcher
+from toad_tpu.evaluate.metrics import AccuracyLogger, binary_auc, micro_ovr_auc, ovr_aucs, topk_accuracy
+from toad_tpu.evaluate.runner import make_eval_step, run_eval_pass
+from toad_tpu.models.toad_mil import ToadMIL
+from toad_tpu.train.checkpoint import restore_params
+
+
+@dataclass
+class EvalResult:
+    df: pd.DataFrame
+    cls_auc: float
+    cls_aucs: np.ndarray
+    cls_error: float
+    site_auc: float
+    site_error: float
+    topk: dict[int, float]
+    patient_results: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def cls_acc(self) -> float:
+        return 1.0 - self.cls_error
+
+    @property
+    def site_acc(self) -> float:
+        return 1.0 - self.site_error
+
+
+def evaluate_split(
+    model: ToadMIL,
+    params,
+    split,
+    *,
+    n_classes: int | None = None,
+    micro_average: bool = False,
+    batch_size: int = 1,
+    bucket_sizes=None,
+    max_bag_size: int | None = None,
+    eval_step=None,
+) -> EvalResult:
+    """Run a full no-grad pass over `split` and assemble reference-schema outputs."""
+    n_classes = n_classes if n_classes is not None else model.config.n_classes
+    if eval_step is None:
+        eval_step = make_eval_step(model)
+    batcher = BagBatcher(
+        split,
+        batch_size=batch_size,
+        bucket_sizes=bucket_sizes if bucket_sizes is not None else (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072),
+        mode="sequential",
+        max_bag_size=max_bag_size,
+    )
+    res = run_eval_pass(eval_step, params, batcher, n_classes)
+
+    labels, probs = res["label"], res["y_prob"]
+    # sentinel semantics of the reference (eval_utils:131-132, 157-160)
+    if len(np.unique(labels)) <= 1:
+        cls_auc, cls_aucs = -1.0, np.array([])
+    elif n_classes == 2:
+        cls_auc, cls_aucs = binary_auc(labels, probs[:, 1]), np.array([])
+    else:
+        cls_aucs = ovr_aucs(labels, probs, n_classes)
+        cls_auc = micro_ovr_auc(labels, probs, n_classes) if micro_average else float(np.nanmean(cls_aucs))
+    site_auc = -1.0 if len(np.unique(res["site"])) <= 1 else binary_auc(res["site"], res["site_prob"][:, 1])
+
+    ks = (1, 3, 5) if n_classes > 5 else ((1, 3) if n_classes > 2 else (1,))
+    topk = topk_accuracy(probs, labels, ks) if res["n"] else {k: float("nan") for k in ks}
+
+    order = np.argsort(res["indices"], kind="stable")
+    slide_ids = np.asarray(split.slide_ids)[res["indices"][order]]
+    cols: dict[str, Any] = {
+        "slide_id": slide_ids,
+        "sex": res["sex"][order].astype(np.float64),
+        "Y": labels[order].astype(np.float64),
+        "Y_hat": res["y_hat"][order],
+        "site": res["site"][order].astype(np.float64),
+        "site_hat": res["site_hat"][order],
+    }
+    for c in range(n_classes):
+        cols[f"p_{c}"] = probs[order, c]
+    cols["site_p"] = res["site_prob"][order, 1]
+    df = pd.DataFrame(cols)
+
+    patient_results = {
+        str(sid): {
+            "slide_id": str(sid),
+            "cls_prob": probs[order][i : i + 1],
+            "cls_label": int(labels[order][i]),
+            "site_prob": res["site_prob"][order][i : i + 1],
+            "site_label": int(res["site"][order][i]),
+        }
+        for i, sid in enumerate(slide_ids)
+    }
+
+    return EvalResult(
+        df=df,
+        cls_auc=float(cls_auc),
+        cls_aucs=cls_aucs,
+        cls_error=res["cls_error"],
+        site_auc=float(site_auc),
+        site_error=res["site_error"],
+        topk=topk,
+        patient_results=patient_results,
+    )
+
+
+def evaluate_checkpoint(
+    ckpt_path: str | Path,
+    split,
+    model_cfg: ModelConfig,
+    *,
+    micro_average: bool = False,
+    batch_size: int = 1,
+    max_bag_size: int | None = None,
+) -> EvalResult:
+    """Load a checkpoint (params-only, tolerant of extra state) and evaluate."""
+    model = ToadMIL(model_cfg)
+    import jax
+
+    template = model.init(jax.random.PRNGKey(0))
+    params = restore_params(ckpt_path, template)
+    return evaluate_split(
+        model,
+        params,
+        split,
+        micro_average=micro_average,
+        batch_size=batch_size,
+        max_bag_size=max_bag_size,
+    )

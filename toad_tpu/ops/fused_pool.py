@@ -1,0 +1,73 @@
+"""Fused trunk + gated-attention + pooling over padded bags.
+
+This is the hot op of the whole framework — per bag it covers the entire
+pipeline of the reference forward pass (``models/model_toad.py:90-99``):
+
+    h = relu(x @ W1 + b1); h = relu(h @ W2 + b2)          # trunk MLP
+    a = tanh(h @ Wa + ba); g = sigmoid(h @ Wb + bb)       # gate
+    s = (a * g) @ Wc + bc                                  # [N, T] scores
+    A = masked_softmax(s^T); M = A @ h                     # [T, H] pooled
+
+Two implementations with identical semantics:
+
+- ``impl='xla'``: straight jnp — XLA already fuses the elementwise chain into
+  the matmuls; this is the autodiff-friendly default.
+- ``impl='pallas'``: a Pallas TPU kernel that streams N-tiles of the bag
+  through VMEM with an online (flash-style) masked softmax, so the [N, H]
+  trunk activations never round-trip to HBM. Exact because attention pooling
+  is a single softmax-weighted mean, not pairwise attention.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from toad_tpu.ops.pooling import masked_attention_pool
+
+
+def _trunk_scores(params: dict[str, Any], x: jax.Array, compute_dtype=jnp.float32):
+    """Shared math: trunk MLP then gated attention scores.
+
+    x: [B, N, D] -> (h [B, N, H], scores [B, N, T])
+    """
+    dt = compute_dtype
+    w1, b1 = params["trunk"]["fc1"]["w"].astype(dt), params["trunk"]["fc1"]["b"].astype(dt)
+    w2, b2 = params["trunk"]["fc2"]["w"].astype(dt), params["trunk"]["fc2"]["b"].astype(dt)
+    wa, ba = params["attn"]["a"]["w"].astype(dt), params["attn"]["a"]["b"].astype(dt)
+    wb, bb = params["attn"]["b"]["w"].astype(dt), params["attn"]["b"]["b"].astype(dt)
+    wc, bc = params["attn"]["c"]["w"].astype(dt), params["attn"]["c"]["b"].astype(dt)
+
+    x = x.astype(dt)
+    h = jax.nn.relu(jnp.einsum("bnd,dh->bnh", x, w1, preferred_element_type=dt) + b1)
+    h = jax.nn.relu(jnp.einsum("bnh,hk->bnk", h, w2, preferred_element_type=dt) + b2)
+    a = jnp.tanh(jnp.einsum("bnh,ha->bna", h, wa, preferred_element_type=dt) + ba)
+    g = jax.nn.sigmoid(jnp.einsum("bnh,ha->bna", h, wb, preferred_element_type=dt) + bb)
+    scores = jnp.einsum("bna,at->bnt", a * g, wc, preferred_element_type=jnp.float32) + bc.astype(jnp.float32)
+    return h, scores
+
+
+def fused_trunk_attention_pool(
+    params: dict[str, Any],
+    x: jax.Array,  # [B, N, D]
+    mask: jax.Array,  # [B, N]
+    *,
+    impl: str = "xla",
+    compute_dtype=jnp.float32,
+    return_scores: bool = False,
+):
+    """Returns (M [B, T, H] pooled fp32, A [B, T, N] softmax weights[, scores])."""
+    if impl == "pallas":
+        from toad_tpu.ops.pallas_pool import pallas_trunk_attention_pool
+
+        return pallas_trunk_attention_pool(
+            params, x, mask, compute_dtype=compute_dtype, return_scores=return_scores
+        )
+    h, scores = _trunk_scores(params, x, compute_dtype)
+    m, attn = masked_attention_pool(scores, h.astype(jnp.float32), mask)
+    if return_scores:
+        return m, attn, scores
+    return m, attn

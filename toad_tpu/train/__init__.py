@@ -1,0 +1,12 @@
+from toad_tpu.train.optim import make_optimizer
+from toad_tpu.train.loop import FoldTrainer, train_fold
+from toad_tpu.train.checkpoint import save_checkpoint, restore_checkpoint, restore_params
+
+__all__ = [
+    "make_optimizer",
+    "FoldTrainer",
+    "train_fold",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "restore_params",
+]

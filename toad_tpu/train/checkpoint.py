@@ -1,0 +1,65 @@
+"""Checkpointing: full training state (params + optimizer + epoch + RNG),
+resumable — a capability the reference lacks entirely (it saves a bare
+``state_dict`` on val-loss improvement, never the optimizer, and has no
+mid-training resume; ``core_utils_mtl_concat.py:80-85,148-151``).
+
+Primary store is Orbax (directory per checkpoint, async-safe, TPU-friendly).
+Directory naming keeps the reference convention ``s_{fold}_checkpoint`` so
+eval tooling looks familiar. ``strict=False``-style partial restore
+(reference ``eval_utils_mtl_concat.py:27-29``) is :func:`restore_params`,
+which restores only the model params subtree.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def checkpoint_name(fold: int) -> str:
+    return f"s_{fold}_checkpoint"
+
+
+def save_checkpoint(path: str | os.PathLike, state: dict[str, Any]) -> None:
+    """Atomically save a pytree state dict to `path` (a directory)."""
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+        ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str | os.PathLike, template: dict[str, Any] | None = None) -> dict[str, Any]:
+    """Restore a state dict; `template` (abstract or concrete pytree) pins
+    structure/dtypes when provided."""
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is not None:
+            abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+            return ckptr.restore(path, abstract)
+        return ckptr.restore(path)
+
+
+def restore_params(path: str | os.PathLike, params_template: Any | None = None) -> Any:
+    """Partial restore of just the model params — tolerant of checkpoints that
+    carry extra state (optimizer, epoch), like torch's ``strict=False``."""
+    state = restore_checkpoint(path)
+    params = state["params"] if isinstance(state, dict) and "params" in state else state
+    if params_template is not None:
+        # keep only keys the template knows; fail on missing ones
+        params = _project_like(params, params_template)
+    return jax.tree.map(np.asarray, params)
+
+
+def _project_like(src: Any, template: Any) -> Any:
+    if isinstance(template, dict):
+        return {k: _project_like(src[k], v) for k, v in template.items()}
+    return src

@@ -1,0 +1,313 @@
+"""Per-fold training: jitted update/eval steps, early stopping, checkpoints.
+
+Orchestration parity with the reference trainer
+(``utils/core_utils_mtl_concat.py:87-187``): loss = 0.75·CE(origin) +
+0.25·CE(site) (``:215``), early stopping on the cls val loss with
+patience 20 / earliest epoch 50 (``:44-85,358-364``), best-checkpoint
+restore, and the same final summaries. TPU-native differences:
+
+- the whole update is one jitted function over a padded batch of bags; the
+  only per-epoch host transfers are the scalar metric sums and (for val)
+  the probability matrix for AUC;
+- gradients/optimizer state are donated, so params update in place on HBM;
+- per-class tallies are computed on device as one segment-sum, not a Python
+  dict per bag (reference ``Accuracy_Logger.log`` per slide).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from toad_tpu.config import TrainConfig
+from toad_tpu.data.batching import BagBatch, BagBatcher
+from toad_tpu.data.splits import save_split_columnar
+from toad_tpu.evaluate.metrics import AccuracyLogger
+from toad_tpu.evaluate.runner import batch_to_dict as _to_batch_dict
+from toad_tpu.evaluate.runner import make_eval_step, run_eval_pass
+from toad_tpu.models.toad_mil import ToadMIL
+from toad_tpu.train.checkpoint import checkpoint_name, restore_checkpoint, save_checkpoint
+from toad_tpu.train.optim import make_optimizer
+
+
+def _ce_with_ints(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+
+
+def make_loss_fn(model: ToadMIL, cls_w: float, site_w: float):
+    def loss_fn(params, batch: dict[str, jax.Array], rng):
+        out = model.apply(
+            params,
+            batch["features"],
+            batch["patch_mask"],
+            batch["sex"],
+            train=True,
+            rng=rng,
+        )
+        bag_mask = batch["bag_mask"]
+        n = jnp.maximum(bag_mask.sum(), 1.0)
+        cls_ce = (_ce_with_ints(out.logits, batch["label"]) * bag_mask).sum() / n
+        site_ce = (_ce_with_ints(out.site_logits, batch["site"]) * bag_mask).sum() / n
+        loss = cls_w * cls_ce + site_w * site_ce
+        aux = {
+            "cls_loss": cls_ce,
+            "site_loss": site_ce,
+            "y_hat": out.y_hat,
+            "site_hat": out.site_hat,
+        }
+        return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(model: ToadMIL, tx: optax.GradientTransformation, cls_w: float, site_w: float):
+    loss_fn = make_loss_fn(model, cls_w, site_w)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, rng, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        bag_mask = batch["bag_mask"]
+        metrics = {
+            "loss": loss,
+            "cls_loss_sum": aux["cls_loss"] * bag_mask.sum(),
+            "site_loss_sum": aux["site_loss"] * bag_mask.sum(),
+            "n_bags": bag_mask.sum(),
+            "cls_correct": ((aux["y_hat"] == batch["label"]) * bag_mask).sum(),
+            "site_correct": ((aux["site_hat"] == batch["site"]) * bag_mask).sum(),
+            "y_hat": aux["y_hat"],
+            "site_hat": aux["site_hat"],
+        }
+        return params, opt_state, metrics
+
+    return step
+
+
+class EarlyStopping:
+    """Patience-based stopping on val loss (reference ``:44-85``): stops after
+    `patience` non-improvements, but never before epoch `stop_epoch`."""
+
+    def __init__(self, patience: int = 20, stop_epoch: int = 50):
+        self.patience = patience
+        self.stop_epoch = stop_epoch
+        self.counter = 0
+        self.best: float | None = None
+        self.early_stop = False
+
+    def __call__(self, epoch: int, val_loss: float) -> bool:
+        """Returns True when this epoch's state should be checkpointed."""
+        improved = self.best is None or val_loss < self.best
+        if improved:
+            self.best = val_loss
+            self.counter = 0
+            return True
+        self.counter += 1
+        if self.counter >= self.patience and epoch > self.stop_epoch:
+            self.early_stop = True
+        return False
+
+
+class FoldTrainer:
+    """Owns one fold end-to-end (reference ``train``, ``core_utils:87-187``)."""
+
+    def __init__(self, cfg: TrainConfig, fold: int, results_dir: str | os.PathLike, writer=None):
+        self.cfg = cfg
+        self.fold = fold
+        self.results_dir = Path(results_dir)
+        self.results_dir.mkdir(parents=True, exist_ok=True)
+        self.writer = writer
+        self.model = ToadMIL(cfg.model)
+        self.tx = make_optimizer(cfg.optim)
+        self.train_step = make_train_step(self.model, self.tx, cfg.cls_loss_weight, cfg.site_loss_weight)
+        self.eval_step = make_eval_step(self.model)
+
+    def _batcher(self, split, training: bool) -> BagBatcher:
+        d = self.cfg.data
+        mode = ("weighted" if d.weighted_sample else "shuffle") if training else "sequential"
+        return BagBatcher(
+            split,
+            batch_size=d.batch_size,
+            bucket_sizes=d.bucket_sizes,
+            mode=mode,
+            seed=self.cfg.seed + self.fold * 1009,
+            testing_frac=(d.testing_frac if training and d.testing_frac else None),
+            max_bag_size=d.max_bag_size,
+            prefetch=d.prefetch,
+        )
+
+    @property
+    def ckpt_path(self) -> Path:
+        return self.results_dir / checkpoint_name(self.fold)
+
+    def train(self, train_split, val_split, test_split, log_fn: Callable[[str], None] = print):
+        cfg = self.cfg
+        n_classes = cfg.model.n_classes
+
+        save_split_columnar(
+            {
+                "train": list(train_split.slide_ids),
+                "val": list(val_split.slide_ids),
+                "test": list(test_split.slide_ids),
+            },
+            self.results_dir / f"splits_{self.fold}.csv",
+        )
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, init_key = jax.random.split(rng)
+        params = self.model.init(init_key)
+        opt_state = self.tx.init(params)
+        log_fn(
+            f"[fold {self.fold}] model params: {self.model.param_count(params):,} | "
+            f"train {len(train_split)} / val {len(val_split)} / test {len(test_split)} slides"
+        )
+
+        train_batcher = self._batcher(train_split, training=True)
+        val_batcher = self._batcher(val_split, training=False)
+        test_batcher = self._batcher(test_split, training=False)
+
+        stopper = EarlyStopping(cfg.patience, cfg.min_stop_epoch) if cfg.early_stopping else None
+        best_saved = False
+
+        for epoch in range(cfg.max_epochs):
+            t0 = time.perf_counter()
+            train_batcher.set_epoch(epoch)
+            cls_logger = AccuracyLogger(n_classes)
+            site_logger = AccuracyLogger(2)
+            sums = {"cls_loss_sum": 0.0, "site_loss_sum": 0.0, "n_bags": 0.0, "cls_correct": 0.0, "site_correct": 0.0}
+            for b in train_batcher:
+                rng, step_key = jax.random.split(rng)
+                params, opt_state, metrics = self.train_step(params, opt_state, step_key, _to_batch_dict(b))
+                metrics = jax.tree.map(np.asarray, metrics)
+                for k in sums:
+                    sums[k] += float(metrics[k])
+                cls_logger.log_batch(metrics["y_hat"], b.label, b.bag_mask)
+                site_logger.log_batch(metrics["site_hat"], b.site, b.bag_mask)
+
+            n = max(sums["n_bags"], 1.0)
+            tr_cls_loss = sums["cls_loss_sum"] / n
+            tr_cls_err = 1.0 - sums["cls_correct"] / n
+            dt = time.perf_counter() - t0
+            log_fn(
+                f"[fold {self.fold}] epoch {epoch}: train cls_loss {tr_cls_loss:.4f} "
+                f"err {tr_cls_err:.4f} | {n / dt:.1f} slides/s"
+            )
+            self._write_scalars(
+                "train",
+                epoch,
+                {
+                    "cls_loss": tr_cls_loss,
+                    "cls_error": tr_cls_err,
+                    "site_loss": sums["site_loss_sum"] / n,
+                    "site_error": 1.0 - sums["site_correct"] / n,
+                },
+                cls_logger,
+                site_logger,
+            )
+
+            val = run_eval_pass(self.eval_step, params, val_batcher, n_classes)
+            log_fn(
+                f"[fold {self.fold}] epoch {epoch}: val cls_loss {val['cls_loss']:.4f} "
+                f"err {val['cls_error']:.4f} auc {val['cls_auc']:.4f} site auc {val['site_auc']:.4f}"
+            )
+            self._write_scalars(
+                "val",
+                epoch,
+                {
+                    "cls_loss": val["cls_loss"],
+                    "cls_auc": val["cls_auc"],
+                    "cls_error": val["cls_error"],
+                    "site_loss": val["site_loss"],
+                    "site_auc": val["site_auc"],
+                    "site_error": val["site_error"],
+                },
+            )
+
+            if stopper is not None:
+                if stopper(epoch, val["cls_loss"]):
+                    save_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(epoch)})
+                    best_saved = True
+                if stopper.early_stop:
+                    log_fn(f"[fold {self.fold}] early stopping at epoch {epoch}")
+                    break
+
+        if stopper is not None and best_saved:
+            state = restore_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(0)})
+            params = state["params"]
+        else:
+            save_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(cfg.max_epochs - 1)})
+
+        val = run_eval_pass(self.eval_step, params, val_batcher, n_classes)
+        test = run_eval_pass(self.eval_step, params, test_batcher, n_classes)
+        log_fn(
+            f"[fold {self.fold}] FINAL val: err {val['cls_error']:.4f} auc {val['cls_auc']:.4f} | "
+            f"test: err {test['cls_error']:.4f} auc {test['cls_auc']:.4f}"
+        )
+
+        patient_results = {}
+        for i, idx in enumerate(test["indices"]):
+            sid = str(test_split.slide_ids[int(idx)])
+            patient_results[sid] = {
+                "slide_id": sid,
+                "cls_prob": test["y_prob"][i : i + 1],
+                "cls_label": int(test["label"][i]),
+                "site_prob": test["site_prob"][i : i + 1],
+                "site_label": int(test["site"][i]),
+            }
+
+        if self.writer is not None:
+            for key, v in (
+                ("final/cls_val_error", val["cls_error"]),
+                ("final/cls_val_auc", val["cls_auc"]),
+                ("final/site_val_error", val["site_error"]),
+                ("final/site_val_auc", val["site_auc"]),
+                ("final/cls_test_error", test["cls_error"]),
+                ("final/cls_test_auc", test["cls_auc"]),
+                ("final/site_test_error", test["site_error"]),
+                ("final/site_test_auc", test["site_auc"]),
+            ):
+                self.writer.add_scalar(key, v, 0)
+
+        return {
+            "results": patient_results,
+            "cls_test_auc": test["cls_auc"],
+            "cls_val_auc": val["cls_auc"],
+            "cls_test_acc": 1.0 - test["cls_error"],
+            "cls_val_acc": 1.0 - val["cls_error"],
+            "site_test_auc": test["site_auc"],
+            "site_val_auc": val["site_auc"],
+            "site_test_acc": 1.0 - test["site_error"],
+            "site_val_acc": 1.0 - val["site_error"],
+            "params": params,
+            "val": val,
+            "test": test,
+        }
+
+    def _write_scalars(self, prefix: str, epoch: int, scalars: dict[str, float], cls_logger=None, site_logger=None):
+        if self.writer is None:
+            return
+        for k, v in scalars.items():
+            self.writer.add_scalar(f"{prefix}/{k}", v, epoch)
+        if cls_logger is not None:
+            for c in range(cls_logger.n_classes):
+                acc, _, _ = cls_logger.get_summary(c)
+                if acc is not None:
+                    self.writer.add_scalar(f"{prefix}/class_{c}_tpr", acc, epoch)
+        if site_logger is not None:
+            for c in range(2):
+                acc, _, _ = site_logger.get_summary(c)
+                if acc is not None:
+                    self.writer.add_scalar(f"{prefix}/site_{c}_tpr", acc, epoch)
+
+
+def train_fold(cfg: TrainConfig, fold: int, splits, results_dir, writer=None, log_fn=print):
+    trainer = FoldTrainer(cfg, fold, results_dir, writer)
+    return trainer.train(*splits, log_fn=log_fn)
