@@ -1,0 +1,160 @@
+"""Benchmark: end-to-end slide-inference throughput vs the reference design.
+
+Workload (BASELINE.json config 1/4 analog): precomputed 1024-d feature bags
+of 8192 patches -> gated-attention MIL forward (trunk MLP + 2-task attention
+pooling + heads), bf16 compute, batched+padded on the default JAX device.
+
+Methodology note: this environment reaches the TPU through a relay where
+``block_until_ready`` can return before device completion, so naive timing
+loops are unreliable. The benchmark therefore runs K serially-dependent
+forwards inside one jitted ``fori_loop`` (each iteration's output perturbs
+the next input, so nothing can be elided or overlapped) and fetches a scalar
+to host, which forces true completion; wall time / (B*K) is the honest
+per-slide cost.
+
+Baseline: the reference computation pattern — bag-at-a-time, batch_size=1
+(``utils/utils.py:37-61``), torch on CPU (the only torch backend in this
+image; the reference repo publishes no timings of its own, SURVEY §6).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BAG_N = 8192
+DIM = 1024
+BATCH = 64
+CHAIN = 16
+N_CLASSES = 18
+
+
+def bench_ours() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.models.toad_mil import ToadMIL
+
+    cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16")
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    def chained(k):
+        @jax.jit
+        def fn(params, feats, mask, sex):
+            def body(_, carry):
+                f, acc = carry
+                out = model.apply(params, f, mask, sex, train=False)
+                bump = (out.y_prob.sum() + out.site_prob.sum()) * 1e-12
+                return (f + bump, acc + out.y_prob.sum())
+
+            _, acc = jax.lax.fori_loop(0, k, body, (feats, jnp.float32(0)))
+            return acc
+
+        return fn
+
+    rng = np.random.RandomState(0)
+
+    def make(b):
+        return (
+            jax.device_put(jnp.asarray(rng.randn(b, BAG_N, DIM), jnp.float32)),
+            jax.device_put(jnp.ones((b, BAG_N), jnp.float32)),
+            jax.device_put(jnp.zeros((b,), jnp.int32)),
+        )
+
+    # throughput: B bags x CHAIN serial iterations
+    f, m, s = make(BATCH)
+    fn = chained(CHAIN)
+    float(fn(params, f, m, s))  # compile + warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(params, f, m, s))
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    slides_per_sec = BATCH * CHAIN / t
+    flops = 2 * BATCH * BAG_N * (DIM * 512 + 512 * 512 + 2 * 512 * 384) * CHAIN
+
+    # single-bag attention latency p50: chain of 32 single-bag forwards
+    f1, m1, s1 = make(1)
+    fn1 = chained(32)
+    float(fn1(params, f1, m1, s1))
+    lats = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(fn1(params, f1, m1, s1))
+        lats.append((time.perf_counter() - t0) / 32)
+    return {
+        "slides_per_sec": slides_per_sec,
+        "tflops": flops / t / 1e12,
+        "latency_p50_ms": float(np.percentile(lats, 50) * 1e3),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def bench_reference_pattern() -> float:
+    """Reference pattern: torch CPU, one bag per step (same math as
+    models/model_toad.py:90-108, written functionally)."""
+    import torch
+    import torch.nn.functional as F
+
+    g = torch.Generator().manual_seed(0)
+
+    def lin(i, o):
+        return torch.randn(i, o, generator=g) * (2.0 / (i + o)) ** 0.5, torch.zeros(o)
+
+    w1, b1 = lin(DIM, 512)
+    w2, b2 = lin(512, 512)
+    wa, ba = lin(512, 384)
+    wb, bb = lin(512, 384)
+    wc, bc = lin(384, 2)
+    wcls, bcls = lin(513, N_CLASSES)
+    wsite, bsite = lin(513, 2)
+
+    def forward(x, sex):
+        h = F.relu(x @ w1 + b1)
+        h = F.relu(h @ w2 + b2)
+        a = torch.tanh(h @ wa + ba)
+        gt = torch.sigmoid(h @ wb + bb)
+        scores = (a * gt) @ wc + bc
+        attn = torch.softmax(scores.t(), dim=1)
+        m = attn @ h
+        m = torch.cat([m, torch.full((2, 1), sex)], dim=1)
+        return torch.softmax(m[0:1] @ wcls + bcls, -1), torch.softmax(m[1:2] @ wsite + bsite, -1)
+
+    bags = [torch.randn(BAG_N, DIM, generator=g) for _ in range(3)]
+    with torch.no_grad():
+        forward(bags[0], 1.0)  # warmup
+        n = 6
+        t0 = time.perf_counter()
+        for i in range(n):
+            forward(bags[i % len(bags)], float(i % 2))
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main() -> None:
+    ours = bench_ours()
+    baseline = bench_reference_pattern()
+    result = {
+        "metric": "slides_per_sec_e2e_inference",
+        "value": round(ours["slides_per_sec"], 2),
+        "unit": "slides/s",
+        "vs_baseline": round(ours["slides_per_sec"] / baseline, 2),
+        "baseline_slides_per_sec": round(baseline, 2),
+        "baseline_desc": "reference pattern: torch-cpu bag-at-a-time batch=1",
+        "bag_attention_latency_p50_ms": round(ours["latency_p50_ms"], 3),
+        "achieved_tflops": round(ours["tflops"], 1),
+        "workload": f"bags of {BAG_N}x{DIM} fp32, batch {BATCH}, bf16 compute, {CHAIN} chained iters",
+        "device": ours["device"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,10 +3,16 @@ collective paths are testable without TPU hardware (SURVEY §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
+
+import jax
+
+# The axon TPU plugin (sitecustomize) force-selects jax_platforms="axon,cpu",
+# so the env var alone is not enough — override via config before any
+# backend use. Tests run on an 8-device virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,140 @@
+"""CLI entry points: make_dummy → create_splits → train → evaluate, end to end."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory, monkeypatch_module=None):
+    from toad_tpu.cli import make_dummy
+
+    root = tmp_path_factory.mktemp("cli")
+    make_dummy.main(
+        [
+            "--out_dir", str(root),
+            "--n_patients", "50",
+            "--max_slides_per_patient", "2",
+            "--min_patches", "32",
+            "--max_patches", "128",
+            "--dim", "64",
+            "--seed", "0",
+        ]
+    )
+    return root
+
+
+def test_full_cli_pipeline(cli_env, tmp_path):
+    from toad_tpu.cli import create_splits, evaluate, train
+
+    root = cli_env
+    task_json = str(root / "tasks" / "dummy_mtl_concat.json")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        split_dir = create_splits.main(
+            ["--task", task_json, "--k", "2", "--seed", "1", "--val_frac", "0.15", "--test_frac", "0.2"]
+        )
+        for i in range(2):
+            for suffix in ("", "_bool", "_descriptor"):
+                assert (root / split_dir / f"splits_{i}{suffix}.csv").exists()
+
+        df = train.main(
+            [
+                "--task", task_json,
+                "--data_root_dir", str(root / "bags"),
+                "--exp_code", "smoke",
+                "--k", "2",
+                "--k_end", "1",  # one fold for speed
+                "--max_epochs", "4",
+                "--lr", "3e-4",
+                "--batch_size", "4",
+                "--encoding_size", "64",
+                "--split_dir", str(split_dir),
+            ]
+        )
+        assert len(df) == 1
+        assert df["cls_test_auc"].iloc[0] > 0.6
+
+        results_dir = root / "results" / "smoke_s1"
+        assert (results_dir / "experiment_smoke.txt").exists()
+        assert (results_dir / "s_0_checkpoint").exists()
+        assert (results_dir / "split_0_results.pkl").exists()
+        assert (results_dir / "summary_partial_0_1.csv").exists()
+
+        edf = evaluate.main(
+            [
+                "--task", task_json,
+                "--data_root_dir", str(root / "bags"),
+                "--results_dir", str(root / "results"),
+                "--models_exp_code", "smoke_s1",
+                "--save_exp_code", "smoke_eval",
+                "--k", "2",
+                "--k_end", "1",
+                "--batch_size", "4",
+                "--encoding_size", "64",
+            ]
+        )
+        assert len(edf) == 1
+        fold_csv = root / "eval_results" / "EVAL_smoke_eval" / "fold_0.csv"
+        assert fold_csv.exists()
+        fdf = pd.read_csv(fold_csv)
+        assert list(fdf.columns[:6]) == ["slide_id", "sex", "Y", "Y_hat", "site", "site_hat"]
+        assert "p_17" in fdf.columns and "site_p" in fdf.columns
+        # eval on the same split/checkpoint reproduces the training-side AUC
+        np.testing.assert_allclose(edf["cls_test_auc"].iloc[0], df["cls_test_auc"].iloc[0], atol=2e-3)
+    finally:
+        os.chdir(cwd)
+
+
+def test_evaluate_split_all(cli_env):
+    from toad_tpu.cli import evaluate
+
+    root = cli_env
+    task_json = str(root / "tasks" / "dummy_mtl_concat.json")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        edf = evaluate.main(
+            [
+                "--task", task_json,
+                "--data_root_dir", str(root / "bags"),
+                "--results_dir", str(root / "results"),
+                "--models_exp_code", "smoke_s1",
+                "--save_exp_code", "smoke_eval_all",
+                "--split", "all",
+                "--k", "2",
+                "--k_end", "1",
+                "--batch_size", "4",
+                "--encoding_size", "64",
+            ]
+        )
+        assert len(edf) == 1
+        fdf = pd.read_csv(root / "eval_results" / "EVAL_smoke_eval_all" / "fold_0.csv")
+        manifest = pd.read_csv(root / "dataset_csv" / "dummy_dataset.csv")
+        assert len(fdf) == len(manifest)
+    finally:
+        os.chdir(cwd)
+
+
+def test_train_missing_splits_errors(cli_env):
+    from toad_tpu.cli import train
+
+    root = cli_env
+    task_json = str(root / "tasks" / "dummy_mtl_concat.json")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        with pytest.raises(FileNotFoundError, match="split dir"):
+            train.main(
+                [
+                    "--task", task_json,
+                    "--data_root_dir", str(root / "bags"),
+                    "--exp_code", "x",
+                    "--split_dir", "does_not_exist",
+                ]
+            )
+    finally:
+        os.chdir(cwd)

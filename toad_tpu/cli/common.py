@@ -1,0 +1,41 @@
+"""Shared CLI plumbing: task loading, dataset construction, settings echo."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+from toad_tpu.config import TaskConfig
+from toad_tpu.data.wsi_dataset import WSIBagDataset
+from toad_tpu.registry import list_tasks, load_task
+from toad_tpu.utils.io import write_settings
+
+
+def add_task_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--task",
+        type=str,
+        required=True,
+        help=f"task name from the registry or path to a task JSON (available: {list_tasks()})",
+    )
+    p.add_argument("--csv_path", type=str, default=None, help="override the task's csv path")
+
+
+def build_dataset(args, data_dir=None, print_info: bool = True) -> tuple[TaskConfig, WSIBagDataset]:
+    task = load_task(args.task)
+    ds = WSIBagDataset(
+        task,
+        csv_path=args.csv_path,
+        data_dir=data_dir,
+        seed=getattr(args, "seed", 7),
+        print_info=print_info,
+    )
+    return task, ds
+
+
+def echo_settings(path: str | os.PathLike, settings: dict) -> None:
+    write_settings(path, settings)
+    print("################# Settings ###################")
+    for k, v in settings.items():
+        print(f"{k}:  {v}")

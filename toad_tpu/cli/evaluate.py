@@ -1,0 +1,120 @@
+"""``python -m toad_tpu.cli.evaluate`` — checkpoint evaluation over folds.
+
+Flag parity with the reference ``eval_mtl_concat.py:19-39``; writes
+``eval_results/EVAL_{save_exp_code}/fold_{k}.csv`` + ``summary.csv`` with the
+reference's schema (``eval_mtl_concat.py:108-149``).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import pandas as pd
+
+from toad_tpu.cli.common import add_task_arg, build_dataset, echo_settings
+from toad_tpu.config import ModelConfig, fold_range
+from toad_tpu.evaluate.engine import evaluate_checkpoint
+from toad_tpu.train.checkpoint import checkpoint_name
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TOAD-TPU evaluation")
+    add_task_arg(p)
+    p.add_argument("--data_root_dir", type=str, default=None)
+    p.add_argument("--results_dir", type=str, default="./results")
+    p.add_argument("--save_exp_code", type=str, default=None)
+    p.add_argument("--models_exp_code", type=str, default=None)
+    p.add_argument("--splits_dir", type=str, default=None)
+    p.add_argument("--drop_out", action="store_true", default=False)
+    p.add_argument("--k", type=int, default=1)
+    p.add_argument("--k_start", type=int, default=-1)
+    p.add_argument("--k_end", type=int, default=-1)
+    p.add_argument("--fold", type=int, default=-1)
+    p.add_argument("--micro_average", action="store_true", default=False)
+    p.add_argument("--split", type=str, choices=["train", "val", "test", "all"], default="test")
+    p.add_argument("--encoding_size", type=int, default=1024, help="patch feature dimension")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_bag_size", type=int, default=None)
+    p.add_argument("--bf16", action="store_true", default=False)
+    p.add_argument("--pallas", action="store_true", default=False)
+    return p
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    task, dataset = build_dataset(args, data_dir=args.data_root_dir)
+
+    save_dir = Path("./eval_results") / f"EVAL_{args.save_exp_code}"
+    models_dir = Path(args.results_dir) / str(args.models_exp_code)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    splits_dir = Path(args.splits_dir) if args.splits_dir else models_dir
+    if not models_dir.is_dir():
+        raise FileNotFoundError(f"models dir not found: {models_dir}")
+
+    echo_settings(
+        save_dir / f"eval_experiment_{args.save_exp_code}.txt",
+        {
+            "task": args.task,
+            "split": args.split,
+            "save_dir": str(save_dir),
+            "models_dir": str(models_dir),
+            "drop_out": args.drop_out,
+            "micro_avg": args.micro_average,
+        },
+    )
+
+    model_cfg = ModelConfig(
+        in_dim=args.encoding_size,
+        n_classes=task.n_classes[0],
+        dropout=args.drop_out,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        use_pallas=args.pallas,
+    )
+
+    folds = list(fold_range(args.k, args.k_start, args.k_end)) if args.fold == -1 else [args.fold]
+    split_index = {"train": 0, "val": 1, "test": 2, "all": -1}[args.split]
+
+    rows = []
+    for fold in folds:
+        if split_index < 0:
+            split = dataset.subset(range(dataset.n_slides))
+        else:
+            splits = dataset.return_splits_from_csv(splits_dir / f"splits_{fold}.csv")
+            split = splits[split_index]
+            if split is None:
+                raise ValueError(f"fold {fold}: requested split {args.split!r} is empty")
+
+        res = evaluate_checkpoint(
+            models_dir / checkpoint_name(fold),
+            split,
+            model_cfg,
+            micro_average=args.micro_average,
+            batch_size=args.batch_size,
+            max_bag_size=args.max_bag_size,
+        )
+        for ci, auc in enumerate(res.cls_aucs):
+            print(f"class {ci} auc: {auc}")
+        print(f"fold {fold}: cls_auc {res.cls_auc:.4f} acc {res.cls_acc:.4f} site_auc {res.site_auc:.4f}")
+        res.df.to_csv(save_dir / f"fold_{fold}.csv", index=False)
+        rows.append(
+            {
+                "folds": fold,
+                "cls_test_auc": res.cls_auc,
+                "cls_test_acc": res.cls_acc,
+                "cls_top3_acc": res.topk.get(3, float("nan")),
+                "cls_top5_acc": res.topk.get(5, float("nan")),
+                "site_test_auc": res.site_auc,
+                "site_test_acc": res.site_acc,
+            }
+        )
+
+    final_df = pd.DataFrame(rows)
+    name = "summary.csv" if len(folds) == args.k else f"summary_partial_{folds[0]}_{folds[-1]}.csv"
+    final_df.to_csv(save_dir / name)
+    print(f"wrote {save_dir / name}")
+    return final_df
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""``python -m toad_tpu.cli.train`` — k-fold training driver.
+
+Flag parity with the reference ``main_mtl_concat.py:81-106`` plus TPU-native
+knobs (--batch_size, --bf16, --pallas, --data_shards/--bag_shards). Produces
+the reference's results layout: ``results/{exp_code}_s{seed}/`` with
+``experiment_{exp_code}.txt``, per-fold ``splits_{i}.csv``,
+``s_{i}_checkpoint``, ``split_{i}_results.pkl``, and ``summary.csv``
+(``main_mtl_concat.py:64-78,163-180``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from toad_tpu.cli.common import add_task_arg, build_dataset, echo_settings
+from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig, fold_range
+from toad_tpu.train.loop import FoldTrainer
+from toad_tpu.utils.io import save_pkl
+from toad_tpu.utils.logging import make_writer
+from toad_tpu.utils.rng import seed_everything
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Configurations for WSI training (TPU-native)")
+    add_task_arg(p)
+    p.add_argument("--data_root_dir", type=str, default=None, help="directory containing feature bags")
+    p.add_argument("--max_epochs", type=int, default=200)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--reg", type=float, default=1e-5, help="weight decay")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--k_start", type=int, default=-1)
+    p.add_argument("--k_end", type=int, default=-1)
+    p.add_argument("--results_dir", default="./results")
+    p.add_argument("--split_dir", type=str, default=None)
+    p.add_argument("--log_data", action="store_true", default=False)
+    p.add_argument("--testing", action="store_true", default=False, help="1%% subsample dry run")
+    p.add_argument("--early_stopping", action="store_true", default=False)
+    p.add_argument("--opt", type=str, choices=["adam", "sgd"], default="adam")
+    p.add_argument("--drop_out", action="store_true", default=False)
+    p.add_argument("--exp_code", type=str, required=True)
+    p.add_argument("--weighted_sample", action="store_true", default=False)
+    # TPU-native knobs
+    p.add_argument("--encoding_size", type=int, default=1024, help="patch feature dimension")
+    p.add_argument("--batch_size", type=int, default=8, help="bags per step (1 = reference semantics)")
+    p.add_argument("--max_bag_size", type=int, default=None)
+    p.add_argument("--bf16", action="store_true", default=False, help="bfloat16 compute")
+    p.add_argument("--pallas", action="store_true", default=False, help="fused Pallas pooling kernel")
+    p.add_argument("--data_shards", type=int, default=1)
+    p.add_argument("--bag_shards", type=int, default=1)
+    return p
+
+
+def config_from_args(args, n_classes: int) -> TrainConfig:
+    return TrainConfig(
+        exp_code=args.exp_code,
+        task=args.task,
+        results_dir=args.results_dir,
+        split_dir=args.split_dir,
+        max_epochs=args.max_epochs,
+        seed=args.seed,
+        k=args.k,
+        k_start=args.k_start,
+        k_end=args.k_end,
+        early_stopping=args.early_stopping,
+        log_data=args.log_data,
+        testing=args.testing,
+        model=ModelConfig(
+            in_dim=args.encoding_size,
+            n_classes=n_classes,
+            dropout=args.drop_out,
+            compute_dtype="bfloat16" if args.bf16 else "float32",
+            use_pallas=args.pallas,
+        ),
+        optim=OptimConfig(name=args.opt, lr=args.lr, weight_decay=args.reg),
+        data=DataConfig(
+            data_dir=args.data_root_dir,
+            batch_size=args.batch_size,
+            max_bag_size=args.max_bag_size,
+            weighted_sample=args.weighted_sample,
+            testing_frac=0.01 if args.testing else None,
+        ),
+        data_shards=args.data_shards,
+        bag_shards=args.bag_shards,
+    )
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    seed_everything(args.seed)
+    task, dataset = build_dataset(args, data_dir=args.data_root_dir)
+    cfg = config_from_args(args, n_classes=task.n_classes[0])
+
+    results_dir = Path(args.results_dir) / f"{args.exp_code}_s{args.seed}"
+    results_dir.mkdir(parents=True, exist_ok=True)
+
+    split_dir = Path(args.split_dir) if args.split_dir else Path("splits") / f"{task.name}_100"
+    if not split_dir.is_dir():
+        raise FileNotFoundError(f"split dir not found: {split_dir} (run toad_tpu.cli.create_splits first)")
+
+    settings = cfg.settings_dict()
+    settings["split_dir"] = str(split_dir)
+    echo_settings(results_dir / f"experiment_{args.exp_code}.txt", settings)
+
+    folds = fold_range(args.k, args.k_start, args.k_end)
+    rows = []
+    for i in folds:
+        seed_everything(args.seed)
+        splits = dataset.return_splits_from_csv(split_dir / f"splits_{i}.csv")
+        if any(s is None for s in splits):
+            raise ValueError(f"fold {i}: empty split in {split_dir / f'splits_{i}.csv'}")
+        writer = make_writer(str(results_dir / str(i)), enabled=args.log_data)
+        trainer = FoldTrainer(cfg, fold=i, results_dir=results_dir, writer=writer)
+        r = trainer.train(*splits)
+        writer.close()
+        save_pkl(results_dir / f"split_{i}_results.pkl", r["results"])
+        rows.append(
+            {
+                "folds": i,
+                "cls_test_auc": r["cls_test_auc"],
+                "cls_val_auc": r["cls_val_auc"],
+                "cls_test_acc": r["cls_test_acc"],
+                "cls_val_acc": r["cls_val_acc"],
+                "site_test_auc": r["site_test_auc"],
+                "site_val_auc": r["site_val_auc"],
+                "site_test_acc": r["site_test_acc"],
+                "site_val_acc": r["site_val_acc"],
+            }
+        )
+
+    final_df = pd.DataFrame(rows)
+    name = "summary.csv" if len(folds) == args.k else f"summary_partial_{folds.start}_{folds.stop}.csv"
+    final_df.to_csv(results_dir / name)
+    print(f"finished! wrote {results_dir / name}")
+    return final_df
+
+
+if __name__ == "__main__":
+    main()

@@ -45,14 +45,17 @@ def make_eval_step(model: ToadMIL):
     return step
 
 
-def run_eval_pass(eval_step, params, batcher: BagBatcher, n_classes: int):
-    """One no-grad pass: per-slide probs/preds + mean losses + AUCs on host."""
+def run_eval_pass(eval_step, params, batcher: BagBatcher, n_classes: int, put=None):
+    """One no-grad pass: per-slide probs/preds + mean losses + AUCs on host.
+
+    `put` optionally device-puts each host batch with mesh shardings."""
     probs, labels, sites, site_probs, preds, site_preds, sexes, indices = [], [], [], [], [], [], [], []
     cls_loss_sum = 0.0
     site_loss_sum = 0.0
     n_total = 0
     for b in batcher:
-        out = eval_step(params, batch_to_dict(b))
+        bd = batch_to_dict(b)
+        out = eval_step(params, put(bd) if put is not None else bd)
         keep = b.bag_mask > 0
         out = jax.tree.map(np.asarray, out)
         probs.append(out["y_prob"][keep])

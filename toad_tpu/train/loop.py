@@ -119,7 +119,7 @@ class EarlyStopping:
 class FoldTrainer:
     """Owns one fold end-to-end (reference ``train``, ``core_utils:87-187``)."""
 
-    def __init__(self, cfg: TrainConfig, fold: int, results_dir: str | os.PathLike, writer=None):
+    def __init__(self, cfg: TrainConfig, fold: int, results_dir: str | os.PathLike, writer=None, mesh=None):
         self.cfg = cfg
         self.fold = fold
         self.results_dir = Path(results_dir)
@@ -129,6 +129,17 @@ class FoldTrainer:
         self.tx = make_optimizer(cfg.optim)
         self.train_step = make_train_step(self.model, self.tx, cfg.cls_loss_weight, cfg.site_loss_weight)
         self.eval_step = make_eval_step(self.model)
+        if mesh is None and cfg.data_shards * cfg.bag_shards > 1:
+            from toad_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.data_shards, cfg.bag_shards)
+        self.mesh = mesh
+        if mesh is not None:
+            from toad_tpu.parallel.sharding import shard_batch
+
+            self._put = lambda bd: shard_batch(bd, mesh)
+        else:
+            self._put = None
 
     def _batcher(self, split, training: bool) -> BagBatcher:
         d = self.cfg.data
@@ -165,6 +176,11 @@ class FoldTrainer:
         rng, init_key = jax.random.split(rng)
         params = self.model.init(init_key)
         opt_state = self.tx.init(params)
+        if self.mesh is not None:
+            from toad_tpu.parallel.sharding import replicate
+
+            params = replicate(self.mesh, params)
+            opt_state = replicate(self.mesh, opt_state)
         log_fn(
             f"[fold {self.fold}] model params: {self.model.param_count(params):,} | "
             f"train {len(train_split)} / val {len(val_split)} / test {len(test_split)} slides"
@@ -185,7 +201,10 @@ class FoldTrainer:
             sums = {"cls_loss_sum": 0.0, "site_loss_sum": 0.0, "n_bags": 0.0, "cls_correct": 0.0, "site_correct": 0.0}
             for b in train_batcher:
                 rng, step_key = jax.random.split(rng)
-                params, opt_state, metrics = self.train_step(params, opt_state, step_key, _to_batch_dict(b))
+                bd = _to_batch_dict(b)
+                if self._put is not None:
+                    bd = self._put(bd)
+                params, opt_state, metrics = self.train_step(params, opt_state, step_key, bd)
                 metrics = jax.tree.map(np.asarray, metrics)
                 for k in sums:
                     sums[k] += float(metrics[k])
@@ -213,7 +232,7 @@ class FoldTrainer:
                 site_logger,
             )
 
-            val = run_eval_pass(self.eval_step, params, val_batcher, n_classes)
+            val = run_eval_pass(self.eval_step, params, val_batcher, n_classes, put=self._put)
             log_fn(
                 f"[fold {self.fold}] epoch {epoch}: val cls_loss {val['cls_loss']:.4f} "
                 f"err {val['cls_error']:.4f} auc {val['cls_auc']:.4f} site auc {val['site_auc']:.4f}"
@@ -245,8 +264,8 @@ class FoldTrainer:
         else:
             save_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(cfg.max_epochs - 1)})
 
-        val = run_eval_pass(self.eval_step, params, val_batcher, n_classes)
-        test = run_eval_pass(self.eval_step, params, test_batcher, n_classes)
+        val = run_eval_pass(self.eval_step, params, val_batcher, n_classes, put=self._put)
+        test = run_eval_pass(self.eval_step, params, test_batcher, n_classes, put=self._put)
         log_fn(
             f"[fold {self.fold}] FINAL val: err {val['cls_error']:.4f} auc {val['cls_auc']:.4f} | "
             f"test: err {test['cls_error']:.4f} auc {test['cls_auc']:.4f}"
