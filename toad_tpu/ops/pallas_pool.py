@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: fused trunk + gated attention + online masked-softmax
+pooling over padded bags.
+
+Covers the whole per-bag pipeline of the reference forward
+(``models/model_toad.py:90-99``) in one kernel pass per bag:
+
+    for each N-tile of the bag (streamed through VMEM):
+        h  = relu(x @ W1 + b1); h = relu(h @ W2 + b2)        # MXU
+        s  = tanh(h@Wa+ba) * sigmoid(h@Wb+bb) @ Wc + bc      # [tile, T]
+        online-softmax update of (max, denom, acc += e^T @ h) per task
+
+The online (flash-style) rescaling makes the masked softmax exact while the
+``[N, H]`` trunk activations never round-trip to HBM — the kernel reads
+``N*D`` input bytes and writes only the ``[T, H]`` pooled vectors plus the
+``[T, N]`` raw scores (needed for attention heatmaps / A_raw parity).
+
+Grid is (B, N/TILE): TPU Pallas iterates the grid sequentially with the last
+axis fastest, so VMEM scratch accumulators carry state across a bag's tiles
+and reset at tile 0.
+
+Forward-only: training uses the XLA path (autodiff-friendly); this kernel
+serves inference, where the reference's throughput story lives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_PAD = 8  # task axis padded to one sublane tile (real tasks T=2)
+NEG_INF = -1e30
+
+
+def _pool_kernel_body(
+    x_ref, mask_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+    m_out_ref, scores_out_ref, acc_ref, stat_ref,
+):
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        stat_ref[0, :] = jnp.full((T_PAD,), NEG_INF, jnp.float32)
+        stat_ref[1, :] = jnp.zeros((T_PAD,), jnp.float32)
+
+    x = x_ref[0]  # [TILE_N, D]
+    mask = mask_ref[0, 0]  # [TILE_N]
+
+    h = jnp.maximum(
+        jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
+    ).astype(x.dtype)
+    h = jnp.maximum(
+        jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0
+    ).astype(x.dtype)
+    # transcendentals stay fp32: Mosaic (this jaxlib) rejects bf16
+    # tanh/sigmoid lowering (f32-constant broadcasts into bf16 vectors)
+    a = jnp.tanh(jnp.dot(h, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[:])
+    g = jax.nn.sigmoid(jnp.dot(h, wb_ref[:], preferred_element_type=jnp.float32) + bb_ref[:])
+    gated = (a * g).astype(x.dtype)
+    s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [TILE_N, T_PAD]
+
+    # raw scores out (pre-mask, like the reference's A_raw before softmax);
+    # elided at trace time in the pooled-only fast path
+    if scores_out_ref is not None:
+        scores_out_ref[0] = s.T
+
+    s_masked = jnp.where(mask[:, None] > 0, s, NEG_INF)  # [TILE_N, T_PAD]
+
+    m_prev = stat_ref[0, :]  # [T_PAD]
+    d_prev = stat_ref[1, :]
+    tile_max = jnp.max(s_masked, axis=0)  # [T_PAD]
+    m_new = jnp.maximum(m_prev, tile_max)
+    # guard fully-masked-so-far: keep exp args finite
+    m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+
+    e = jnp.exp(s_masked - m_safe[None, :]) * (mask[:, None] > 0)  # [TILE_N, T_PAD]
+    corr = jnp.exp(jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev) - m_safe)  # [T_PAD]
+
+    d_new = d_prev * corr + jnp.sum(e, axis=0)
+    # acc: [T_PAD, H] — rescale then add e^T @ h
+    contrib = jax.lax.dot_general(
+        e.astype(x.dtype), h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_ref[:] = acc_ref[:] * corr[:, None] + contrib
+    stat_ref[0, :] = m_new
+    stat_ref[1, :] = d_new
+
+    @pl.when(i == n_tiles - 1)
+    def _finalize():
+        denom = jnp.maximum(stat_ref[1, :], 1e-30)
+        m_out_ref[0] = acc_ref[:] / denom[:, None]
+
+
+def _pad_params(params: dict[str, Any], dtype) -> tuple:
+    """Flatten + pad attention output to T_PAD tasks; weights in compute
+    dtype, biases f32."""
+    w1 = params["trunk"]["fc1"]["w"].astype(dtype)
+    b1 = params["trunk"]["fc1"]["b"].astype(jnp.float32)
+    w2 = params["trunk"]["fc2"]["w"].astype(dtype)
+    b2 = params["trunk"]["fc2"]["b"].astype(jnp.float32)
+    wa = params["attn"]["a"]["w"].astype(dtype)
+    ba = params["attn"]["a"]["b"].astype(jnp.float32)
+    wb = params["attn"]["b"]["w"].astype(dtype)
+    bb = params["attn"]["b"]["b"].astype(jnp.float32)
+    wc = params["attn"]["c"]["w"].astype(dtype)
+    bc = params["attn"]["c"]["b"].astype(jnp.float32)
+    t = wc.shape[1]
+    if t > T_PAD:
+        raise ValueError(f"n_tasks {t} > T_PAD {T_PAD}")
+    wc = jnp.pad(wc, ((0, 0), (0, T_PAD - t)))
+    bc = jnp.pad(bc, (0, T_PAD - t))
+    return w1, b1, w2, b2, wa, ba, wb, bb, wc, bc
+
+
+def _tile_n(n: int, itemsize: int) -> int:
+    """Largest tile that fits VMEM with double-buffered input blocks:
+    bf16 affords 1024-row tiles; fp32 tops out at 512."""
+    max_tile = 1024 if itemsize <= 2 else 512
+    for t in (1024, 512, 256, 128):
+        if t <= max_tile and n % t == 0:
+            return t
+    raise ValueError(f"bag bucket {n} must be a multiple of 128 for the Pallas kernel")
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret", "with_scores"))
+def _pallas_pool_call(params, x, mask, compute_dtype=jnp.bfloat16, interpret=False, with_scores=True):
+    b, n, d = x.shape
+    h_dim = params["trunk"]["fc2"]["w"].shape[1]
+    tile = _tile_n(n, jnp.dtype(compute_dtype).itemsize)
+    flat = _pad_params(params, compute_dtype)
+    x = x.astype(compute_dtype)
+    mask = mask.astype(jnp.float32)[:, None, :]  # [B, 1, N] for TPU tiling
+
+    grid = (b, n // tile)
+    param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+
+    out_specs = [pl.BlockSpec((1, T_PAD, h_dim), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, T_PAD, h_dim), jnp.float32)]
+    if with_scores:
+        out_specs.append(pl.BlockSpec((1, T_PAD, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, T_PAD, n), jnp.float32))
+
+        def kernel(x_r, m_r, *rest):
+            *ps, m_out, s_out, acc, stat = rest
+            _pool_kernel_body(x_r, m_r, *ps, m_out, s_out, acc, stat)
+
+    else:
+
+        def kernel(x_r, m_r, *rest):
+            *ps, m_out, acc, stat = rest
+            _pool_kernel_body(x_r, m_r, *ps, m_out, None, acc, stat)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((T_PAD, h_dim), jnp.float32),
+            pltpu.VMEM((2, T_PAD), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, mask, *flat)
+    if with_scores:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+def pallas_trunk_attention_pool(
+    params: dict[str, Any],
+    x: jax.Array,  # [B, N, D]
+    mask: jax.Array,  # [B, N]
+    *,
+    compute_dtype=jnp.bfloat16,
+    return_scores: bool = False,
+    with_attention: bool = True,
+    interpret: bool = False,
+):
+    """Drop-in fused replacement for the XLA path of
+    :func:`toad_tpu.ops.fused_pool.fused_trunk_attention_pool`.
+
+    Returns (M [B, T, H], A [B, T, N] softmax weights[, scores [B, N, T]]).
+    With ``with_attention=False`` (pure classification, no heatmaps) the
+    kernel skips writing the [B, T, N] score tensor entirely and A is None.
+    """
+    t = params["attn"]["c"]["w"].shape[1]
+    want_scores = with_attention or return_scores
+    m_pad, scores_pad = _pallas_pool_call(
+        params,
+        x,
+        mask,
+        compute_dtype=jnp.dtype(compute_dtype),
+        interpret=interpret,
+        with_scores=want_scores,
+    )
+    m = m_pad[:, :t, :]
+    if not want_scores:
+        return m, None
+    scores_t = scores_pad[:, :t, :]  # [B, T, N]
+    # softmax weights from raw scores (cheap: [B, T, N] elementwise + reduce)
+    from toad_tpu.ops.pooling import masked_softmax
+
+    attn = masked_softmax(scores_t, mask[:, None, :], axis=-1)
+    if return_scores:
+        return m, attn, jnp.swapaxes(scores_t, 1, 2)
+    return m, attn
