@@ -74,6 +74,28 @@ class ModelConfig:
 
 
 @dataclass(frozen=True)
+class EncoderConfig:
+    """Truncated ResNet-50 patch encoder (reference ``models/resnet_custom.py``:
+    stem + layers 1-3, no layer4/fc, GAP -> 1024-d; ``:62-70,96-109``)."""
+
+    blocks: tuple[int, ...] = (3, 4, 6)  # bottleneck counts per stage (truncated)
+    stem_width: int = 64
+    expansion: int = 4
+    bn_eps: float = 1e-5
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"  # MXU-native for conv throughput
+    fold_bn: bool = True  # fold inference BN into conv weights
+
+    @property
+    def stage_widths(self) -> tuple[int, ...]:
+        return tuple(self.stem_width * (2**i) for i in range(len(self.blocks)))
+
+    @property
+    def out_dim(self) -> int:
+        return self.stage_widths[-1] * self.expansion  # 256*4 = 1024 truncated
+
+
+@dataclass(frozen=True)
 class OptimConfig:
     """Optimizer knobs matching torch semantics (reference ``utils/utils.py:63-70``)."""
 

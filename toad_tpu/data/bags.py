@@ -12,106 +12,12 @@ directly, which also lets bag IO run in plain threads (no worker processes).
 
 from __future__ import annotations
 
-import io
 import os
-import pickle
-import zipfile
 from pathlib import Path
 
 import numpy as np
 
-_STORAGE_DTYPES = {
-    "FloatStorage": np.float32,
-    "DoubleStorage": np.float64,
-    "HalfStorage": np.float16,
-    "LongStorage": np.int64,
-    "IntStorage": np.int32,
-    "ShortStorage": np.int16,
-    "CharStorage": np.int8,
-    "ByteStorage": np.uint8,
-    "BoolStorage": np.bool_,
-}
-
-
-def _bfloat16_dtype():
-    import ml_dtypes  # ships with jax
-
-    return np.dtype(ml_dtypes.bfloat16)
-
-
-def _storage_dtype(storage_type) -> np.dtype:
-    # storage_type is a class (torch.FloatStorage) or a dtype-carrying
-    # TypedStorage stub; match by name.
-    name = getattr(storage_type, "__name__", str(storage_type))
-    if name in _STORAGE_DTYPES:
-        return np.dtype(_STORAGE_DTYPES[name])
-    if "BFloat16" in name:
-        return _bfloat16_dtype()
-    raise ValueError(f"unsupported torch storage type: {name}")
-
-
-class _Stub:
-    """Placeholder for torch classes we don't need to materialize."""
-
-    def __init__(self, *a, **k):
-        pass
-
-
-class _StorageRef:
-    def __init__(self, data: np.ndarray):
-        self.data = data
-
-
-def _rebuild_tensor_v2(storage: _StorageRef, storage_offset, size, stride, *unused):
-    flat = storage.data
-    if len(size) == 0:
-        return flat[storage_offset].copy()
-    itemsize = flat.dtype.itemsize
-    arr = np.lib.stride_tricks.as_strided(
-        flat[storage_offset:],
-        shape=tuple(size),
-        strides=tuple(s * itemsize for s in stride),
-    )
-    return np.ascontiguousarray(arr)
-
-
-class _TorchUnpickler(pickle.Unpickler):
-    def __init__(self, file, zf: zipfile.ZipFile, prefix: str):
-        super().__init__(file)
-        self._zf = zf
-        self._prefix = prefix
-
-    def persistent_load(self, pid):
-        kind = pid[0]
-        if kind != "storage":
-            raise pickle.UnpicklingError(f"unknown persistent id {kind!r}")
-        storage_type, key, _location, numel = pid[1], pid[2], pid[3], pid[4]
-        dtype = _storage_dtype(storage_type)
-        member = f"{self._prefix}data/{key}"
-        raw = self._zf.read(member)
-        arr = np.frombuffer(raw, dtype=dtype, count=numel)
-        return _StorageRef(arr)
-
-    def find_class(self, module, name):
-        if module == "torch._utils" and name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
-            return _rebuild_tensor_v2
-        if module == "torch" and name.endswith("Storage"):
-            return type(name, (_Stub,), {"__name__": name})
-        if module == "torch" and name == "Size":
-            return tuple
-        if module.startswith("torch"):
-            return type(name, (_Stub,), {"__name__": name})
-        if module == "collections" and name == "OrderedDict":
-            import collections
-
-            return collections.OrderedDict
-        if module == "numpy.core.multiarray" and name == "_reconstruct":
-            import numpy.core.multiarray as m
-
-            return m._reconstruct
-        if module == "numpy" and name in ("ndarray", "dtype"):
-            return getattr(np, name)
-        raise pickle.UnpicklingError(f"refusing to load {module}.{name}")
+from toad_tpu.data.torch_io import load_torch_pickle
 
 
 def load_pt_tensor(path: str | os.PathLike) -> np.ndarray:
@@ -121,16 +27,12 @@ def load_pt_tensor(path: str | os.PathLike) -> np.ndarray:
     contract the reference relies on at ``dataset_mtl_concat.py:370-371``.
     Falls back to ``torch.load`` for exotic/legacy files if torch is present.
     """
+    import pickle
+    import zipfile
+
     path = Path(path)
     try:
-        with zipfile.ZipFile(path) as zf:
-            pkl_members = [n for n in zf.namelist() if n.endswith("data.pkl")]
-            if not pkl_members:
-                raise pickle.UnpicklingError("no data.pkl in archive")
-            pkl_name = pkl_members[0]
-            prefix = pkl_name[: -len("data.pkl")]
-            with zf.open(pkl_name) as f:
-                obj = _TorchUnpickler(io.BytesIO(f.read()), zf, prefix).load()
+        obj = load_torch_pickle(path)
     except (zipfile.BadZipFile, pickle.UnpicklingError, ValueError):
         try:
             import torch
