@@ -1,0 +1,178 @@
+"""End-to-end WSI pipeline: patch h5 -> featurize -> infer -> heatmap,
+plus the featurize/infer CLIs."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from toad_tpu.config import DataConfig, EncoderConfig, ModelConfig
+from toad_tpu.models.resnet_encoder import ResNetEncoder
+from toad_tpu.models.toad_mil import ToadMIL
+from toad_tpu.pipeline.featurize import TileEmbedder, featurize_patch_file, read_patch_file, write_bag
+from toad_tpu.pipeline.heatmap import render_heatmap, save_png, to_percentiles
+from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag, infer_patch_file
+
+ECFG = EncoderConfig(blocks=(1, 1, 1), compute_dtype="float32")  # tiny but out_dim=1024
+
+
+def _write_patch_h5(path, n=37, tile=32, seed=0):
+    import h5py
+
+    rng = np.random.RandomState(seed)
+    imgs = rng.randint(0, 256, (n, tile, tile, 3), np.uint8)
+    side = int(np.ceil(np.sqrt(n)))
+    coords = np.array([[256 * (i % side), 256 * (i // side)] for i in range(n)], np.int64)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("imgs", data=imgs)
+        f.create_dataset("coords", data=coords)
+    return imgs, coords
+
+
+@pytest.fixture(scope="module")
+def encoder_params():
+    return ResNetEncoder(ECFG).init(jax.random.PRNGKey(0))
+
+
+def test_featurize_patch_file(tmp_path, encoder_params):
+    src = tmp_path / "slide1.h5"
+    imgs, coords = _write_patch_h5(src, n=37)
+    emb = TileEmbedder(encoder_params, ECFG, batch_size=16)  # 37 -> 3 padded batches
+    out = tmp_path / "slide1_feats.h5"
+    stats = featurize_patch_file(emb, src, out)
+    assert stats["n_patches"] == 37
+
+    import h5py
+
+    with h5py.File(out) as f:
+        feats = f["features"][:]
+        np.testing.assert_array_equal(f["coords"][:], coords)
+    assert feats.shape == (37, 1024)
+    # padded last batch must not contaminate: re-embed one tile alone
+    single = np.asarray(emb(imgs[36:37].repeat(16, axis=0)))[0]
+    np.testing.assert_allclose(feats[36], single, rtol=1e-4, atol=1e-5)
+
+
+def test_infer_from_bag_and_patches(tmp_path, encoder_params):
+    mcfg = ModelConfig(in_dim=1024, n_classes=18)
+    model = ToadMIL(mcfg)
+    params = model.init(jax.random.PRNGKey(1))
+    inf = SlideInference(params, mcfg, bucket_sizes=(64, 128))
+
+    src = tmp_path / "s.h5"
+    _write_patch_h5(src, n=50)
+    emb = TileEmbedder(encoder_params, ECFG, batch_size=16)
+    pred, coords = infer_patch_file(emb, inf, src, sex=1)
+    assert pred.attention.shape == (50,)
+    assert coords.shape == (50, 2)
+    np.testing.assert_allclose(pred.y_prob.sum(), 1.0, rtol=1e-5)
+    assert pred.topk[0][0] == pred.y_hat
+    assert sorted(pred.y_prob)[::-1][:3] == [p for _, p in pred.topk[:3]]
+
+    # same result from a precomputed bag (round-trip through write_bag)
+    f, imgs, c = read_patch_file(src)
+    feats = emb.embed_all(imgs)
+    f.close()
+    bag = tmp_path / "s_feats.npz"
+    write_bag(bag, feats, c)
+    pred2, coords2 = infer_feature_bag(inf, bag, sex=1)
+    np.testing.assert_allclose(pred2.y_prob, pred.y_prob, atol=2e-5)
+    np.testing.assert_array_equal(coords2, coords)
+
+
+def test_bucket_padding_invariance():
+    """Prediction is identical whichever bucket the bag lands in."""
+    mcfg = ModelConfig(in_dim=64, n_classes=5)
+    model = ToadMIL(mcfg)
+    params = model.init(jax.random.PRNGKey(2))
+    feats = np.random.RandomState(0).randn(40, 64).astype(np.float32)
+    p_small = SlideInference(params, mcfg, bucket_sizes=(64,)).predict(feats, 0)
+    p_big = SlideInference(params, mcfg, bucket_sizes=(512,)).predict(feats, 0)
+    np.testing.assert_allclose(p_small.y_prob, p_big.y_prob, atol=2e-5)
+    np.testing.assert_allclose(p_small.attention, p_big.attention, atol=2e-5)
+
+
+def test_percentile_normalization():
+    s = np.array([0.1, 5.0, 5.0, -2.0, 9.0])
+    p = to_percentiles(s)
+    assert p.min() == 0.0 and p.max() == 1.0
+    assert p[1] == p[2]  # ties share (averaged) rank
+    assert p[3] == 0.0 and p[0] < p[1] < p[4]
+
+
+def test_heatmap_render_and_save(tmp_path):
+    coords = np.array([[0, 0], [256, 0], [0, 256], [256, 256]])
+    scores = np.array([0.0, 1.0, 2.0, 3.0])
+    img = render_heatmap(coords, scores, patch_size=256, downscale=32)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    # highest-attention patch is red-ish under jet, lowest blue-ish
+    assert img[15, 15, 0] > img[15, 15, 2]
+    assert img[0, 0, 2] > img[0, 0, 0]
+    out = tmp_path / "hm.png"
+    save_png(out, img)
+    from PIL import Image
+
+    back = np.asarray(Image.open(out))
+    np.testing.assert_array_equal(back[..., :3], img)
+
+
+def test_heatmap_background_blend():
+    coords = np.array([[0, 0]])
+    scores = np.array([1.0])
+    bg = np.full((8, 8, 3), 100, np.uint8)
+    img = render_heatmap(coords, scores, patch_size=256, downscale=32, canvas_wh=(256, 256), background=bg, alpha=0.5)
+    assert img.shape == (8, 8, 3)
+    assert not np.array_equal(img, bg)  # heatmap visible
+    assert np.array_equal(img[7, 7], bg[7, 7]) or img[7, 7].tolist() != [100, 100, 100]
+
+
+def test_infer_cli_end_to_end(tmp_path, capsys):
+    """Train-free CLI chain: export random MIL params as a torch checkpoint,
+    infer from a feature bag, render a heatmap."""
+    mcfg = ModelConfig(in_dim=1024, n_classes=18)
+    params = jax.tree.map(np.asarray, ToadMIL(mcfg).init(jax.random.PRNGKey(3)))
+    from toad_tpu.models.torch_interop import export_torch_checkpoint
+
+    ckpt = tmp_path / "s_0_checkpoint.pt"
+    export_torch_checkpoint(ckpt, params)
+
+    feats = np.random.RandomState(1).randn(80, 1024).astype(np.float32)
+    side = 9
+    coords = np.array([[256 * (i % side), 256 * (i // side)] for i in range(80)], np.int64)
+    bag = tmp_path / "bag.npz"
+    write_bag(bag, feats, coords)
+
+    hm = tmp_path / "out.png"
+    from toad_tpu.cli import infer as infer_cli
+
+    infer_cli.main(
+        ["--ckpt", str(ckpt), "--bag", str(bag), "--sex", "F", "--heatmap", str(hm), "--topk", "3"]
+    )
+    stdout = capsys.readouterr().out
+    out = json.loads(stdout[stdout.index("{"):])
+    assert len(out["topk"]) == 3
+    assert out["n_patches"] == 80
+    assert hm.exists()
+
+
+def test_featurize_cli(tmp_path, encoder_params, monkeypatch):
+    patch_dir = tmp_path / "patches"
+    patch_dir.mkdir()
+    for i in range(2):
+        _write_patch_h5(patch_dir / f"slide{i}.h5", n=20, seed=i)
+    feat_dir = tmp_path / "feats"
+    # keep the CLI's default-size random encoder from dominating test time
+    import toad_tpu.cli.featurize as fcli
+
+    monkeypatch.setattr(
+        fcli, "EncoderConfig", lambda **kw: EncoderConfig(blocks=(1, 1, 1), **kw)
+    )
+    fcli.main(
+        ["--patch_dir", str(patch_dir), "--feat_dir", str(feat_dir),
+         "--format", "npy", "--batch_size", "8", "--no_bf16"]
+    )
+    for i in range(2):
+        feats = np.load(feat_dir / f"slide{i}.npy")
+        assert feats.shape == (20, 1024)

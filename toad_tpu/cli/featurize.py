@@ -1,0 +1,80 @@
+"""``python -m toad_tpu.cli.featurize`` — patch tiles -> feature bags on TPU.
+
+The featurization stage the reference outsources to CLAM
+(``docs/README.md:39``), as a framework CLI: every ``*.h5`` patch file in
+``--patch_dir`` (CLAM layout: ``imgs`` [N,H,W,3] uint8 + ``coords``) is
+embedded through the truncated ResNet-50 and written to ``--feat_dir`` as a
+feature bag usable by training/eval/inference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from toad_tpu.config import EncoderConfig
+from toad_tpu.models.resnet_encoder import ResNetEncoder, load_torchvision_weights
+from toad_tpu.pipeline.featurize import TileEmbedder, featurize_patch_file
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TOAD-TPU patch featurization")
+    p.add_argument("--patch_dir", type=str, required=True, help="dir of {slide_id}.h5 patch files")
+    p.add_argument("--feat_dir", type=str, required=True, help="output dir for feature bags")
+    p.add_argument("--format", type=str, choices=["h5", "npy", "npz", "pt"], default="h5")
+    p.add_argument("--weights", type=str, default=None, help="torchvision resnet50 .pth (random init if omitted)")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--no_bf16", action="store_true", help="compute in float32 instead of bfloat16")
+    p.add_argument("--no_fold_bn", action="store_true", help="keep BatchNorm unfolded")
+    p.add_argument("--skip_done", action="store_true", help="skip slides whose bag already exists")
+    return p
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    cfg = EncoderConfig(
+        compute_dtype="float32" if args.no_bf16 else "bfloat16",
+        fold_bn=not args.no_fold_bn,
+    )
+    if args.weights:
+        params = load_torchvision_weights(args.weights, cfg)
+        print(f"loaded encoder weights from {args.weights}")
+    else:
+        print("WARNING: no --weights given; using random encoder init (features are untrained)")
+        params = ResNetEncoder(cfg).init(jax.random.PRNGKey(0))
+
+    embedder = TileEmbedder(params, cfg, batch_size=args.batch_size)
+    patch_dir, feat_dir = Path(args.patch_dir), Path(args.feat_dir)
+    feat_dir.mkdir(parents=True, exist_ok=True)
+    files = sorted(patch_dir.glob("*.h5"))
+    if not files:
+        raise FileNotFoundError(f"no .h5 patch files in {patch_dir}")
+
+    total_patches, total_s = 0, 0.0
+    for i, src in enumerate(files):
+        out = feat_dir / f"{src.stem}.{args.format}"
+        if args.skip_done and out.exists():
+            print(f"[{i + 1}/{len(files)}] {src.stem}: exists, skipped")
+            continue
+        stats = featurize_patch_file(embedder, src, out)
+        total_patches += stats["n_patches"]
+        total_s += stats["seconds"]
+        print(
+            f"[{i + 1}/{len(files)}] {src.stem}: {stats['n_patches']} patches "
+            f"in {stats['seconds']:.2f}s ({stats['patches_per_s']:.0f} patches/s) -> {out}"
+        )
+    print(json.dumps({
+        "slides": len(files),
+        "patches": total_patches,
+        "patches_per_s": total_patches / total_s if total_s else 0.0,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""``python -m toad_tpu.cli.infer`` — single-slide tumor-origin prediction.
+
+End-to-end inference the reference has no CLI for: either a precomputed
+feature bag (``--bag``, the reference's eval-time contract) or a raw patch
+h5 (``--patches`` + ``--weights``, full tiles->embed->pool->predict chain),
+printing ranked origin predictions as JSON and optionally rendering the
+attention heatmap the README showcases (``docs/README.md:118``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from toad_tpu.config import EncoderConfig, ModelConfig
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TOAD-TPU slide inference")
+    p.add_argument("--ckpt", type=str, required=True, help="Orbax checkpoint dir or reference s_k_checkpoint.pt")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--bag", type=str, help="precomputed feature bag (.pt/.h5/.npy/.npz)")
+    src.add_argument("--patches", type=str, help="CLAM-style patch h5 (imgs+coords)")
+    p.add_argument("--weights", type=str, default=None, help="encoder weights .pth (required with --patches)")
+    p.add_argument("--sex", type=str, required=True, help="patient sex: F/M or 0/1")
+    p.add_argument("--task", type=str, default=None, help="task name/JSON for class label names")
+    p.add_argument("--n_classes", type=int, default=18)
+    p.add_argument("--encoding_size", type=int, default=1024)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--heatmap", type=str, default=None, help="write attention heatmap PNG here")
+    p.add_argument("--patch_size", type=int, default=256)
+    p.add_argument("--downscale", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=64, help="tile batch for --patches")
+    p.add_argument("--pallas", action="store_true", default=False)
+    return p
+
+
+def _parse_sex(s: str) -> int:
+    m = {"f": 0, "m": 1, "0": 0, "1": 1, "female": 0, "male": 1}
+    key = s.strip().lower()
+    if key not in m:
+        raise ValueError(f"--sex must be F/M/0/1, got {s!r}")
+    return m[key]
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    sex = _parse_sex(args.sex)
+
+    model_cfg = ModelConfig(in_dim=args.encoding_size, n_classes=args.n_classes, use_pallas=args.pallas)
+    from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag, infer_patch_file
+
+    inference = SlideInference.from_checkpoint(args.ckpt, model_cfg)
+
+    if args.bag:
+        pred, coords = infer_feature_bag(inference, args.bag, sex)
+    else:
+        if not args.weights:
+            raise SystemExit("--patches requires --weights (encoder checkpoint)")
+        from toad_tpu.models.resnet_encoder import load_torchvision_weights
+        from toad_tpu.pipeline.featurize import TileEmbedder
+
+        ecfg = EncoderConfig()
+        embedder = TileEmbedder(load_torchvision_weights(args.weights, ecfg), ecfg, batch_size=args.batch_size)
+        pred, coords = infer_patch_file(embedder, inference, args.patches, sex)
+
+    inv = None
+    if args.task:
+        from toad_tpu.registry import load_task
+
+        task = load_task(args.task)
+        inv = {v: k for k, v in task.label_dicts[0].items()}
+
+    result = {
+        "y_hat": pred.y_hat,
+        "prediction": inv.get(pred.y_hat, str(pred.y_hat)) if inv else str(pred.y_hat),
+        "topk": [
+            {"class": inv.get(i, str(i)) if inv else str(i), "prob": round(p, 6)}
+            for i, p in pred.topk[: args.topk]
+        ],
+        "site": "Metastatic" if pred.site_hat else "Primary",
+        "site_prob": [round(float(x), 6) for x in pred.site_prob],
+        "n_patches": int(pred.attention.shape[0]),
+    }
+
+    if args.heatmap:
+        if coords is None:
+            result["heatmap"] = "skipped: no coords in input"
+        else:
+            from toad_tpu.pipeline.heatmap import render_heatmap, save_png
+
+            img = render_heatmap(coords, pred.attention, patch_size=args.patch_size, downscale=args.downscale)
+            save_png(args.heatmap, img)
+            result["heatmap"] = str(Path(args.heatmap).absolute())
+
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Patch featurization: tile images -> 1024-d feature bags, on device.
+
+This is the stage the reference delegates to the sibling CLAM repo
+(``docs/README.md:39``) while vendoring only the encoder definition
+(``models/resnet_custom.py``). Here it is part of the framework: a CLAM-style
+patch file (h5 with ``imgs`` [N,H,W,3] uint8 + ``coords`` [N,2]) streams
+through the jitted ResNet encoder in fixed-size batches (one compiled
+program), and the resulting bag is written in any supported format.
+
+Throughput notes: batches are padded to a single static shape so XLA compiles
+once; dispatch is async, so host-side h5 reads of batch i+1 overlap device
+compute of batch i; convs run in bf16 on the MXU with BN folded
+(:mod:`toad_tpu.models.resnet_encoder`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toad_tpu.config import EncoderConfig
+from toad_tpu.models.resnet_encoder import make_embedder
+
+
+def read_patch_file(path: str | os.PathLike):
+    """Open a CLAM-style patch h5 and return (imgs_dataset, coords or None).
+
+    ``imgs`` stays an h5py dataset (lazy) so huge slides stream without
+    loading all tiles at once.
+    """
+    import h5py
+
+    f = h5py.File(path, "r")
+    key = "imgs" if "imgs" in f else ("patches" if "patches" in f else None)
+    if key is None:
+        f.close()
+        raise KeyError(f"{path}: no 'imgs'/'patches' dataset (found: {list(f)})")
+    coords = np.asarray(f["coords"][:]) if "coords" in f else None
+    return f, f[key], coords
+
+
+def iter_tile_batches(imgs, batch_size: int) -> Iterator[tuple[np.ndarray, int]]:
+    """Yield (batch [B,H,W,3] uint8, n_valid); the last batch is zero-padded
+    to the full batch size so every step hits the same compiled program."""
+    n = imgs.shape[0]
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        chunk = np.asarray(imgs[start:stop])
+        valid = stop - start
+        if valid < batch_size:
+            pad = np.zeros((batch_size - valid, *chunk.shape[1:]), chunk.dtype)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        yield chunk, valid
+
+
+class TileEmbedder:
+    """Jitted uint8-tiles -> features embedder with a fixed batch shape."""
+
+    def __init__(self, params: Any, config: EncoderConfig = EncoderConfig(), batch_size: int = 64):
+        self.config = config
+        self.batch_size = batch_size
+        self.folded_params, self._embed = make_embedder(config, params)
+
+    def __call__(self, tiles_uint8: np.ndarray) -> jax.Array:
+        return self._embed(jnp.asarray(tiles_uint8))
+
+    def embed_all(self, imgs, progress: Callable[[int, int], None] | None = None) -> np.ndarray:
+        """Stream every tile of an (h5 dataset or array) into a [N, D] bag."""
+        n = int(imgs.shape[0])
+        outs: list[jax.Array] = []
+        valids: list[int] = []
+        done = 0
+        for chunk, valid in iter_tile_batches(imgs, self.batch_size):
+            outs.append(self._embed(jnp.asarray(chunk)))  # async dispatch
+            valids.append(valid)
+            done += valid
+            if progress is not None:
+                progress(done, n)
+        feats = [np.asarray(o)[:v] for o, v in zip(outs, valids)]
+        return np.concatenate(feats, axis=0) if feats else np.zeros((0, self.config.out_dim), np.float32)
+
+
+def write_bag(path: str | os.PathLike, features: np.ndarray, coords: np.ndarray | None = None) -> None:
+    """Write a feature bag in the format implied by the extension
+    (.h5 with features[+coords] — the reference's eval contract
+    (``dataset_mtl_concat.py:377-383``) — or .npy/.npz/.pt)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ext = path.suffix.lower()
+    if ext == ".h5":
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            f.create_dataset("features", data=features)
+            if coords is not None:
+                f.create_dataset("coords", data=coords)
+    elif ext == ".npy":
+        np.save(path, features)
+    elif ext == ".npz":
+        if coords is not None:
+            np.savez(path, features=features, coords=coords)
+        else:
+            np.savez(path, features=features)
+    elif ext == ".pt":
+        from toad_tpu.data.torch_io import save_torch_pickle
+
+        save_torch_pickle(path, np.ascontiguousarray(features, np.float32))
+    else:
+        raise ValueError(f"unsupported bag format: {path}")
+
+
+def featurize_patch_file(
+    embedder: TileEmbedder,
+    src: str | os.PathLike,
+    out: str | os.PathLike,
+    progress: Callable[[int, int], None] | None = None,
+) -> dict[str, Any]:
+    """One slide: patch h5 -> feature bag on disk. Returns throughput stats."""
+    f, imgs, coords = read_patch_file(src)
+    try:
+        t0 = time.perf_counter()
+        feats = embedder.embed_all(imgs, progress=progress)
+        jax.block_until_ready(feats) if hasattr(feats, "block_until_ready") else None
+        dt = time.perf_counter() - t0
+        write_bag(out, feats, coords)
+    finally:
+        f.close()
+    n = int(feats.shape[0])
+    return {"n_patches": n, "seconds": dt, "patches_per_s": n / dt if dt > 0 else float("inf"), "out": str(out)}

@@ -1,0 +1,154 @@
+"""Attention heatmaps: per-patch attention scores + coords -> rendered image.
+
+The reference README showcases attention heatmaps (``docs/README.md:118``)
+but ships no rendering code; this module supplies the capability. Scores are
+rank-normalized to percentiles (robust to the long attention tail over 10^4+
+patches), painted onto a downscaled slide canvas at each patch's coordinate,
+and colorized; optional blending over a slide thumbnail.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def to_percentiles(scores: np.ndarray) -> np.ndarray:
+    """Rank-normalize to [0, 1] (ties get their average rank)."""
+    scores = np.asarray(scores, np.float64).ravel()
+    order = scores.argsort()
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(len(scores))
+    # average ranks for ties
+    if len(scores) > 1:
+        sorted_scores = scores[order]
+        _, inv, counts = np.unique(sorted_scores, return_inverse=True, return_counts=True)
+        start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        avg = start + (counts - 1) / 2.0
+        ranks[order] = avg[inv]
+        return ranks / max(len(scores) - 1, 1)
+    return np.zeros_like(scores)
+
+
+_JET_STOPS = np.array(
+    [
+        (0.00, (0, 0, 143)),
+        (0.125, (0, 0, 255)),
+        (0.375, (0, 255, 255)),
+        (0.625, (255, 255, 0)),
+        (0.875, (255, 0, 0)),
+        (1.00, (128, 0, 0)),
+    ],
+    dtype=object,
+)
+
+
+def colorize(values: np.ndarray, cmap: str = "jet") -> np.ndarray:
+    """[...,] floats in [0,1] -> [..., 3] uint8. Uses matplotlib when
+    available; falls back to a built-in jet ramp."""
+    values = np.clip(np.asarray(values, np.float32), 0.0, 1.0)
+    try:
+        from matplotlib import colormaps
+
+        rgba = colormaps[cmap](values)
+        return (rgba[..., :3] * 255).astype(np.uint8)
+    except Exception:
+        xs = np.array([s[0] for s in _JET_STOPS], np.float32)
+        cs = np.array([s[1] for s in _JET_STOPS], np.float32)
+        out = np.stack([np.interp(values, xs, cs[:, i]) for i in range(3)], axis=-1)
+        return out.astype(np.uint8)
+
+
+def render_heatmap(
+    coords: np.ndarray,
+    scores: np.ndarray,
+    patch_size: int = 256,
+    downscale: int = 32,
+    cmap: str = "jet",
+    percentile: bool = True,
+    canvas_wh: tuple[int, int] | None = None,
+    background: np.ndarray | None = None,
+    alpha: float = 0.5,
+) -> np.ndarray:
+    """Paint per-patch scores at slide coordinates.
+
+    Args:
+      coords: [N, 2] top-left (x, y) patch coordinates in level-0 pixels.
+      scores: [N] attention scores (raw; percentile-normalized by default).
+      patch_size: patch edge in level-0 pixels.
+      downscale: canvas downscale factor relative to level 0.
+      canvas_wh: explicit canvas (width, height) at level 0; inferred from
+        coords extent when omitted.
+      background: optional [H, W, 3] uint8 thumbnail already at the canvas
+        size to alpha-blend under the heatmap.
+      alpha: heatmap opacity over the background.
+
+    Returns [H, W, 3] uint8 image.
+    """
+    coords = np.asarray(coords, np.int64)
+    scores = np.asarray(scores, np.float32).ravel()
+    if coords.shape[0] != scores.shape[0]:
+        raise ValueError(f"coords ({coords.shape[0]}) and scores ({scores.shape[0]}) disagree")
+    if percentile and len(scores):
+        scores = to_percentiles(scores).astype(np.float32)
+
+    if canvas_wh is None:
+        w0 = int(coords[:, 0].max()) + patch_size if len(coords) else patch_size
+        h0 = int(coords[:, 1].max()) + patch_size if len(coords) else patch_size
+    else:
+        w0, h0 = canvas_wh
+    W, H = max(1, w0 // downscale), max(1, h0 // downscale)
+    ps = max(1, patch_size // downscale)
+
+    acc = np.zeros((H, W), np.float32)
+    cnt = np.zeros((H, W), np.float32)
+    xy = coords // downscale
+    for (x, y), s in zip(xy, scores):
+        y2, x2 = min(y + ps, H), min(x + ps, W)
+        if y >= H or x >= W:
+            continue
+        acc[y:y2, x:x2] += s
+        cnt[y:y2, x:x2] += 1.0
+    covered = cnt > 0
+    heat = np.zeros((H, W), np.float32)
+    heat[covered] = acc[covered] / cnt[covered]
+
+    rgb = colorize(heat, cmap=cmap)
+    if background is not None:
+        bg = np.asarray(background, np.uint8)
+        if bg.shape[:2] != (H, W):
+            raise ValueError(f"background {bg.shape[:2]} != canvas {(H, W)}")
+        out = bg.astype(np.float32)
+        out[covered] = (1 - alpha) * out[covered] + alpha * rgb[covered].astype(np.float32)
+        return out.astype(np.uint8)
+    rgb[~covered] = 255  # white background where no tissue patches
+    return rgb
+
+
+def save_png(path: str | os.PathLike, image: np.ndarray) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        from PIL import Image
+
+        Image.fromarray(image).save(path)
+    except ImportError:  # minimal PNG writer fallback
+        import struct
+        import zlib
+
+        h, w = image.shape[:2]
+        raw = b"".join(b"\x00" + image[i].tobytes() for i in range(h))
+
+        def chunk(tag, data):
+            c = tag + data
+            return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        path.write_bytes(png)

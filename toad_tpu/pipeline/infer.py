@@ -1,0 +1,130 @@
+"""End-to-end slide inference: patches -> embed -> attention-pool -> predict.
+
+Chains what the reference spreads over two repos (CLAM featurization, then
+``eval_mtl_concat.py``) into one on-device path. Bags are padded to the
+configured bucket sizes so repeated slides reuse a handful of compiled
+programs (no per-slide recompilation), and attention scores come back for
+heatmap rendering (:mod:`toad_tpu.pipeline.heatmap`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from toad_tpu.config import DataConfig, ModelConfig
+from toad_tpu.data.batching import bucket_for
+from toad_tpu.models.toad_mil import ToadMIL
+
+
+class SlidePrediction(NamedTuple):
+    """Per-slide outputs, mirroring the reference results dict
+    (``model_toad.py:109-116``) plus ranked origins."""
+
+    y_hat: int
+    y_prob: np.ndarray  # [n_classes]
+    site_hat: int
+    site_prob: np.ndarray  # [2]
+    attention: np.ndarray  # [N] raw origin-task attention over real patches
+    topk: list[tuple[int, float]]  # (class index, prob) best-first
+
+    def top_labels(self, inv_label_dict: dict[int, str] | None, k: int = 3):
+        out = []
+        for idx, p in self.topk[:k]:
+            name = inv_label_dict.get(idx, str(idx)) if inv_label_dict else str(idx)
+            out.append((name, p))
+        return out
+
+
+class SlideInference:
+    """Checkpoint-loaded MIL head with bucket-compiled forward passes."""
+
+    def __init__(
+        self,
+        params: Any,
+        model_cfg: ModelConfig,
+        bucket_sizes: Sequence[int] = DataConfig().bucket_sizes,
+    ):
+        self.model = ToadMIL(model_cfg)
+        self.params = params
+        self.buckets = tuple(sorted(bucket_sizes))
+
+        def fwd(params, feats, mask, sex):
+            out = self.model.apply(params, feats, mask, sex, train=False)
+            return out.logits, out.site_logits, out.attention
+
+        self._fwd = jax.jit(fwd)
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_path: str | os.PathLike, model_cfg: ModelConfig, **kw) -> "SlideInference":
+        """Load either an Orbax checkpoint directory or a reference torch
+        ``s_{fold}_checkpoint.pt`` file — sniffed by path type."""
+        from pathlib import Path
+
+        p = Path(ckpt_path)
+        if p.is_dir():
+            from toad_tpu.train.checkpoint import restore_params
+
+            params = restore_params(p)
+        else:
+            from toad_tpu.models.torch_interop import import_torch_checkpoint
+
+            params = import_torch_checkpoint(p, model_cfg)
+        return cls(params, model_cfg, **kw)
+
+    def predict(self, features: np.ndarray, sex: int) -> SlidePrediction:
+        """One bag [N, D] -> prediction. N is padded up to the nearest bucket."""
+        n = int(features.shape[0])
+        bucket = bucket_for(n, self.buckets)
+        feats = np.zeros((1, bucket, features.shape[1]), np.float32)
+        feats[0, :n] = features
+        mask = np.zeros((1, bucket), np.float32)
+        mask[0, :n] = 1.0
+        logits, site_logits, attention = self._fwd(
+            self.params, jnp.asarray(feats), jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
+        )
+        y_prob = np.asarray(jax.nn.softmax(logits[0]))
+        site_prob = np.asarray(jax.nn.softmax(site_logits[0]))
+        order = np.argsort(-y_prob)
+        return SlidePrediction(
+            y_hat=int(order[0]),
+            y_prob=y_prob,
+            site_hat=int(site_prob.argmax()),
+            site_prob=site_prob,
+            attention=np.asarray(attention)[0, 0, :n],
+            topk=[(int(i), float(y_prob[i])) for i in order],
+        )
+
+
+def infer_patch_file(
+    embedder,
+    inference: SlideInference,
+    patch_file: str | os.PathLike,
+    sex: int,
+) -> tuple[SlidePrediction, np.ndarray | None]:
+    """Full chain for one slide: CLAM-style patch h5 -> features ->
+    prediction. Returns (prediction, coords) for heatmap rendering."""
+    from toad_tpu.pipeline.featurize import read_patch_file
+
+    f, imgs, coords = read_patch_file(patch_file)
+    try:
+        feats = embedder.embed_all(imgs)
+    finally:
+        f.close()
+    return inference.predict(feats, sex), coords
+
+
+def infer_feature_bag(
+    inference: SlideInference,
+    bag_path: str | os.PathLike,
+    sex: int,
+) -> tuple[SlidePrediction, np.ndarray | None]:
+    """Inference straight from a precomputed feature bag (.pt/.h5/.npy)."""
+    from toad_tpu.data.bags import load_bag
+
+    feats, coords = load_bag(bag_path, with_coords=True)
+    return inference.predict(np.asarray(feats, np.float32), sex), coords
