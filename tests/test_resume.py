@@ -1,0 +1,108 @@
+"""Preemption-tolerant resume: full training state (params + optimizer + RNG +
+early-stop state) snapshots every epoch and continues identically after a
+crash — a capability the reference lacks entirely (SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
+from toad_tpu.data.splits import generate_splits
+from toad_tpu.data.wsi_dataset import WSIBagDataset
+from toad_tpu.train.loop import FoldTrainer
+
+
+class Boom(Exception):
+    pass
+
+
+def _splits(dummy_env):
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    counts = np.bincount(ds.labels, minlength=ds.num_classes[0])
+    spec = next(
+        generate_splits(
+            ds.slide_cls_ids,
+            val_num=np.maximum((counts * 0.15).astype(int), 1),
+            test_num=np.maximum((counts * 0.2).astype(int), 1),
+            samples=ds.n_slides,
+            n_splits=1,
+            seed=1,
+        )
+    )
+    return ds.subset(spec.train), ds.subset(spec.val), ds.subset(spec.test)
+
+
+def _cfg(dummy_env, **kw):
+    return TrainConfig(
+        max_epochs=3,
+        seed=1,
+        resume=True,
+        model=ModelConfig(in_dim=dummy_env["dim"], n_classes=18),
+        optim=OptimConfig(lr=3e-4),
+        data=DataConfig(batch_size=4, bucket_sizes=(64, 128, 256)),
+        **kw,
+    )
+
+
+def test_resume_after_crash_matches_uninterrupted(dummy_env, tmp_path):
+    splits = _splits(dummy_env)
+    cfg = _cfg(dummy_env)
+
+    # straight-through run
+    straight = FoldTrainer(cfg, fold=0, results_dir=tmp_path / "a").train(
+        *splits, log_fn=lambda s: None
+    )
+
+    # crash mid-run: raise the moment epoch 1's train line is logged
+    seen = []
+
+    def crashing_log(s):
+        if "epoch 1: train" in s:
+            raise Boom()
+        seen.append(s)
+
+    trainer_b = FoldTrainer(cfg, fold=0, results_dir=tmp_path / "b")
+    with pytest.raises(Boom):
+        trainer_b.train(*splits, log_fn=crashing_log)
+    assert trainer_b.resume_path.exists()  # epoch-0 snapshot persisted
+
+    # fresh trainer object (new process analog) resumes and finishes
+    logs = []
+    trainer_c = FoldTrainer(cfg, fold=0, results_dir=tmp_path / "b")
+    resumed = trainer_c.train(*splits, log_fn=logs.append)
+    assert any("resumed from epoch 0" in line for line in logs)
+    assert not trainer_c.resume_path.exists()  # cleaned up on completion
+
+    # identical final state: same RNG stream, same per-epoch batch order
+    for a, b in zip(jax.tree.leaves(straight["params"]), jax.tree.leaves(resumed["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert resumed["cls_test_auc"] == straight["cls_test_auc"]
+
+
+def test_resume_with_early_stopping_state(dummy_env, tmp_path):
+    """Stopper best/counter survive the snapshot round-trip."""
+    from toad_tpu.train.loop import EarlyStopping
+
+    s = EarlyStopping(patience=3, stop_epoch=0)
+    s(0, 1.0)
+    s(1, 2.0)  # no improvement -> counter 1
+    d = s.state_dict()
+    s2 = EarlyStopping(patience=3, stop_epoch=0)
+    s2.load_state_dict(d)
+    assert s2.best == 1.0 and s2.counter == 1 and not s2.early_stop
+
+    # fresh stopper round-trips the "no best yet" state
+    empty = EarlyStopping()
+    e2 = EarlyStopping()
+    e2.load_state_dict(empty.state_dict())
+    assert e2.best is None and e2.counter == 0
+
+
+def test_no_resume_flag_means_no_snapshot(dummy_env, tmp_path):
+    splits = _splits(dummy_env)
+    cfg = _cfg(dummy_env)
+    cfg = TrainConfig(**{**cfg.__dict__, "resume": False, "max_epochs": 1})
+    trainer = FoldTrainer(cfg, fold=0, results_dir=tmp_path / "c")
+    trainer.train(*splits, log_fn=lambda s: None)
+    assert not trainer.resume_path.exists()

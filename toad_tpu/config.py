@@ -147,6 +147,11 @@ class TrainConfig:
     site_loss_weight: float = 0.25
     log_data: bool = False
     testing: bool = False
+    # preemption tolerance: snapshot full training state (params + optimizer +
+    # RNG + early-stop state) every `resume_every` epochs and continue from it
+    # on restart — a capability the reference lacks (SURVEY §5 checkpoint row)
+    resume: bool = False
+    resume_every: int = 1
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     data: DataConfig = field(default_factory=DataConfig)

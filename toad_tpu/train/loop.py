@@ -115,6 +115,19 @@ class EarlyStopping:
             self.early_stop = True
         return False
 
+    def state_dict(self) -> dict[str, Any]:
+        return {
+            "counter": np.int64(self.counter),
+            "best": np.float64(np.inf if self.best is None else self.best),
+            "early_stop": np.int64(self.early_stop),
+        }
+
+    def load_state_dict(self, d: dict[str, Any]) -> None:
+        self.counter = int(d["counter"])
+        best = float(d["best"])
+        self.best = None if np.isinf(best) else best
+        self.early_stop = bool(d["early_stop"])
+
 
 class FoldTrainer:
     """Owns one fold end-to-end (reference ``train``, ``core_utils:87-187``)."""
@@ -159,6 +172,22 @@ class FoldTrainer:
     def ckpt_path(self) -> Path:
         return self.results_dir / checkpoint_name(self.fold)
 
+    @property
+    def resume_path(self) -> Path:
+        return self.results_dir / f"s_{self.fold}_resume"
+
+    def _save_resume(self, params, opt_state, rng, epoch, stopper, best_saved: bool) -> None:
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "rng": np.asarray(rng),
+            "epoch": np.int64(epoch),
+            "best_saved": np.int64(best_saved),
+        }
+        if stopper is not None:
+            state["stopper"] = stopper.state_dict()
+        save_checkpoint(self.resume_path, jax.tree.map(np.asarray, state))
+
     def train(self, train_split, val_split, test_split, log_fn: Callable[[str], None] = print):
         cfg = self.cfg
         n_classes = cfg.model.n_classes
@@ -192,8 +221,36 @@ class FoldTrainer:
 
         stopper = EarlyStopping(cfg.patience, cfg.min_stop_epoch) if cfg.early_stopping else None
         best_saved = False
+        start_epoch = 0
 
-        for epoch in range(cfg.max_epochs):
+        if cfg.resume and self.resume_path.exists():
+            template = {
+                "params": jax.tree.map(np.asarray, params),
+                "opt_state": jax.tree.map(np.asarray, opt_state),
+                "rng": np.asarray(rng),
+                "epoch": np.int64(0),
+                "best_saved": np.int64(0),
+            }
+            if stopper is not None:
+                template["stopper"] = stopper.state_dict()
+            # orbax wants array leaves, not bare numpy scalars
+            template = jax.tree.map(np.asarray, template)
+            state = restore_checkpoint(self.resume_path, template)
+            params = state["params"]
+            opt_state = state["opt_state"]
+            rng = jnp.asarray(state["rng"])
+            start_epoch = int(state["epoch"]) + 1
+            best_saved = bool(state["best_saved"])
+            if stopper is not None and "stopper" in state:
+                stopper.load_state_dict(state["stopper"])
+            if self.mesh is not None:
+                from toad_tpu.parallel.sharding import replicate
+
+                params = replicate(self.mesh, params)
+                opt_state = replicate(self.mesh, opt_state)
+            log_fn(f"[fold {self.fold}] resumed from epoch {start_epoch - 1} ({self.resume_path})")
+
+        for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.perf_counter()
             train_batcher.set_epoch(epoch)
             cls_logger = AccuracyLogger(n_classes)
@@ -257,6 +314,14 @@ class FoldTrainer:
                 if stopper.early_stop:
                     log_fn(f"[fold {self.fold}] early stopping at epoch {epoch}")
                     break
+
+            if cfg.resume and (epoch + 1) % cfg.resume_every == 0:
+                self._save_resume(params, opt_state, rng, epoch, stopper, best_saved)
+
+        if cfg.resume and self.resume_path.exists():
+            import shutil
+
+            shutil.rmtree(self.resume_path)  # fold finished; snapshot obsolete
 
         if stopper is not None and best_saved:
             state = restore_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(0)})
