@@ -1,0 +1,144 @@
+"""Native C++ bag IO: compile/load, payload resolution per format, zero-copy
+packing parity with the numpy loader, and BagBatcher integration."""
+
+import numpy as np
+import pytest
+
+from toad_tpu import native
+from toad_tpu.data.native_bags import resolve_payload
+
+pytestmark = pytest.mark.skipif(not native.available(), reason=f"native lib unavailable: {native.failure_reason()}")
+
+
+def _write_all_formats(tmp_path, feats):
+    import h5py
+
+    import torch
+
+    paths = {}
+    np.save(tmp_path / "bag.npy", feats)
+    paths["npy"] = tmp_path / "bag.npy"
+    torch.save(torch.from_numpy(feats), tmp_path / "bag.pt")
+    paths["pt"] = tmp_path / "bag.pt"
+    with h5py.File(tmp_path / "bag.h5", "w") as f:
+        f.create_dataset("features", data=feats)
+    paths["h5"] = tmp_path / "bag.h5"
+    return paths
+
+
+@pytest.mark.parametrize("fmt", ["npy", "pt", "h5"])
+def test_resolve_and_pack_each_format(tmp_path, fmt):
+    rng = np.random.RandomState(0)
+    feats = rng.randn(57, 32).astype(np.float32)
+    paths = _write_all_formats(tmp_path, feats)
+    info = resolve_payload(paths[fmt])
+    assert info is not None, fmt
+    assert (info.nrows, info.dim) == (57, 32)
+
+    bucket = 64
+    out = np.zeros((1, bucket, 32), np.float32)
+    mask = np.zeros((1, bucket), np.float32)
+    native.pack_bags([info.path], np.array([info.offset]), np.array([info.nrows]), 32, bucket, out, mask)
+    np.testing.assert_array_equal(out[0, :57], feats)
+    np.testing.assert_array_equal(out[0, 57:], 0.0)
+    np.testing.assert_array_equal(mask[0], np.concatenate([np.ones(57), np.zeros(7)]).astype(np.float32))
+
+
+def test_pack_many_multithreaded(tmp_path):
+    rng = np.random.RandomState(1)
+    bags = [rng.randn(rng.randint(5, 40), 16).astype(np.float32) for _ in range(24)]
+    infos = []
+    for i, b in enumerate(bags):
+        np.save(tmp_path / f"b{i}.npy", b)
+        infos.append(resolve_payload(tmp_path / f"b{i}.npy"))
+    bucket = 48
+    out = np.zeros((24, bucket, 16), np.float32)
+    mask = np.zeros((24, bucket), np.float32)
+    native.pack_bags(
+        [i.path for i in infos],
+        np.array([i.offset for i in infos]),
+        np.array([i.nrows for i in infos]),
+        16, bucket, out, mask, nthreads=8,
+    )
+    for j, b in enumerate(bags):
+        np.testing.assert_array_equal(out[j, : len(b)], b)
+        assert mask[j].sum() == len(b)
+
+
+def test_truncation_via_nrows(tmp_path):
+    feats = np.arange(20 * 4, dtype=np.float32).reshape(20, 4)
+    np.save(tmp_path / "t.npy", feats)
+    info = resolve_payload(tmp_path / "t.npy")
+    out = np.zeros((1, 8, 4), np.float32)
+    mask = np.zeros((1, 8), np.float32)
+    native.pack_bags([info.path], np.array([info.offset]), np.array([8]), 4, 8, out, mask)
+    np.testing.assert_array_equal(out[0], feats[:8])
+    assert mask.sum() == 8
+
+
+def test_missing_file_raises(tmp_path):
+    out = np.zeros((1, 8, 4), np.float32)
+    mask = np.zeros((1, 8), np.float32)
+    with pytest.raises(IOError, match="nope.npy"):
+        native.pack_bags([str(tmp_path / "nope.npy")], np.array([0]), np.array([4]), 4, 8, out, mask)
+
+
+def test_resolver_rejects_ineligible(tmp_path):
+    import h5py
+
+    # float64 npy
+    np.save(tmp_path / "f64.npy", np.zeros((4, 4)))
+    assert resolve_payload(tmp_path / "f64.npy") is None
+    # chunked/compressed h5
+    with h5py.File(tmp_path / "c.h5", "w") as f:
+        f.create_dataset("features", data=np.zeros((8, 8), np.float32), chunks=(4, 8), compression="gzip")
+    assert resolve_payload(tmp_path / "c.h5") is None
+    # fortran-order npy
+    np.save(tmp_path / "fo.npy", np.asfortranarray(np.zeros((4, 4), np.float32)))
+    assert resolve_payload(tmp_path / "fo.npy") is None
+
+
+@pytest.mark.parametrize("fmt", ["npy", "pt"])
+def test_batcher_native_matches_python(tmp_path, fmt):
+    """native='on' and native='off' produce identical batches."""
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.synthetic import dummy_task, write_dummy_bags, write_dummy_csv
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    csv = tmp_path / "m.csv"
+    manifest = write_dummy_csv(csv, n_patients=25, max_slides_per_patient=1, seed=3)
+    task = dummy_task(str(csv))
+    write_dummy_bags(tmp_path / "bags", manifest, task, n_patches_range=(16, 90), dim=24, fmt=fmt, seed=3)
+    ds = WSIBagDataset(task, data_dir=str(tmp_path / "bags"), print_info=False)
+    split = ds.subset(np.arange(len(ds.slide_ids)))
+
+    kw = dict(batch_size=4, bucket_sizes=(32, 64, 128), mode="shuffle", seed=5, prefetch=0)
+    b_py = list(BagBatcher(split, native="off", **kw))
+    batcher_nat = BagBatcher(split, native="on", **kw)
+    b_nat = list(batcher_nat)
+    assert batcher_nat.native_active is True
+    assert len(b_py) == len(b_nat)
+    for a, b in zip(b_py, b_nat):
+        np.testing.assert_array_equal(a.features, b.features)
+        np.testing.assert_array_equal(a.patch_mask, b.patch_mask)
+        np.testing.assert_array_equal(a.label, b.label)
+        np.testing.assert_array_equal(a.indices, b.indices)
+
+
+def test_batcher_native_on_unsupported_raises(tmp_path):
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.synthetic import dummy_task, write_dummy_bags, write_dummy_csv
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    csv = tmp_path / "m.csv"
+    manifest = write_dummy_csv(csv, n_patients=6, max_slides_per_patient=1, seed=0)
+    task = dummy_task(str(csv))
+    write_dummy_bags(tmp_path / "bags", manifest, task, n_patches_range=(8, 16), dim=8, fmt="npz", seed=0)
+    ds = WSIBagDataset(task, data_dir=str(tmp_path / "bags"), print_info=False)
+    split = ds.subset(np.arange(len(ds.slide_ids)))
+    with pytest.raises(RuntimeError, match="native bag IO requested"):
+        list(BagBatcher(split, batch_size=2, native="on", prefetch=0))
+    # auto mode silently falls back
+    batcher = BagBatcher(split, batch_size=2, native="auto", prefetch=0)
+    assert len(list(batcher)) > 0
+    assert batcher.native_active is False

@@ -125,6 +125,7 @@ class DataConfig:
     prefetch: int = 2
     weighted_sample: bool = False
     testing_frac: float | None = None  # reference --testing: 1% subsample
+    native: str = "auto"  # C++ zero-copy bag loader: 'auto' | 'on' | 'off'
 
 
 @dataclass(frozen=True)

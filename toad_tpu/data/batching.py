@@ -100,6 +100,7 @@ class BagBatcher:
         num_workers: int = 8,
         prefetch: int = 2,
         feature_dim: int | None = None,
+        native: str = "auto",
     ) -> None:
         self.split = split
         self.batch_size = int(batch_size)
@@ -111,6 +112,9 @@ class BagBatcher:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.feature_dim = feature_dim
+        self.native = native  # 'auto' | 'on' | 'off'
+        self._payloads: list | None = None  # lazy PayloadInfo cache
+        self.native_active: bool | None = None
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -167,7 +171,84 @@ class BagBatcher:
             idxs[j] = i
         return BagBatch(feats, pmask, bmask, label, site, sex, idxs)
 
+    # -- native zero-copy path -------------------------------------------------
+
+    def _native_ready(self) -> bool:
+        """True when every bag in the split resolves to a contiguous float32
+        payload AND the C++ library is loadable."""
+        if self.native == "off":
+            return False
+        if self.native_active is not None:
+            return self.native_active
+        from toad_tpu import native as native_lib
+        from toad_tpu.data.native_bags import resolve_payload
+
+        ok = hasattr(self.split, "bag_file") and native_lib.available()
+        if ok:
+            payloads = [resolve_payload(self.split.bag_file(i)) for i in range(len(self.split))]
+            ok = all(p is not None for p in payloads)
+            if ok:
+                self._payloads = payloads
+        if not ok and self.native == "on":
+            from toad_tpu.native import failure_reason
+
+            raise RuntimeError(
+                "native bag IO requested but unavailable "
+                f"(lib: {failure_reason() or 'ok'}; all bags eligible: {self._payloads is not None})"
+            )
+        self.native_active = ok
+        return ok
+
+    def _assemble_native(self, group: list[int], bucket: int) -> BagBatch:
+        from toad_tpu.native import pack_bags
+
+        b = self.batch_size
+        payloads = [self._payloads[i] for i in group]
+        d = payloads[0].dim
+        feats = np.zeros((b, bucket, d), dtype=np.float32)
+        pmask = np.zeros((b, bucket), dtype=np.float32)
+        cap = bucket if self.max_bag_size is None else min(bucket, self.max_bag_size)
+        paths = [p.path for p in payloads]
+        offsets = np.array([p.offset for p in payloads], np.int64)
+        nrows = np.array([min(p.nrows, cap) for p in payloads], np.int64)
+        # pack into the leading len(group) slots; trailing slots stay zero pads
+        pack_bags(paths, offsets, nrows, d, bucket, feats[: len(group)], pmask[: len(group)], self.num_workers)
+        bmask = np.zeros((b,), dtype=np.float32)
+        label = np.zeros((b,), dtype=np.int32)
+        site = np.zeros((b,), dtype=np.int32)
+        sex = np.zeros((b,), dtype=np.int32)
+        idxs = np.full((b,), -1, dtype=np.int64)
+        for j, i in enumerate(group):
+            bmask[j] = 1.0
+            label[j] = self.split.labels[i]
+            site[j] = self.split.sites[i]
+            sex[j] = self.split.sexes[i]
+            idxs[j] = i
+        return BagBatch(feats, pmask, bmask, label, site, sex, idxs)
+
+    def _batches_native(self) -> Iterator[BagBatch]:
+        rng = np.random.RandomState((self.seed * 1_000_003 + self._epoch) % (2**31 - 1))
+        order = self._order(rng)
+        cap = self.max_bag_size
+        pools: dict[int, list[int]] = {}
+        for i in order:
+            n = self._payloads[int(i)].nrows
+            if cap is not None:
+                n = min(n, cap)
+            bucket = n if self.bucket_sizes is None else bucket_for(n, self.bucket_sizes)
+            pools.setdefault(bucket, []).append(int(i))
+            if len(pools[bucket]) == self.batch_size:
+                yield self._assemble_native(pools.pop(bucket), bucket)
+        for bucket in sorted(pools):
+            if pools[bucket]:
+                yield self._assemble_native(pools[bucket], bucket)
+
+    # -- generic (numpy) path ---------------------------------------------------
+
     def _batches_raw(self) -> Iterator[BagBatch]:
+        if self._native_ready():
+            yield from self._batches_native()
+            return
         rng = np.random.RandomState((self.seed * 1_000_003 + self._epoch) % (2**31 - 1))
         order = self._order(rng)
         pools: dict[int, list[tuple[int, np.ndarray]]] = {}

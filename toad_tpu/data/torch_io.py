@@ -139,6 +139,88 @@ def load_torch_pickle(path: str | os.PathLike) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Metadata-only reading (no payload bytes touched) — powers the native
+# zero-copy loader, which preads storage bytes straight into batch buffers.
+# ---------------------------------------------------------------------------
+
+
+class _MetaStorage:
+    def __init__(self, key: str, dtype: np.dtype, numel: int):
+        self.key = key
+        self.dtype = dtype
+        self.numel = numel
+
+
+class _MetaTensor:
+    def __init__(self, storage: _MetaStorage, storage_offset, size, stride):
+        self.storage = storage
+        self.storage_offset = int(storage_offset)
+        self.shape = tuple(int(s) for s in size)
+        self.stride = tuple(int(s) for s in stride)
+
+    @property
+    def contiguous(self) -> bool:
+        expect = 1
+        for dim, st in zip(reversed(self.shape), reversed(self.stride)):
+            if dim > 1 and st != expect:
+                return False
+            expect *= dim
+        return True
+
+
+class _MetaUnpickler(_TorchUnpickler):
+    def __init__(self, file, prefix: str):
+        pickle.Unpickler.__init__(self, file)
+        self._prefix = prefix
+
+    def persistent_load(self, pid):
+        if pid[0] != "storage":
+            raise pickle.UnpicklingError(f"unknown persistent id {pid[0]!r}")
+        storage_type, key, _location, numel = pid[1], pid[2], pid[3], pid[4]
+        return _MetaStorage(key, _storage_dtype(storage_type), int(numel))
+
+    def find_class(self, module, name):
+        if module == "torch._utils" and name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
+            return lambda storage, off, size, stride, *unused: _MetaTensor(storage, off, size, stride)
+        return super().find_class(module, name)
+
+
+def load_pt_meta(path: str | os.PathLike):
+    """Parse a torch-zip file's structure WITHOUT reading tensor payloads.
+    Returns (obj, prefix) where tensors appear as :class:`_MetaTensor`."""
+    path = Path(path)
+    with zipfile.ZipFile(path) as zf:
+        pkl_members = [n for n in zf.namelist() if n.endswith("data.pkl")]
+        if not pkl_members:
+            raise pickle.UnpicklingError(f"{path}: no data.pkl in archive")
+        pkl_name = pkl_members[0]
+        prefix = pkl_name[: -len("data.pkl")]
+        with zf.open(pkl_name) as f:
+            return _MetaUnpickler(io.BytesIO(f.read()), prefix).load(), prefix
+
+
+def zip_member_payload(path: str | os.PathLike, member: str) -> tuple[int, int] | None:
+    """(absolute byte offset, size) of an uncompressed zip member's data, or
+    None when the member is compressed (torch stores tensor payloads
+    uncompressed, so .pt bags qualify)."""
+    import struct
+
+    with zipfile.ZipFile(path) as zf:
+        zi = zf.getinfo(member)
+        if zi.compress_type != zipfile.ZIP_STORED:
+            return None
+        header_offset = zi.header_offset
+        size = zi.file_size
+    with open(path, "rb") as f:
+        f.seek(header_offset)
+        hdr = f.read(30)
+        if len(hdr) < 30 or hdr[:4] != b"PK\x03\x04":
+            return None
+        namelen, extralen = struct.unpack("<HH", hdr[26:30])
+        return header_offset + 30 + namelen + extralen, size
+
+
+# ---------------------------------------------------------------------------
 # Writing
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,138 @@
+"""Native (C++) runtime components, bound via ctypes.
+
+The library is compiled on first use with the system toolchain and cached
+next to the source (or in a per-user cache dir when the package is not
+writable). Everything here degrades gracefully: if no compiler is available
+the callers fall back to the pure-numpy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "bagio.cpp"
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_FAILED: str | None = None
+
+
+def _cache_path() -> Path:
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    pkg_dir = _SRC.parent
+    for base in (pkg_dir, Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")) / "toad_tpu"):
+        try:
+            base.mkdir(parents=True, exist_ok=True)
+            probe = base / ".writable"
+            probe.touch()
+            probe.unlink()
+            return base / f"_bagio_{tag}.so"
+        except OSError:
+            continue
+    return Path(tempfile.gettempdir()) / f"toad_bagio_{tag}.so"
+
+
+def _compile(out: Path) -> None:
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3",
+        "-shared",
+        "-fPIC",
+        "-pthread",
+        "-std=c++17",
+        str(_SRC),
+        "-o",
+        str(out),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    if proc.returncode != 0:
+        raise RuntimeError(f"bagio compile failed: {proc.stderr.strip()[:500]}")
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Compile (once) and load the native library; None if unavailable."""
+    global _LIB, _FAILED
+    if _LIB is not None or _FAILED is not None:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _FAILED is not None:
+            return _LIB
+        try:
+            so = _cache_path()
+            if not so.exists():
+                tmp = so.with_suffix(f".{os.getpid()}.tmp")
+                _compile(tmp)
+                os.replace(tmp, so)  # atomic wrt concurrent builders
+            lib = ctypes.CDLL(str(so))
+            lib.toad_bagio_abi_version.restype = ctypes.c_int32
+            if lib.toad_bagio_abi_version() != 1:
+                raise RuntimeError("bagio ABI mismatch")
+            lib.toad_pack_bags.restype = ctypes.c_int64
+            lib.toad_pack_bags.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int32,
+            ]
+            _LIB = lib
+        except (OSError, RuntimeError, subprocess.TimeoutExpired) as e:
+            _FAILED = str(e)
+        return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def failure_reason() -> str | None:
+    get_lib()
+    return _FAILED
+
+
+def pack_bags(
+    paths: list[str],
+    offsets: np.ndarray,
+    nrows: np.ndarray,
+    dim: int,
+    bucket: int,
+    out: np.ndarray,
+    mask: np.ndarray,
+    nthreads: int = 0,
+) -> None:
+    """Parallel-read bag payloads into `out` [B, bucket, dim] (zeroed by the
+    caller) and set `mask` rows. Raises on any read failure."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native bagio unavailable: {_FAILED}")
+    n = len(paths)
+    assert out.shape == (n, bucket, dim) and out.dtype == np.float32 and out.flags.c_contiguous
+    assert mask.shape == (n, bucket) and mask.dtype == np.float32 and mask.flags.c_contiguous
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    nrows = np.ascontiguousarray(nrows, np.int64)
+    rc = lib.toad_pack_bags(
+        c_paths,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nrows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dim,
+        bucket,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n,
+        nthreads,
+    )
+    if rc != 0:
+        j = int(rc) - 1
+        raise IOError(f"native bag read failed for {paths[j]} (offset {int(offsets[j])}, rows {int(nrows[j])})")

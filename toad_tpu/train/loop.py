@@ -166,6 +166,7 @@ class FoldTrainer:
             testing_frac=(d.testing_frac if training and d.testing_frac else None),
             max_bag_size=d.max_bag_size,
             prefetch=d.prefetch,
+            native=d.native,
         )
 
     @property
