@@ -106,3 +106,14 @@ def test_no_resume_flag_means_no_snapshot(dummy_env, tmp_path):
     trainer = FoldTrainer(cfg, fold=0, results_dir=tmp_path / "c")
     trainer.train(*splits, log_fn=lambda s: None)
     assert not trainer.resume_path.exists()
+
+
+def test_profile_dir_writes_trace(dummy_env, tmp_path):
+    """--profile captures a jax.profiler trace of the first train steps."""
+    splits = _splits(dummy_env)
+    base = _cfg(dummy_env)
+    cfg = TrainConfig(**{**base.__dict__, "resume": False, "max_epochs": 1,
+                         "profile_dir": str(tmp_path / "trace")})
+    FoldTrainer(cfg, fold=0, results_dir=tmp_path / "r").train(*splits, log_fn=lambda s: None)
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert any(p.is_file() for p in produced), produced

@@ -53,6 +53,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true", default=False, help="fused Pallas pooling kernel")
     p.add_argument("--data_shards", type=int, default=1)
     p.add_argument("--bag_shards", type=int, default=1)
+    p.add_argument("--resume", action="store_true", default=False, help="preemption-tolerant per-epoch state snapshots + resume")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR", help="write a jax.profiler trace of the first train steps to DIR")
+    p.add_argument("--native_io", type=str, choices=["auto", "on", "off"], default="auto", help="C++ zero-copy bag loader")
     return p
 
 
@@ -68,6 +71,8 @@ def config_from_args(args, n_classes: int) -> TrainConfig:
         k_start=args.k_start,
         k_end=args.k_end,
         early_stopping=args.early_stopping,
+        resume=args.resume,
+        profile_dir=args.profile,
         log_data=args.log_data,
         testing=args.testing,
         model=ModelConfig(
@@ -84,6 +89,7 @@ def config_from_args(args, n_classes: int) -> TrainConfig:
             max_bag_size=args.max_bag_size,
             weighted_sample=args.weighted_sample,
             testing_frac=0.01 if args.testing else None,
+            native=args.native_io,
         ),
         data_shards=args.data_shards,
         bag_shards=args.bag_shards,

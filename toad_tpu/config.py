@@ -153,6 +153,7 @@ class TrainConfig:
     # on restart — a capability the reference lacks (SURVEY §5 checkpoint row)
     resume: bool = False
     resume_every: int = 1
+    profile_dir: str | None = None  # jax.profiler trace of the first steps
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     data: DataConfig = field(default_factory=DataConfig)

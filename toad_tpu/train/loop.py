@@ -216,6 +216,9 @@ class FoldTrainer:
             f"train {len(train_split)} / val {len(val_split)} / test {len(test_split)} slides"
         )
 
+        from toad_tpu.utils.profiling import StepTracer
+
+        tracer = StepTracer(cfg.profile_dir, n_steps=10)
         train_batcher = self._batcher(train_split, training=True)
         val_batcher = self._batcher(val_split, training=False)
         test_batcher = self._batcher(test_split, training=False)
@@ -263,12 +266,14 @@ class FoldTrainer:
                 if self._put is not None:
                     bd = self._put(bd)
                 params, opt_state, metrics = self.train_step(params, opt_state, step_key, bd)
+                tracer.step()
                 metrics = jax.tree.map(np.asarray, metrics)
                 for k in sums:
                     sums[k] += float(metrics[k])
                 cls_logger.log_batch(metrics["y_hat"], b.label, b.bag_mask)
                 site_logger.log_batch(metrics["site_hat"], b.site, b.bag_mask)
 
+            tracer.stop()
             n = max(sums["n_bags"], 1.0)
             tr_cls_loss = sums["cls_loss_sum"] / n
             tr_cls_err = 1.0 - sums["cls_correct"] / n
