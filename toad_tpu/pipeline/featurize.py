@@ -62,7 +62,7 @@ def iter_tile_batches(imgs, batch_size: int) -> Iterator[tuple[np.ndarray, int]]
 class TileEmbedder:
     """Jitted uint8-tiles -> features embedder with a fixed batch shape."""
 
-    def __init__(self, params: Any, config: EncoderConfig = EncoderConfig(), batch_size: int = 64):
+    def __init__(self, params: Any, config: EncoderConfig = EncoderConfig(), batch_size: int = 128):
         self.config = config
         self.batch_size = batch_size
         self.folded_params, self._embed = make_embedder(config, params)
