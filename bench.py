@@ -43,7 +43,7 @@ def bench_ours() -> dict:
     from toad_tpu.config import ModelConfig
     from toad_tpu.models.toad_mil import ToadMIL
 
-    cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16")
+    cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16", use_pallas=True)
     model = ToadMIL(cfg)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -58,7 +58,7 @@ def bench_ours() -> dict:
 
             def body(_, carry):
                 f, acc = carry
-                out = model.apply(params, f, mask, sex, train=False)
+                out = model.apply(params, f, mask, sex, train=False, need_attention=False)
                 bump = ((out.y_prob.sum() + out.site_prob.sum()) * 1e-12).astype(jnp.bfloat16)
                 return (f + bump, acc + out.y_prob.sum())
 

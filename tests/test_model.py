@@ -155,3 +155,20 @@ def test_dropout_train_mode():
     e1 = model.apply(params, x, mask, sex)
     e2 = model.apply(params, x, mask, sex)
     np.testing.assert_array_equal(np.asarray(e1.logits), np.asarray(e2.logits))
+
+
+def test_need_attention_false_same_logits():
+    """The classification-only fast path (skips A_raw/scores) must produce
+    identical logits to the default path."""
+    cfg = small_cfg()
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(6))
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(3, 50, 32).astype(np.float32))
+    mask = jnp.asarray((rng.rand(3, 50) < 0.8).astype(np.float32))
+    sex = jnp.array([0, 1, 0])
+    full = model.apply(params, x, mask, sex)
+    lean = model.apply(params, x, mask, sex, need_attention=False)
+    np.testing.assert_allclose(np.asarray(lean.logits), np.asarray(full.logits), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lean.site_logits), np.asarray(full.site_logits), atol=1e-5)
+    assert lean.attention is None

@@ -100,22 +100,35 @@ class ToadMIL:
         train: bool = False,
         rng: jax.Array | None = None,
         attention_only: bool = False,
+        need_attention: bool = True,
     ):
         c = self.config
         compute_dtype = jnp.dtype(c.compute_dtype)
+        need_attention = need_attention or attention_only
 
         if train and c.dropout:
             if rng is None:
                 raise ValueError("dropout requires an rng key in train mode")
             m, attn, scores = self._forward_dropout(params, x, mask, rng)
-        else:
+        elif need_attention:
             impl = "pallas" if (c.use_pallas and not train) else "xla"
             m, attn, scores = fused_trunk_attention_pool(
                 params, x, mask, impl=impl, compute_dtype=compute_dtype, return_scores=True
             )
+        else:
+            # classification-only fast path: the Pallas kernel never writes
+            # the [B, T, N] score tensor to HBM
+            impl = "pallas" if (c.use_pallas and not train) else "xla"
+            m, _ = fused_trunk_attention_pool(
+                params, x, mask, impl=impl, compute_dtype=compute_dtype, with_attention=False
+            )
+            scores = None
 
-        # raw task-major scores [B, T, N] — reference A_raw (model_toad.py:96)
-        a_raw = jnp.where(mask[:, None, :] > 0, jnp.swapaxes(scores, 1, 2), -jnp.inf)
+        if scores is not None:
+            # raw task-major scores [B, T, N] — reference A_raw (model_toad.py:96)
+            a_raw = jnp.where(mask[:, None, :] > 0, jnp.swapaxes(scores, 1, 2), -jnp.inf)
+        else:
+            a_raw = None
         if attention_only:
             return a_raw[:, 0, :]
 

@@ -58,16 +58,26 @@ def fused_trunk_attention_pool(
     impl: str = "xla",
     compute_dtype=jnp.float32,
     return_scores: bool = False,
+    with_attention: bool = True,
 ):
-    """Returns (M [B, T, H] pooled fp32, A [B, T, N] softmax weights[, scores])."""
+    """Returns (M [B, T, H] pooled fp32, A [B, T, N] softmax weights[, scores]).
+
+    ``with_attention=False`` (classification-only: no heatmaps, no A_raw) lets
+    the Pallas kernel skip writing the [B, T, N] score tensor to HBM entirely
+    and returns A=None; the XLA path needs the weights to pool, so the flag
+    only elides the returned copies there.
+    """
     if impl == "pallas":
         from toad_tpu.ops.pallas_pool import pallas_trunk_attention_pool
 
         return pallas_trunk_attention_pool(
-            params, x, mask, compute_dtype=compute_dtype, return_scores=return_scores
+            params, x, mask, compute_dtype=compute_dtype, return_scores=return_scores,
+            with_attention=with_attention or return_scores,
         )
     h, scores = _trunk_scores(params, x, compute_dtype)
     m, attn = masked_attention_pool(scores, h.astype(jnp.float32), mask)
     if return_scores:
         return m, attn, scores
+    if not with_attention:
+        return m, None
     return m, attn
