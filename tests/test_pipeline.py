@@ -145,16 +145,23 @@ def test_infer_cli_end_to_end(tmp_path, capsys):
     write_bag(bag, feats, coords)
 
     hm = tmp_path / "out.png"
+    att = tmp_path / "attn.h5"
     from toad_tpu.cli import infer as infer_cli
 
     infer_cli.main(
-        ["--ckpt", str(ckpt), "--bag", str(bag), "--sex", "F", "--heatmap", str(hm), "--topk", "3"]
+        ["--ckpt", str(ckpt), "--bag", str(bag), "--sex", "F", "--heatmap", str(hm),
+         "--save_attention", str(att), "--topk", "3"]
     )
     stdout = capsys.readouterr().out
     out = json.loads(stdout[stdout.index("{"):])
     assert len(out["topk"]) == 3
     assert out["n_patches"] == 80
     assert hm.exists()
+    import h5py
+
+    with h5py.File(att) as f:
+        assert f["attention"].shape == (80,)
+        np.testing.assert_array_equal(f["coords"][:], coords)
 
 
 def test_featurize_cli(tmp_path, encoder_params, monkeypatch):

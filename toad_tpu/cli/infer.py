@@ -29,6 +29,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoding_size", type=int, default=1024)
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--heatmap", type=str, default=None, help="write attention heatmap PNG here")
+    p.add_argument("--save_attention", type=str, default=None, help="write raw per-patch attention (+coords) to this .h5")
     p.add_argument("--patch_size", type=int, default=256)
     p.add_argument("--downscale", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=64, help="tile batch for --patches")
@@ -83,6 +84,18 @@ def main(argv=None):
         "site_prob": [round(float(x), 6) for x in pred.site_prob],
         "n_patches": int(pred.attention.shape[0]),
     }
+
+    if args.save_attention:
+        import h5py
+
+        from pathlib import Path as _P
+
+        _P(args.save_attention).parent.mkdir(parents=True, exist_ok=True)
+        with h5py.File(args.save_attention, "w") as f:
+            f.create_dataset("attention", data=pred.attention)
+            if coords is not None:
+                f.create_dataset("coords", data=coords)
+        result["attention_file"] = str(_P(args.save_attention).absolute())
 
     if args.heatmap:
         if coords is None:
