@@ -142,3 +142,38 @@ def test_batcher_native_on_unsupported_raises(tmp_path):
     batcher = BagBatcher(split, batch_size=2, native="auto", prefetch=0)
     assert len(list(batcher)) > 0
     assert batcher.native_active is False
+
+
+def test_mixed_dim_store_falls_back(tmp_path):
+    """Bags with disagreeing feature dims must NOT take the native path (a
+    wrong-dim pread would silently produce garbage); auto mode falls back and
+    the numpy path raises its loud shape error at assemble time."""
+    from toad_tpu.data.batching import BagBatcher
+
+    class FakeSplit:
+        labels = np.zeros(2, np.int32)
+        sites = np.zeros(2, np.int32)
+        sexes = np.zeros(2, np.int32)
+
+        def __len__(self):
+            return 2
+
+        def bag_file(self, i):
+            return tmp_path / f"b{i}.npy"
+
+        def load_bag(self, i):
+            return np.load(self.bag_file(i))
+
+        def class_weights(self):
+            return np.ones(2)
+
+    np.save(tmp_path / "b0.npy", np.zeros((10, 16), np.float32))
+    np.save(tmp_path / "b1.npy", np.zeros((10, 32), np.float32))
+    batcher = BagBatcher(FakeSplit(), batch_size=1, bucket_sizes=(16,), prefetch=0, native="auto")
+    assert batcher._native_ready() is False  # mixed dims -> python path
+
+
+def test_truncated_npy_is_ineligible_not_fatal(tmp_path):
+    p = tmp_path / "trunc.npy"
+    p.write_bytes(b"\x93NUMPY")  # magic only, nothing else
+    assert resolve_payload(p) is None

@@ -117,3 +117,56 @@ def test_profile_dir_writes_trace(dummy_env, tmp_path):
     FoldTrainer(cfg, fold=0, results_dir=tmp_path / "r").train(*splits, log_fn=lambda s: None)
     produced = list((tmp_path / "trace").rglob("*"))
     assert any(p.is_file() for p in produced), produced
+
+
+def test_snapshot_swap_preserves_previous_on_failed_save(tmp_path, monkeypatch):
+    """save_checkpoint writes to a temp dir and swaps, so the previous
+    snapshot survives a crash mid-write."""
+    import orbax.checkpoint as ocp
+
+    from toad_tpu.train import checkpoint as ckpt
+
+    state1 = {"params": {"w": np.ones((2, 2), np.float32)}}
+    path = tmp_path / "snap"
+    ckpt.save_checkpoint(path, state1)
+
+    real_save = ocp.StandardCheckpointer.save
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated preemption mid-write")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ckpt.save_checkpoint(path, {"params": {"w": np.zeros((2, 2), np.float32)}})
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", real_save)
+
+    back = ckpt.restore_checkpoint(path)
+    np.testing.assert_array_equal(back["params"]["w"], state1["params"]["w"])
+
+
+def test_cli_skips_completed_folds(dummy_env, tmp_path, monkeypatch, capsys):
+    """k-fold driver with --resume does not retrain folds that already
+    finished before a preemption."""
+    import json
+    import os
+
+    from toad_tpu.cli import create_splits, train as train_cli
+
+    root = dummy_env["root"]
+    task_json = root / "task_resume.json"
+    task_json.write_text(dummy_env["task"].to_json())
+    monkeypatch.chdir(tmp_path)
+    create_splits.main(["--task", str(task_json), "--k", "2", "--seed", "1",
+                        "--val_frac", "0.15", "--test_frac", "0.2"])
+    args = ["--task", str(task_json), "--data_root_dir", str(dummy_env["data_dir"]),
+            "--exp_code", "resumetest", "--k", "2", "--max_epochs", "1",
+            "--encoding_size", str(dummy_env["dim"]), "--batch_size", "4",
+            "--split_dir", str(tmp_path / "splits" / f"{dummy_env['task'].name}_100"),
+            "--results_dir", str(tmp_path / "results"), "--resume"]
+    df1 = train_cli.main(args)
+    capsys.readouterr()
+    # second invocation (post-preemption restart analog): both folds skip
+    df2 = train_cli.main(args)
+    out = capsys.readouterr().out
+    assert out.count("already complete") == 2
+    assert df2["cls_test_auc"].tolist() == df1["cls_test_auc"].tolist()

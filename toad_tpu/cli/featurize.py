@@ -32,6 +32,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_bf16", action="store_true", help="compute in float32 instead of bfloat16")
     p.add_argument("--no_fold_bn", action="store_true", help="keep BatchNorm unfolded")
     p.add_argument("--skip_done", action="store_true", help="skip slides whose bag already exists")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR", help="capture a jax.profiler trace of the run")
     return p
 
 
@@ -55,6 +56,13 @@ def main(argv=None):
     if not files:
         raise FileNotFoundError(f"no .h5 patch files in {patch_dir}")
 
+    from toad_tpu.utils.profiling import profile_trace
+
+    with profile_trace(args.profile, enabled=args.profile is not None):
+        _run_all(args, files, feat_dir, embedder)
+
+
+def _run_all(args, files, feat_dir, embedder):
     total_patches, total_s = 0, 0.0
     for i, src in enumerate(files):
         out = feat_dir / f"{src.stem}.{args.format}"

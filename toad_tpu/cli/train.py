@@ -116,6 +116,14 @@ def main(argv=None):
     folds = fold_range(args.k, args.k_start, args.k_end)
     rows = []
     for i in folds:
+        fold_summary = results_dir / f"fold_{i}_summary.json"
+        if args.resume and fold_summary.exists():
+            # fold finished in a previous (preempted) run — don't retrain it
+            import json as _json
+
+            rows.append(_json.loads(fold_summary.read_text()))
+            print(f"fold {i}: already complete ({fold_summary}), skipping")
+            continue
         seed_everything(args.seed)
         splits = dataset.return_splits_from_csv(split_dir / f"splits_{i}.csv")
         if any(s is None for s in splits):
@@ -125,19 +133,22 @@ def main(argv=None):
         r = trainer.train(*splits)
         writer.close()
         save_pkl(results_dir / f"split_{i}_results.pkl", r["results"])
-        rows.append(
-            {
-                "folds": i,
-                "cls_test_auc": r["cls_test_auc"],
-                "cls_val_auc": r["cls_val_auc"],
-                "cls_test_acc": r["cls_test_acc"],
-                "cls_val_acc": r["cls_val_acc"],
-                "site_test_auc": r["site_test_auc"],
-                "site_val_auc": r["site_val_auc"],
-                "site_test_acc": r["site_test_acc"],
-                "site_val_acc": r["site_val_acc"],
-            }
-        )
+        row = {
+            "folds": i,
+            "cls_test_auc": r["cls_test_auc"],
+            "cls_val_auc": r["cls_val_auc"],
+            "cls_test_acc": r["cls_test_acc"],
+            "cls_val_acc": r["cls_val_acc"],
+            "site_test_auc": r["site_test_auc"],
+            "site_val_auc": r["site_val_auc"],
+            "site_test_acc": r["site_test_acc"],
+            "site_val_acc": r["site_val_acc"],
+        }
+        rows.append(row)
+        if args.resume:
+            import json as _json
+
+            fold_summary.write_text(_json.dumps(row))
 
     final_df = pd.DataFrame(rows)
     name = "summary.csv" if len(folds) == args.k else f"summary_partial_{folds.start}_{folds.stop}.csv"

@@ -184,9 +184,17 @@ class BagBatcher:
         from toad_tpu.data.native_bags import resolve_payload
 
         ok = hasattr(self.split, "bag_file") and native_lib.available()
+        eligible = "unchecked"
         if ok:
             payloads = [resolve_payload(self.split.bag_file(i)) for i in range(len(self.split))]
-            ok = all(p is not None for p in payloads)
+            eligible = all(p is not None for p in payloads)
+            # every bag must agree on the feature dim (and match feature_dim if
+            # pinned) — a mixed-dim store must fail loudly in the numpy path,
+            # not pread misaligned bytes here
+            if eligible and payloads:
+                dims = {p.dim for p in payloads}
+                eligible = len(dims) == 1 and (self.feature_dim is None or dims == {self.feature_dim})
+            ok = bool(eligible)
             if ok:
                 self._payloads = payloads
         if not ok and self.native == "on":
@@ -194,7 +202,7 @@ class BagBatcher:
 
             raise RuntimeError(
                 "native bag IO requested but unavailable "
-                f"(lib: {failure_reason() or 'ok'}; all bags eligible: {self._payloads is not None})"
+                f"(lib: {failure_reason() or 'ok'}; all bags eligible: {eligible})"
             )
         self.native_active = ok
         return ok

@@ -128,6 +128,8 @@ def resolve_payload(path: str | os.PathLike) -> PayloadInfo | None:
             return _resolve_pt(path)
         if ext == ".h5":
             return _resolve_h5(path)
-    except (OSError, struct.error):
+    except Exception:
+        # any unparseable/truncated file is simply ineligible — the numpy
+        # loader then raises the loud, descriptive error
         return None
     return None

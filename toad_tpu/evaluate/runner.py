@@ -30,7 +30,10 @@ def batch_to_dict(b: BagBatch) -> dict[str, np.ndarray]:
 def make_eval_step(model: ToadMIL):
     @jax.jit
     def step(params, batch):
-        out = model.apply(params, batch["features"], batch["patch_mask"], batch["sex"], train=False)
+        out = model.apply(
+            params, batch["features"], batch["patch_mask"], batch["sex"],
+            train=False, need_attention=False,  # eval discards attention; lets Pallas skip the [B,T,N] HBM write
+        )
         cls_ce = optax.softmax_cross_entropy_with_integer_labels(out.logits, batch["label"])
         site_ce = optax.softmax_cross_entropy_with_integer_labels(out.site_logits, batch["site"])
         return {

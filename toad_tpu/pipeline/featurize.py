@@ -26,6 +26,7 @@ import numpy as np
 
 from toad_tpu.config import EncoderConfig
 from toad_tpu.models.resnet_encoder import make_embedder
+from toad_tpu.utils.profiling import annotate
 
 
 def read_patch_file(path: str | os.PathLike):
@@ -77,7 +78,8 @@ class TileEmbedder:
         valids: list[int] = []
         done = 0
         for chunk, valid in iter_tile_batches(imgs, self.batch_size):
-            outs.append(self._embed(jnp.asarray(chunk)))  # async dispatch
+            with annotate("toad.featurize.embed_dispatch"):
+                outs.append(self._embed(jnp.asarray(chunk)))  # async dispatch
             valids.append(valid)
             done += valid
             if progress is not None:
@@ -125,7 +127,8 @@ def featurize_patch_file(
     f, imgs, coords = read_patch_file(src)
     try:
         t0 = time.perf_counter()
-        feats = embedder.embed_all(imgs, progress=progress)
+        with annotate("toad.featurize.slide"):
+            feats = embedder.embed_all(imgs, progress=progress)
         jax.block_until_ready(feats) if hasattr(feats, "block_until_ready") else None
         dt = time.perf_counter() - t0
         write_bag(out, feats, coords)

@@ -27,14 +27,23 @@ def checkpoint_name(fold: int) -> str:
 
 
 def save_checkpoint(path: str | os.PathLike, state: dict[str, Any]) -> None:
-    """Atomically save a pytree state dict to `path` (a directory)."""
+    """Atomically save a pytree state dict to `path` (a directory).
+
+    The new snapshot is written to a sibling temp dir first and swapped in
+    with os.replace, so the previous snapshot survives a preemption at any
+    point during the write — crucial for the per-epoch resume snapshots,
+    whose whole purpose is surviving mid-write kills."""
     path = Path(path).absolute()
-    if path.exists():
-        shutil.rmtree(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.parent / f".tmp_{path.name}_{os.getpid()}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state)
+        ckptr.save(tmp, state)
         ckptr.wait_until_finished()
+    if path.exists():
+        shutil.rmtree(path)  # new snapshot is already durable at tmp
+    os.replace(tmp, path)
 
 
 def restore_checkpoint(path: str | os.PathLike, template: dict[str, Any] | None = None) -> dict[str, Any]:

@@ -1,9 +1,11 @@
 """Profiling hooks: jax.profiler traces viewable in Perfetto/TensorBoard.
 
-The reference has no profiling story at all (SURVEY §5 tracing row); here any
-training/eval run can capture a device+host trace of its first steps
-(``TrainConfig.profile_dir`` / ``--profile``), and pipeline stages carry
-``TraceAnnotation`` scopes so kernels attribute to framework stages.
+The reference has no profiling story at all (SURVEY §5 tracing row). Here:
+- training captures a bounded trace of its first steps via :class:`StepTracer`
+  (``TrainConfig.profile_dir`` / ``toad_tpu.cli.train --profile``);
+- featurization wraps whole runs in :func:`profile_trace`
+  (``toad_tpu.cli.featurize --profile``) with :func:`annotate` scopes on the
+  embed dispatch so kernels attribute to pipeline stages.
 """
 
 from __future__ import annotations
