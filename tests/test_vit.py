@@ -1,0 +1,163 @@
+"""ViT (UNI-style) patch encoder: torch parity via a timm-layout state_dict,
+dynamic pos-embed resizing, and TileEmbedder integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from toad_tpu.models.vit_encoder import (
+    ViTConfig,
+    ViTEncoder,
+    load_timm_weights,
+    params_from_timm_state_dict,
+)
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+CFG = ViTConfig(patch_size=8, width=64, depth=2, heads=2, pretrain_img_size=32,
+                layerscale=True, compute_dtype="float32")
+
+
+class TorchBlock(nn.Module):
+    """Pre-norm ViT block with LayerScale, timm naming (norm1/attn/ls1/norm2/mlp/ls2)."""
+
+    def __init__(self, d, heads):
+        super().__init__()
+        self.d, self.heads = d, heads
+        self.norm1 = nn.LayerNorm(d, eps=1e-6)
+
+        class Attn(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.qkv = nn.Linear(d, 3 * d)
+                self.proj = nn.Linear(d, d)
+
+        self.attn = Attn()
+
+        class LS(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.gamma = nn.Parameter(torch.full((d,), 1e-2))
+
+        self.ls1 = LS()
+        self.norm2 = nn.LayerNorm(d, eps=1e-6)
+
+        class Mlp(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc1 = nn.Linear(d, 4 * d)
+                self.fc2 = nn.Linear(4 * d, d)
+
+        self.mlp = Mlp()
+        self.ls2 = LS()
+
+    def forward(self, x):
+        b, n, d = x.shape
+        hd = d // self.heads
+        h = self.norm1(x)
+        qkv = self.attn.qkv(h).reshape(b, n, 3, self.heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        a = torch.einsum("bnhd,bmhd->bhnm", q, k) * hd**-0.5
+        a = torch.softmax(a, dim=-1)
+        o = torch.einsum("bhnm,bmhd->bnhd", a, v).reshape(b, n, d)
+        x = x + self.attn.proj(o) * self.ls1.gamma
+        h = self.norm2(x)
+        h = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(h)))
+        return x + h * self.ls2.gamma
+
+
+class TorchViT(nn.Module):
+    def __init__(self, cfg=CFG):
+        super().__init__()
+        d, p = cfg.width, cfg.patch_size
+        n = (cfg.pretrain_img_size // p) ** 2
+
+        class PE(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.proj = nn.Conv2d(3, d, p, stride=p)
+
+        self.patch_embed = PE()
+        self.cls_token = nn.Parameter(torch.randn(1, 1, d) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, 1 + n, d) * 0.02)
+        self.blocks = nn.Sequential(*[TorchBlock(d, cfg.heads) for _ in range(cfg.depth)])
+        self.norm = nn.LayerNorm(d, eps=1e-6)
+
+    @torch.no_grad()
+    def forward(self, x):  # x NCHW
+        t = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        t = torch.cat([self.cls_token.expand(x.shape[0], -1, -1), t], dim=1)
+        t = t + self.pos_embed
+        for blk in self.blocks:
+            t = blk(t)
+        return self.norm(t[:, 0])
+
+
+@pytest.fixture(scope="module")
+def torch_vit():
+    torch.manual_seed(0)
+    m = TorchViT().eval()
+    for p in m.parameters():
+        if p.dim() > 1:
+            nn.init.normal_(p, std=0.05)
+    return m
+
+
+def test_parity_with_torch(torch_vit):
+    sd = {k: v.numpy() for k, v in torch_vit.state_dict().items()}
+    params, cfg = params_from_timm_state_dict(sd)
+    assert cfg.width == 64 and cfg.depth == 2 and cfg.layerscale
+    enc = ViTEncoder(ViTConfig(**{**cfg.__dict__, "compute_dtype": "float32", "heads": 2}))
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)
+    want = torch_vit(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(enc.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_pos_embed_resize_other_tile_size(torch_vit):
+    """48x48 tiles (6x6 grid vs stored 4x4) run via bicubic pos-embed resize."""
+    sd = {k: v.numpy() for k, v in torch_vit.state_dict().items()}
+    params, cfg = params_from_timm_state_dict(sd)
+    enc = ViTEncoder(ViTConfig(**{**cfg.__dict__, "compute_dtype": "float32", "heads": 2}))
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 48, 48, 3).astype(np.float32))
+    out = enc.apply(params, x)
+    assert out.shape == (1, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_from_file_with_nesting(tmp_path, torch_vit):
+    torch.save({"model": torch_vit.state_dict()}, tmp_path / "uni.bin")
+    params, cfg = load_timm_weights(tmp_path / "uni.bin")
+    enc = ViTEncoder(ViTConfig(**{**cfg.__dict__, "compute_dtype": "float32", "heads": 2}))
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 32, 32, 3).astype(np.float32))
+    a = np.asarray(enc.apply(params, x))
+    sd = {k: v.numpy() for k, v in torch_vit.state_dict().items()}
+    params2, _ = params_from_timm_state_dict(sd)
+    np.testing.assert_array_equal(a, np.asarray(enc.apply(params2, x)))
+
+
+def test_random_init_full_size_shapes():
+    cfg = ViTConfig()  # ViT-L/16
+    enc = ViTEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0))
+    n = enc.param_count(params)
+    assert 300_000_000 < n < 310_000_000  # ViT-L ~303M
+    assert params["pos_embed"].shape == (1, 197, 1024)
+
+
+def test_tile_embedder_vit(tmp_path):
+    from toad_tpu.pipeline.featurize import TileEmbedder
+
+    enc = ViTEncoder(CFG)
+    params = enc.init(jax.random.PRNGKey(0))
+    emb = TileEmbedder(params, CFG, batch_size=4)
+    tiles = np.random.RandomState(0).randint(0, 256, (6, 32, 32, 3), np.uint8)
+    feats = emb.embed_all(tiles)
+    assert feats.shape == (6, 64)
+    # matches direct call
+    one = np.asarray(emb(tiles[:4]))
+    np.testing.assert_allclose(feats[:4], one, rtol=1e-5)

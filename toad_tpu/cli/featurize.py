@@ -27,7 +27,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch_dir", type=str, required=True, help="dir of {slide_id}.h5 patch files")
     p.add_argument("--feat_dir", type=str, required=True, help="output dir for feature bags")
     p.add_argument("--format", type=str, choices=["h5", "npy", "npz", "pt"], default="h5")
-    p.add_argument("--weights", type=str, default=None, help="torchvision resnet50 .pth (random init if omitted)")
+    p.add_argument("--encoder", type=str, choices=["resnet50", "vit"], default="resnet50",
+                   help="patch encoder family: truncated ResNet-50 or UNI-style ViT-L")
+    p.add_argument("--weights", type=str, default=None,
+                   help="encoder weights: torchvision resnet50 .pth or timm ViT .bin (random init if omitted)")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--no_bf16", action="store_true", help="compute in float32 instead of bfloat16")
     p.add_argument("--no_fold_bn", action="store_true", help="keep BatchNorm unfolded")
@@ -38,16 +41,29 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
-    cfg = EncoderConfig(
-        compute_dtype="float32" if args.no_bf16 else "bfloat16",
-        fold_bn=not args.no_fold_bn,
-    )
-    if args.weights:
-        params = load_torchvision_weights(args.weights, cfg)
-        print(f"loaded encoder weights from {args.weights}")
+    if args.encoder == "vit":
+        from toad_tpu.models.vit_encoder import ViTConfig, ViTEncoder, load_timm_weights
+
+        if args.weights:
+            params, cfg = load_timm_weights(args.weights)
+            if args.no_bf16:
+                cfg = ViTConfig(**{**cfg.__dict__, "compute_dtype": "float32"})
+            print(f"loaded ViT weights from {args.weights} (width {cfg.width}, depth {cfg.depth})")
+        else:
+            print("WARNING: no --weights given; using random ViT-L init (features are untrained)")
+            cfg = ViTConfig(compute_dtype="float32" if args.no_bf16 else "bfloat16")
+            params = ViTEncoder(cfg).init(jax.random.PRNGKey(0))
     else:
-        print("WARNING: no --weights given; using random encoder init (features are untrained)")
-        params = ResNetEncoder(cfg).init(jax.random.PRNGKey(0))
+        cfg = EncoderConfig(
+            compute_dtype="float32" if args.no_bf16 else "bfloat16",
+            fold_bn=not args.no_fold_bn,
+        )
+        if args.weights:
+            params = load_torchvision_weights(args.weights, cfg)
+            print(f"loaded encoder weights from {args.weights}")
+        else:
+            print("WARNING: no --weights given; using random encoder init (features are untrained)")
+            params = ResNetEncoder(cfg).init(jax.random.PRNGKey(0))
 
     embedder = TileEmbedder(params, cfg, batch_size=args.batch_size)
     patch_dir, feat_dir = Path(args.patch_dir), Path(args.feat_dir)

@@ -54,6 +54,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_shards", type=int, default=1)
     p.add_argument("--bag_shards", type=int, default=1)
     p.add_argument("--resume", action="store_true", default=False, help="preemption-tolerant per-epoch state snapshots + resume")
+    p.add_argument("--patient_bags", action="store_true", default=False, help="concat each patient's slides into one bag")
     p.add_argument("--profile", type=str, default=None, metavar="DIR", help="write a jax.profiler trace of the first train steps to DIR")
     p.add_argument("--native_io", type=str, choices=["auto", "on", "off"], default="auto", help="C++ zero-copy bag loader")
     return p
@@ -90,6 +91,7 @@ def config_from_args(args, n_classes: int) -> TrainConfig:
             weighted_sample=args.weighted_sample,
             testing_frac=0.01 if args.testing else None,
             native=args.native_io,
+            patient_bags=args.patient_bags,
         ),
         data_shards=args.data_shards,
         bag_shards=args.bag_shards,

@@ -126,6 +126,7 @@ class DataConfig:
     weighted_sample: bool = False
     testing_frac: float | None = None  # reference --testing: 1% subsample
     native: str = "auto"  # C++ zero-copy bag loader: 'auto' | 'on' | 'off'
+    patient_bags: bool = False  # concat all of a patient's slides into one bag
 
 
 @dataclass(frozen=True)

@@ -286,3 +286,70 @@ class WSIBagSplit:
         with np.errstate(divide="ignore"):
             per_class = np.where(counts > 0, n / counts, 0.0)
         return per_class[self.labels]
+
+
+class PatientBagSplit:
+    """Multi-slide-per-patient concat bags (the BASELINE.json stretch config):
+    every case's slides concatenate into ONE bag, so MIL attends over all of
+    a patient's tissue at once (150k+ patches with foundation-model encoders).
+
+    The reference only aggregates patient *labels* (``dataset_mtl_concat.py:
+    94-110``); actual multi-slide bags are new capability. Labels follow the
+    task's ``patient_voting`` (max | maj); ``site`` is Metastatic if any slide
+    is (max); ``sex`` is constant per patient (first slide's value).
+
+    Exposes the same contract as :class:`WSIBagSplit` so :class:`BagBatcher`,
+    the trainer, and the eval engine work unchanged. (No ``bag_file``: a
+    patient bag spans several files, so the native zero-copy loader falls
+    back to the threaded numpy path automatically.)
+    """
+
+    def __init__(self, split: "WSIBagSplit", voting: str | None = None) -> None:
+        self.parent = split
+        self.task = split.task
+        self.num_classes = split.num_classes
+        cases, inverse = np.unique(split.case_ids, return_inverse=True)
+        self.case_ids = cases
+        self.slide_ids = cases  # bag identity = case id (split snapshots etc.)
+        self.groups = [np.where(inverse == p)[0] for p in range(len(cases))]
+
+        voting = voting or self.task.patient_voting
+        labels = np.zeros(len(cases), np.int32)
+        sites = np.zeros(len(cases), np.int32)
+        sexes = np.zeros(len(cases), np.int32)
+        for p, g in enumerate(self.groups):
+            ls = split.labels[g]
+            if voting == "max":
+                labels[p] = ls.max()
+            elif voting == "maj":
+                labels[p] = np.bincount(ls).argmax()
+            else:
+                raise NotImplementedError(f"patient_voting={voting!r}")
+            sites[p] = split.sites[g].max()
+            sexes[p] = split.sexes[g[0]]
+        self.labels = labels
+        self.sites = sites
+        self.sexes = sexes
+        n0 = self.num_classes[0]
+        self.slide_cls_ids = [np.where(self.labels == c)[0] for c in range(n0)]
+
+    def __len__(self) -> int:
+        return len(self.groups)
+
+    def slides_for(self, i: int) -> np.ndarray:
+        """Slide ids making up patient bag i (order of concatenation)."""
+        return self.parent.slide_ids[self.groups[i]]
+
+    def load_bag(self, i: int, with_coords: bool = False):
+        parts = [np.asarray(self.parent.load_bag(int(j)), np.float32) for j in self.groups[i]]
+        feats = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        if with_coords:
+            return feats, None  # coords are per-slide; meaningless across slides
+        return feats
+
+    def class_weights(self) -> np.ndarray:
+        n = float(len(self))
+        counts = np.bincount(self.labels, minlength=self.num_classes[0]).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            per_class = np.where(counts > 0, n / counts, 0.0)
+        return per_class[self.labels]

@@ -61,12 +61,23 @@ def iter_tile_batches(imgs, batch_size: int) -> Iterator[tuple[np.ndarray, int]]
 
 
 class TileEmbedder:
-    """Jitted uint8-tiles -> features embedder with a fixed batch shape."""
+    """Jitted uint8-tiles -> features embedder with a fixed batch shape.
 
-    def __init__(self, params: Any, config: EncoderConfig = EncoderConfig(), batch_size: int = 128):
+    `config` selects the encoder family: :class:`EncoderConfig` (truncated
+    ResNet-50) or :class:`toad_tpu.models.vit_encoder.ViTConfig` (UNI-style
+    ViT, the BASELINE.json foundation-model stretch config)."""
+
+    def __init__(self, params: Any, config: Any = EncoderConfig(), batch_size: int = 128):
         self.config = config
         self.batch_size = batch_size
-        self.folded_params, self._embed = make_embedder(config, params)
+        if isinstance(config, EncoderConfig):
+            self.folded_params, self._embed = make_embedder(config, params)
+        else:
+            from toad_tpu.models.vit_encoder import ViTConfig, make_vit_embedder
+
+            if not isinstance(config, ViTConfig):
+                raise TypeError(f"unsupported encoder config: {type(config)}")
+            self.folded_params, self._embed = make_vit_embedder(config, params)
 
     def __call__(self, tiles_uint8: np.ndarray) -> jax.Array:
         return self._embed(jnp.asarray(tiles_uint8))

@@ -156,6 +156,10 @@ class FoldTrainer:
 
     def _batcher(self, split, training: bool) -> BagBatcher:
         d = self.cfg.data
+        if d.patient_bags:
+            from toad_tpu.data.wsi_dataset import PatientBagSplit
+
+            split = PatientBagSplit(split)
         mode = ("weighted" if d.weighted_sample else "shuffle") if training else "sequential"
         return BagBatcher(
             split,
