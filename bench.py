@@ -96,6 +96,54 @@ def bench_ours() -> dict:
     }
 
 
+def bench_train() -> dict:
+    """Training-step throughput: forward+backward+Adam on one jitted donated
+    update, same chained-dependency methodology."""
+    import jax
+    import jax.numpy as jnp
+
+    from toad_tpu.config import ModelConfig, OptimConfig
+    from toad_tpu.models.toad_mil import ToadMIL
+    from toad_tpu.train.loop import make_train_step
+    from toad_tpu.train.optim import make_optimizer
+
+    b, k = 32, 16
+    cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16")
+    model = ToadMIL(cfg)
+    tx = make_optimizer(OptimConfig())
+    step = make_train_step(model, tx, 0.75, 0.25)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def chain(params, opt_state, key):
+        batch = {
+            "features": jax.random.normal(key, (b, BAG_N, DIM), jnp.float32),
+            "patch_mask": jnp.ones((b, BAG_N), jnp.float32),
+            "bag_mask": jnp.ones((b,), jnp.float32),
+            "label": jax.random.randint(key, (b,), 0, N_CLASSES),
+            "site": jax.random.randint(key, (b,), 0, 2),
+            "sex": jnp.zeros((b,), jnp.int32),
+        }
+
+        def body(_, carry):
+            p, o, rng = carry
+            rng, sk = jax.random.split(rng)
+            p, o, metrics = step(p, o, sk, batch)
+            return (p, o, rng)
+
+        p, o, _ = jax.lax.fori_loop(0, k, body, (params, opt_state, key))
+        return jax.tree.leaves(p)[0].sum()
+
+    float(chain(params, opt_state, jax.random.PRNGKey(1)))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(chain(params, opt_state, jax.random.PRNGKey(2 + i)))
+        times.append(time.perf_counter() - t0)
+    return {"train_slides_per_sec": b * k / min(times)}
+
+
 def bench_encoder() -> dict:
     """Patch embedding throughput (patches/s), inputs device-generated."""
     import jax
@@ -173,10 +221,11 @@ def bench_reference_pattern() -> float:
 
 def main() -> None:
     ours = bench_ours()
-    try:
-        ours.update(bench_encoder())
-    except Exception as e:  # encoder extras are best-effort
-        ours["encoder_error"] = str(e)[:200]
+    for extra in (bench_encoder, bench_train):
+        try:
+            ours.update(extra())
+        except Exception as e:  # extras are best-effort
+            ours[f"{extra.__name__}_error"] = str(e)[:200]
     baseline = bench_reference_pattern()
     print(
         json.dumps(
@@ -189,6 +238,7 @@ def main() -> None:
                 "latency_p50_ms": round(ours["latency_p50_ms"], 3),
                 "pool_tflops": round(ours["tflops"], 2),
                 "encoder_patches_per_sec": round(ours.get("patches_per_sec", 0.0), 1),
+                "train_slides_per_sec": round(ours.get("train_slides_per_sec", 0.0), 1),
                 "device": ours["device"],
             }
         )
