@@ -68,3 +68,20 @@ def test_training_with_patient_bags(dummy_env, tmp_path):
     # batch time), so membership is reproducible from the snapshot alone
     snap = (tmp_path / "splits_0.csv").read_text()
     assert "SLIDE" in snap
+
+
+def test_eval_engine_over_patient_bags(dummy_env, tmp_path):
+    import jax
+
+    from toad_tpu.evaluate.engine import evaluate_split
+    from toad_tpu.models.toad_mil import ToadMIL
+
+    ds = _ds(dummy_env)
+    pb = PatientBagSplit(ds.subset(np.arange(ds.n_slides)))
+    cfg = ModelConfig(in_dim=dummy_env["dim"], n_classes=18)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    res = evaluate_split(model, params, pb, batch_size=4, bucket_sizes=(128, 256, 512, 1024))
+    assert len(res.df) == len(pb)
+    # per-row ids are case ids, one row per patient
+    assert res.df["slide_id"].str.contains("PATIENT").all()

@@ -38,6 +38,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_bag_size", type=int, default=None)
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--pallas", action="store_true", default=False)
+    p.add_argument("--patient_bags", action="store_true", default=False, help="concat each patient's slides into one bag")
     return p
 
 
@@ -85,6 +86,10 @@ def main(argv=None):
             if split is None:
                 raise ValueError(f"fold {fold}: requested split {args.split!r} is empty")
 
+        if args.patient_bags:
+            from toad_tpu.data.wsi_dataset import PatientBagSplit
+
+            split = PatientBagSplit(split)
         res = evaluate_checkpoint(
             models_dir / checkpoint_name(fold),
             split,
