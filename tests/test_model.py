@@ -172,3 +172,36 @@ def test_need_attention_false_same_logits():
     np.testing.assert_allclose(np.asarray(lean.logits), np.asarray(full.logits), atol=1e-5)
     np.testing.assert_allclose(np.asarray(lean.site_logits), np.asarray(full.site_logits), atol=1e-5)
     assert lean.attention is None
+
+
+def test_ungated_attention_variant():
+    """gate=False: scores = Wc tanh(Wa h) — the reference's NameError path,
+    working here (SURVEY §2.3.3). Covers eval, dropout-train, and the pallas
+    flag falling back to XLA."""
+    cfg = small_cfg(gate=False, dropout=True)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(7))
+    assert "b" not in params["attn"]
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 40, 32), jnp.float32)
+    mask = jnp.ones((2, 40))
+    sex = jnp.array([0, 1])
+    out = model.apply(params, x, mask, sex)
+    np.testing.assert_allclose(np.asarray(out.y_prob).sum(-1), 1.0, rtol=1e-5)
+    o_train = model.apply(params, x, mask, sex, train=True, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(o_train.logits)).all()
+    # pallas flag silently falls back to XLA for the ungated variant
+    cfg_p = small_cfg(gate=False, use_pallas=True)
+    out_p = ToadMIL(cfg_p).apply(params, x, mask, sex)
+    np.testing.assert_allclose(np.asarray(out_p.logits), np.asarray(out.logits), atol=1e-5)
+
+    # parity with a direct functional computation
+    p = jax.tree.map(np.asarray, params)
+    h = np.maximum(np.asarray(x) @ p["trunk"]["fc1"]["w"] + p["trunk"]["fc1"]["b"], 0)
+    h = np.maximum(h @ p["trunk"]["fc2"]["w"] + p["trunk"]["fc2"]["b"], 0)
+    scores = np.tanh(h @ p["attn"]["a"]["w"] + p["attn"]["a"]["b"]) @ p["attn"]["c"]["w"] + p["attn"]["c"]["b"]
+    e = np.exp(scores - scores.max(1, keepdims=True))
+    w = e / e.sum(1, keepdims=True)  # [B, N, T]
+    m = np.einsum("bnt,bnh->bth", w, h)
+    feats0 = np.concatenate([m[:, 0], np.asarray(sex, np.float32)[:, None]], 1)
+    logits = feats0 @ p["cls_head"]["w"] + p["cls_head"]["b"]
+    np.testing.assert_allclose(np.asarray(out.logits), logits, rtol=1e-3, atol=1e-4)

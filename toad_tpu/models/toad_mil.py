@@ -75,11 +75,20 @@ class ToadMIL:
                 "fc1": _linear_init(keys[0], c.in_dim, c.hidden_dim, dtype),
                 "fc2": _linear_init(keys[1], c.hidden_dim, c.hidden_dim, dtype),
             },
-            "attn": {
-                "a": _linear_init(keys[2], c.hidden_dim, c.attn_dim, dtype),
-                "b": _linear_init(keys[3], c.hidden_dim, c.attn_dim, dtype),
-                "c": _linear_init(keys[4], c.attn_dim, self.n_tasks, dtype),
-            },
+            "attn": (
+                {
+                    "a": _linear_init(keys[2], c.hidden_dim, c.attn_dim, dtype),
+                    "b": _linear_init(keys[3], c.hidden_dim, c.attn_dim, dtype),
+                    "c": _linear_init(keys[4], c.attn_dim, self.n_tasks, dtype),
+                }
+                if c.gate
+                else {
+                    # un-gated variant: scores = Wc tanh(Wa h) — works here,
+                    # unlike the reference's NameError (SURVEY §2.3.3)
+                    "a": _linear_init(keys[2], c.hidden_dim, c.attn_dim, dtype),
+                    "c": _linear_init(keys[4], c.attn_dim, self.n_tasks, dtype),
+                }
+            ),
             "cls_head": _linear_init(keys[5], c.hidden_dim + 1, c.n_classes, dtype),
             "site_head": _linear_init(keys[6], c.hidden_dim + 1, c.n_site_classes, dtype),
         }
@@ -166,7 +175,9 @@ class ToadMIL:
         w1, b1 = params["trunk"]["fc1"]["w"].astype(dt), params["trunk"]["fc1"]["b"].astype(dt)
         w2, b2 = params["trunk"]["fc2"]["w"].astype(dt), params["trunk"]["fc2"]["b"].astype(dt)
         wa, ba = params["attn"]["a"]["w"].astype(dt), params["attn"]["a"]["b"].astype(dt)
-        wb, bb = params["attn"]["b"]["w"].astype(dt), params["attn"]["b"]["b"].astype(dt)
+        gated = "b" in params["attn"]
+        if gated:
+            wb, bb = params["attn"]["b"]["w"].astype(dt), params["attn"]["b"]["b"].astype(dt)
         wc, bc = params["attn"]["c"]["w"].astype(dt), params["attn"]["c"]["b"].astype(dt)
 
         h = jax.nn.relu(jnp.einsum("bnd,dh->bnh", x.astype(dt), w1, preferred_element_type=dt) + b1)
@@ -174,7 +185,9 @@ class ToadMIL:
         h = jax.nn.relu(jnp.einsum("bnh,hk->bnk", h, w2, preferred_element_type=dt) + b2)
         h = drop(h, k2)
         a = drop(jnp.tanh(jnp.einsum("bnh,ha->bna", h, wa, preferred_element_type=dt) + ba), k3)
-        g = drop(jax.nn.sigmoid(jnp.einsum("bnh,ha->bna", h, wb, preferred_element_type=dt) + bb), k4)
-        scores = jnp.einsum("bna,at->bnt", a * g, wc, preferred_element_type=jnp.float32) + bc.astype(jnp.float32)
+        if gated:
+            g = drop(jax.nn.sigmoid(jnp.einsum("bnh,ha->bna", h, wb, preferred_element_type=dt) + bb), k4)
+            a = a * g
+        scores = jnp.einsum("bna,at->bnt", a, wc, preferred_element_type=jnp.float32) + bc.astype(jnp.float32)
         m, attn = masked_attention_pool(scores, h.astype(jnp.float32), mask)
         return m, attn, scores

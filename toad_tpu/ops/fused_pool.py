@@ -38,15 +38,19 @@ def _trunk_scores(params: dict[str, Any], x: jax.Array, compute_dtype=jnp.float3
     w1, b1 = params["trunk"]["fc1"]["w"].astype(dt), params["trunk"]["fc1"]["b"].astype(dt)
     w2, b2 = params["trunk"]["fc2"]["w"].astype(dt), params["trunk"]["fc2"]["b"].astype(dt)
     wa, ba = params["attn"]["a"]["w"].astype(dt), params["attn"]["a"]["b"].astype(dt)
-    wb, bb = params["attn"]["b"]["w"].astype(dt), params["attn"]["b"]["b"].astype(dt)
+    gated = "b" in params["attn"]
+    if gated:
+        wb, bb = params["attn"]["b"]["w"].astype(dt), params["attn"]["b"]["b"].astype(dt)
     wc, bc = params["attn"]["c"]["w"].astype(dt), params["attn"]["c"]["b"].astype(dt)
 
     x = x.astype(dt)
     h = jax.nn.relu(jnp.einsum("bnd,dh->bnh", x, w1, preferred_element_type=dt) + b1)
     h = jax.nn.relu(jnp.einsum("bnh,hk->bnk", h, w2, preferred_element_type=dt) + b2)
     a = jnp.tanh(jnp.einsum("bnh,ha->bna", h, wa, preferred_element_type=dt) + ba)
-    g = jax.nn.sigmoid(jnp.einsum("bnh,ha->bna", h, wb, preferred_element_type=dt) + bb)
-    scores = jnp.einsum("bna,at->bnt", a * g, wc, preferred_element_type=jnp.float32) + bc.astype(jnp.float32)
+    if gated:
+        g = jax.nn.sigmoid(jnp.einsum("bnh,ha->bna", h, wb, preferred_element_type=dt) + bb)
+        a = a * g
+    scores = jnp.einsum("bna,at->bnt", a, wc, preferred_element_type=jnp.float32) + bc.astype(jnp.float32)
     return h, scores
 
 
@@ -68,9 +72,12 @@ def fused_trunk_attention_pool(
     only elides the returned copies there.
     """
     if impl == "pallas":
-        from toad_tpu.ops.pallas_pool import pallas_trunk_attention_pool
+        if "b" not in params["attn"]:
+            impl = "xla"  # the fused kernel implements the gated variant only
+        else:
+            from toad_tpu.ops.pallas_pool import pallas_trunk_attention_pool
 
-        return pallas_trunk_attention_pool(
+            return pallas_trunk_attention_pool(
             params, x, mask, compute_dtype=compute_dtype, return_scores=return_scores,
             with_attention=with_attention or return_scores,
         )
