@@ -41,6 +41,7 @@ def _pool_kernel_body(
     w1_ref, b1_ref, w2_ref, b2_ref,
     wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
     m_out_ref, scores_out_ref, acc_ref, stat_ref,
+    stats_out_ref=None,
 ):
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -95,8 +96,15 @@ def _pool_kernel_body(
 
     @pl.when(i == n_tiles - 1)
     def _finalize():
-        denom = jnp.maximum(stat_ref[1, :], 1e-30)
-        m_out_ref[0] = acc_ref[:] / denom[:, None]
+        if stats_out_ref is None:
+            denom = jnp.maximum(stat_ref[1, :], 1e-30)
+            m_out_ref[0] = acc_ref[:] / denom[:, None]
+        else:
+            # partial mode (bag-sharded pooling): emit the UNnormalized
+            # accumulator plus (running max, denom) so a cross-shard
+            # flash-combine can finish the softmax exactly
+            m_out_ref[0] = acc_ref[:]
+            stats_out_ref[0] = stat_ref[:]
 
 
 def _pad_params(params: dict[str, Any], dtype) -> tuple:
@@ -130,8 +138,8 @@ def _tile_n(n: int, itemsize: int) -> int:
     raise ValueError(f"bag bucket {n} must be a multiple of 128 for the Pallas kernel")
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret", "with_scores"))
-def _pallas_pool_call(params, x, mask, compute_dtype=jnp.bfloat16, interpret=False, with_scores=True):
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret", "with_scores", "partial"))
+def _pallas_pool_call(params, x, mask, compute_dtype=jnp.bfloat16, interpret=False, with_scores=True, partial=False):
     b, n, d = x.shape
     h_dim = params["trunk"]["fc2"]["w"].shape[1]
     tile = _tile_n(n, jnp.dtype(compute_dtype).itemsize)
@@ -144,7 +152,17 @@ def _pallas_pool_call(params, x, mask, compute_dtype=jnp.bfloat16, interpret=Fal
 
     out_specs = [pl.BlockSpec((1, T_PAD, h_dim), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, T_PAD, h_dim), jnp.float32)]
-    if with_scores:
+    if partial:
+        if with_scores:
+            raise ValueError("partial mode is classification-only (no score output)")
+        out_specs.append(pl.BlockSpec((1, 2, T_PAD), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, 2, T_PAD), jnp.float32))
+
+        def kernel(x_r, m_r, *rest):
+            *ps, m_out, st_out, acc, stat = rest
+            _pool_kernel_body(x_r, m_r, *ps, m_out, None, acc, stat, stats_out_ref=st_out)
+
+    elif with_scores:
         out_specs.append(pl.BlockSpec((1, T_PAD, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, T_PAD, n), jnp.float32))
 
@@ -174,7 +192,7 @@ def _pallas_pool_call(params, x, mask, compute_dtype=jnp.bfloat16, interpret=Fal
         ],
         interpret=interpret,
     )(x, mask, *flat)
-    if with_scores:
+    if with_scores or partial:
         return outs[0], outs[1]
     return outs[0], None
 
@@ -217,3 +235,45 @@ def pallas_trunk_attention_pool(
     if return_scores:
         return m, attn, jnp.swapaxes(scores_t, 1, 2)
     return m, attn
+
+
+def pallas_pool_partial(
+    params: dict[str, Any],
+    x: jax.Array,  # [B, N_local, D] — one shard of the bag's patch dim
+    mask: jax.Array,  # [B, N_local]
+    *,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Shard-local flash statistics for bag-sharded pooling.
+
+    Returns (acc [B, T_PAD, H] f32, stats [B, 2, T_PAD] f32) where
+    ``acc = sum_i exp(s_i - max) * h_i`` over the local patches,
+    ``stats[:, 0] = max`` (running local max, NEG_INF if fully masked) and
+    ``stats[:, 1] = denom``. Combine shards with
+    :func:`toad_tpu.parallel.bag_shard.combine_partial_pool`.
+    """
+    return _pallas_pool_call(
+        params, x, mask, compute_dtype=jnp.dtype(compute_dtype), interpret=interpret,
+        with_scores=False, partial=True,
+    )
+
+
+def xla_pool_partial(params: dict[str, Any], x: jax.Array, mask: jax.Array, *, compute_dtype=jnp.float32):
+    """jnp reference of :func:`pallas_pool_partial` (same outputs, padded to
+    T_PAD) — used off-TPU and as the parity oracle."""
+    from toad_tpu.ops.fused_pool import _trunk_scores
+
+    h, scores = _trunk_scores(params, x, jnp.dtype(compute_dtype))  # [B,N,H], [B,N,T]
+    t = scores.shape[-1]
+    s = jnp.where(mask[:, :, None] > 0, scores, NEG_INF)  # [B, N, T]
+    mx = jnp.max(s, axis=1)  # [B, T]
+    safe = jnp.where(mx <= NEG_INF / 2, 0.0, mx)
+    e = jnp.exp(s - safe[:, None, :]) * (mask[:, :, None] > 0)  # [B, N, T]
+    denom = e.sum(axis=1)  # [B, T]
+    acc = jnp.einsum("bnt,bnh->bth", e, h.astype(jnp.float32))  # [B, T, H]
+    pad = T_PAD - t
+    acc = jnp.pad(acc, ((0, 0), (0, pad), (0, 0)))
+    stats = jnp.stack([jnp.pad(mx, ((0, 0), (0, pad)), constant_values=NEG_INF),
+                       jnp.pad(denom, ((0, 0), (0, pad)))], axis=1)
+    return acc, stats
