@@ -183,3 +183,39 @@ def test_featurize_cli(tmp_path, encoder_params, monkeypatch):
     for i in range(2):
         feats = np.load(feat_dir / f"slide{i}.npy")
         assert feats.shape == (20, 1024)
+
+
+def test_predict_cli_bulk(tmp_path, capsys):
+    """Unlabeled bulk prediction: bags dir + manifest -> predictions CSV."""
+    import pandas as pd
+
+    mcfg = ModelConfig(in_dim=1024, n_classes=18)
+    params = jax.tree.map(np.asarray, ToadMIL(mcfg).init(jax.random.PRNGKey(5)))
+    from toad_tpu.models.torch_interop import export_torch_checkpoint
+
+    ckpt = tmp_path / "s_0_checkpoint.pt"
+    export_torch_checkpoint(ckpt, params)
+
+    rng = np.random.RandomState(2)
+    bags_dir = tmp_path / "bags"
+    bags_dir.mkdir()
+    for i in range(3):
+        np.save(bags_dir / f"S{i}.npy", rng.randn(30 + i * 10, 1024).astype(np.float32))
+    manifest = tmp_path / "m.csv"
+    pd.DataFrame({"slide_id": ["S0", "S1", "S2"], "sex": ["F", "M", "F"]}).to_csv(manifest, index=False)
+
+    from toad_tpu.cli import predict as predict_cli
+
+    out = tmp_path / "preds.csv"
+    predict_cli.main(["--ckpt", str(ckpt), "--data_dir", str(bags_dir),
+                      "--csv", str(manifest), "--out", str(out)])
+    df = pd.read_csv(out)
+    assert len(df) == 3
+    assert {"slide_id", "Y_hat", "top1", "top1_p", "site", "site_p"} <= set(df.columns)
+    np.testing.assert_allclose(df[[f"p_{c}" for c in range(18)]].sum(axis=1), 1.0, rtol=1e-4)
+
+    # no manifest: discovers bags, needs --sex fallback
+    out2 = tmp_path / "preds2.csv"
+    predict_cli.main(["--ckpt", str(ckpt), "--data_dir", str(bags_dir),
+                      "--out", str(out2), "--sex", "M"])
+    assert len(pd.read_csv(out2)) == 3

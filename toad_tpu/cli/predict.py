@@ -1,0 +1,112 @@
+"""``python -m toad_tpu.cli.predict`` — bulk inference over unlabeled slides.
+
+The reference's eval script requires ground-truth labels in the CSV; this
+command predicts tumor origin + site for a directory of feature bags (or a
+manifest with just ``slide_id`` and optional ``sex``) and writes a
+predictions CSV — the deployment-shaped entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from toad_tpu.config import ModelConfig
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TOAD-TPU bulk slide prediction")
+    p.add_argument("--ckpt", type=str, required=True, help="Orbax checkpoint dir or reference s_k_checkpoint.pt")
+    p.add_argument("--data_dir", type=str, required=True, help="directory of feature bags")
+    p.add_argument("--csv", type=str, default=None,
+                   help="manifest with slide_id[,sex]; defaults to every bag file in --data_dir")
+    p.add_argument("--out", type=str, required=True, help="output predictions CSV")
+    p.add_argument("--task", type=str, default=None, help="task name/JSON for class label names")
+    p.add_argument("--n_classes", type=int, default=18)
+    p.add_argument("--encoding_size", type=int, default=1024)
+    p.add_argument("--sex", type=str, default=None, help="fallback sex (F/M) when the manifest has none")
+    p.add_argument("--topk", type=int, default=3)
+    p.add_argument("--bf16", action="store_true", default=False)
+    p.add_argument("--pallas", action="store_true", default=False)
+    return p
+
+
+def _sex_to_int(v) -> int:
+    m = {"f": 0, "m": 1, "0": 0, "1": 1, "female": 0, "male": 1}
+    key = str(v).strip().lower()
+    if key not in m:
+        raise ValueError(f"sex must be F/M/0/1, got {v!r}")
+    return m[key]
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    data_dir = Path(args.data_dir)
+
+    if args.csv:
+        df = pd.read_csv(args.csv)
+        if "slide_id" not in df.columns:
+            raise ValueError(f"{args.csv}: manifest needs a slide_id column")
+        slides = [str(s) for s in df["slide_id"]]
+        sexes = df["sex"].tolist() if "sex" in df.columns else [args.sex] * len(slides)
+    else:
+        files = sorted(
+            p for ext in (".pt", ".h5", ".npy", ".npz") for p in data_dir.glob(f"*{ext}")
+        )
+        if not files:
+            raise FileNotFoundError(f"no bag files in {data_dir}")
+        slides = sorted({p.stem for p in files})
+        sexes = [args.sex] * len(slides)
+
+    model_cfg = ModelConfig(
+        in_dim=args.encoding_size,
+        n_classes=args.n_classes,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        use_pallas=args.pallas,
+    )
+    from toad_tpu.data.bags import bag_path
+    from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag
+
+    inference = SlideInference.from_checkpoint(args.ckpt, model_cfg)
+
+    inv = None
+    if args.task:
+        from toad_tpu.registry import load_task
+
+        task = load_task(args.task)
+        inv = {v: k for k, v in task.label_dicts[0].items()}
+
+    rows = []
+    for slide_id, sex in zip(slides, sexes):
+        if sex is None:
+            raise SystemExit(f"{slide_id}: no sex in manifest and no --sex fallback given")
+        pred, _ = infer_feature_bag(inference, bag_path(data_dir, slide_id), _sex_to_int(sex))
+        row = {
+            "slide_id": slide_id,
+            "sex": _sex_to_int(sex),
+            "Y_hat": pred.y_hat,
+            "prediction": inv.get(pred.y_hat, str(pred.y_hat)) if inv else str(pred.y_hat),
+            "site_hat": pred.site_hat,
+            "site": "Metastatic" if pred.site_hat else "Primary",
+            "n_patches": int(pred.attention.shape[0]),
+        }
+        for r, (ci, prob) in enumerate(pred.topk[: args.topk], start=1):
+            row[f"top{r}"] = inv.get(ci, str(ci)) if inv else str(ci)
+            row[f"top{r}_p"] = round(float(prob), 6)
+        for ci, prob in enumerate(pred.y_prob):
+            row[f"p_{ci}"] = float(prob)
+        row["site_p"] = float(pred.site_prob[1])
+        rows.append(row)
+        print(f"{slide_id}: {row['prediction']} (p={row['top1_p']}) {row['site']}")
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    pd.DataFrame(rows).to_csv(out, index=False)
+    print(f"wrote {out} ({len(rows)} slides)")
+
+
+if __name__ == "__main__":
+    main()
