@@ -16,4 +16,38 @@ whole-slide-image feature bags), designed TPU-first:
 
 from toad_tpu.version import __version__
 
-__all__ = ["__version__"]
+# Lazy top-level API: heavy deps (jax, h5py, orbax) only load when touched.
+_EXPORTS = {
+    "TaskConfig": "toad_tpu.config",
+    "ModelConfig": "toad_tpu.config",
+    "EncoderConfig": "toad_tpu.config",
+    "OptimConfig": "toad_tpu.config",
+    "DataConfig": "toad_tpu.config",
+    "TrainConfig": "toad_tpu.config",
+    "EvalConfig": "toad_tpu.config",
+    "ViTConfig": "toad_tpu.models.vit_encoder",
+    "ToadMIL": "toad_tpu.models.toad_mil",
+    "ResNetEncoder": "toad_tpu.models.resnet_encoder",
+    "ViTEncoder": "toad_tpu.models.vit_encoder",
+    "WSIBagDataset": "toad_tpu.data.wsi_dataset",
+    "WSIBagSplit": "toad_tpu.data.wsi_dataset",
+    "PatientBagSplit": "toad_tpu.data.wsi_dataset",
+    "BagBatcher": "toad_tpu.data.batching",
+    "FoldTrainer": "toad_tpu.train.loop",
+    "evaluate_checkpoint": "toad_tpu.evaluate.engine",
+    "evaluate_split": "toad_tpu.evaluate.engine",
+    "SlideInference": "toad_tpu.pipeline.infer",
+    "TileEmbedder": "toad_tpu.pipeline.featurize",
+    "render_heatmap": "toad_tpu.pipeline.heatmap",
+    "load_task": "toad_tpu.registry",
+}
+
+__all__ = ["__version__", *sorted(_EXPORTS)]
+
+
+def __getattr__(name: str):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module 'toad_tpu' has no attribute {name!r}")
