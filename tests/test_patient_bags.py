@@ -68,6 +68,10 @@ def test_training_with_patient_bags(dummy_env, tmp_path):
     # batch time), so membership is reproducible from the snapshot alone
     snap = (tmp_path / "splits_0.csv").read_text()
     assert "SLIDE" in snap
+    # patient_results must be keyed by CASE ids (the bag identity), not by
+    # arbitrary slide ids indexed with patient-level indices
+    keys = list(r["results"].keys())
+    assert keys and all("PATIENT" in k for k in keys), keys[:3]
 
 
 def test_eval_engine_over_patient_bags(dummy_env, tmp_path):

@@ -219,3 +219,42 @@ def test_predict_cli_bulk(tmp_path, capsys):
     predict_cli.main(["--ckpt", str(ckpt), "--data_dir", str(bags_dir),
                       "--out", str(out2), "--sex", "M"])
     assert len(pd.read_csv(out2)) == 3
+
+
+def test_predict_truncates_oversized_bags():
+    """Bags beyond the largest bucket are head-truncated, not a crash."""
+    mcfg = ModelConfig(in_dim=32, n_classes=5)
+    inf = SlideInference(ToadMIL(mcfg).init(jax.random.PRNGKey(9)), mcfg, bucket_sizes=(64, 128))
+    feats = np.random.RandomState(0).randn(300, 32).astype(np.float32)
+    pred = inf.predict(feats, sex=0)
+    assert pred.attention.shape == (128,)
+    # equals predicting the head-truncated bag directly
+    pred2 = inf.predict(feats[:128], sex=0)
+    np.testing.assert_allclose(pred.y_prob, pred2.y_prob, atol=1e-6)
+
+
+def test_predict_cli_nan_sex_falls_back(tmp_path, capsys):
+    import pandas as pd
+
+    mcfg = ModelConfig(in_dim=1024, n_classes=18)
+    params = jax.tree.map(np.asarray, ToadMIL(mcfg).init(jax.random.PRNGKey(6)))
+    from toad_tpu.models.torch_interop import export_torch_checkpoint
+
+    ckpt = tmp_path / "c.pt"
+    export_torch_checkpoint(ckpt, params)
+    bags_dir = tmp_path / "bags"
+    bags_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        np.save(bags_dir / f"S{i}.npy", rng.randn(20, 1024).astype(np.float32))
+    # int-coded sex column with one missing value -> pandas floats + NaN
+    manifest = tmp_path / "m.csv"
+    pd.DataFrame({"slide_id": ["S0", "S1"], "sex": [1, None]}).to_csv(manifest, index=False)
+
+    from toad_tpu.cli import predict as predict_cli
+
+    out = tmp_path / "p.csv"
+    predict_cli.main(["--ckpt", str(ckpt), "--data_dir", str(bags_dir),
+                      "--csv", str(manifest), "--out", str(out), "--sex", "F", "--topk", "0"])
+    df = pd.read_csv(out)
+    assert df["sex"].tolist() == [1, 0]  # 1.0 parsed; NaN -> --sex F

@@ -156,3 +156,10 @@ def test_save_torch_pickle_full_state(tmp_path):
     assert ours["step"] == 17
     theirs = torch.load(p, map_location="cpu", weights_only=False)
     np.testing.assert_allclose(theirs["params"]["w"].numpy(), state["params"]["w"])
+
+
+def test_ungated_export_raises_clearly():
+    cfg = ModelConfig(in_dim=32, n_classes=5, gate=False)
+    params = jax.tree.map(np.asarray, ToadMIL(cfg).init(jax.random.PRNGKey(0)))
+    with pytest.raises(ValueError, match="un-gated"):
+        toad_state_dict_from_params(params)

@@ -161,3 +161,16 @@ def test_tile_embedder_vit(tmp_path):
     # matches direct call
     one = np.asarray(emb(tiles[:4]))
     np.testing.assert_allclose(feats[:4], one, rtol=1e-5)
+
+
+def test_heads_inference_guard(torch_vit):
+    """Explicit heads override is honored; non-multiple-of-64 widths without
+    heads raise instead of silently mis-partitioning attention."""
+    sd = {k: v.numpy() for k, v in torch_vit.state_dict().items()}
+    _, cfg = params_from_timm_state_dict(sd, heads=2)
+    assert cfg.heads == 2
+    # fake a width-96 state dict surface by lying about cls_token only
+    bad = dict(sd)
+    bad["cls_token"] = np.zeros((1, 1, 96), np.float32)
+    with pytest.raises(ValueError, match="pass heads"):
+        params_from_timm_state_dict(bad)

@@ -39,3 +39,13 @@ def echo_settings(path: str | os.PathLike, settings: dict) -> None:
     print("################# Settings ###################")
     for k, v in settings.items():
         print(f"{k}:  {v}")
+
+
+def parse_sex(value) -> int:
+    """F/M/0/1 (any case, also 'female'/'male', int- or float-coded like the
+    '0.0' pandas produces for numeric columns with NaNs) -> 0/1."""
+    m = {"f": 0, "m": 1, "female": 0, "male": 1, "0": 0, "1": 1, "0.0": 0, "1.0": 1}
+    key = str(value).strip().lower()
+    if key not in m:
+        raise ValueError(f"sex must be F/M/0/1, got {value!r}")
+    return m[key]

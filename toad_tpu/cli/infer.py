@@ -37,17 +37,11 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _parse_sex(s: str) -> int:
-    m = {"f": 0, "m": 1, "0": 0, "1": 1, "female": 0, "male": 1}
-    key = s.strip().lower()
-    if key not in m:
-        raise ValueError(f"--sex must be F/M/0/1, got {s!r}")
-    return m[key]
-
-
 def main(argv=None):
+    from toad_tpu.cli.common import parse_sex
+
     args = make_parser().parse_args(argv)
-    sex = _parse_sex(args.sex)
+    sex = parse_sex(args.sex)
 
     model_cfg = ModelConfig(in_dim=args.encoding_size, n_classes=args.n_classes, use_pallas=args.pallas)
     from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag, infer_patch_file

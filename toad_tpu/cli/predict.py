@@ -34,16 +34,11 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _sex_to_int(v) -> int:
-    m = {"f": 0, "m": 1, "0": 0, "1": 1, "female": 0, "male": 1}
-    key = str(v).strip().lower()
-    if key not in m:
-        raise ValueError(f"sex must be F/M/0/1, got {v!r}")
-    return m[key]
-
-
 def main(argv=None):
+    from toad_tpu.cli.common import parse_sex
+
     args = make_parser().parse_args(argv)
+    topk = max(1, args.topk)
     data_dir = Path(args.data_dir)
 
     if args.csv:
@@ -51,7 +46,12 @@ def main(argv=None):
         if "slide_id" not in df.columns:
             raise ValueError(f"{args.csv}: manifest needs a slide_id column")
         slides = [str(s) for s in df["slide_id"]]
-        sexes = df["sex"].tolist() if "sex" in df.columns else [args.sex] * len(slides)
+        if "sex" in df.columns:
+            # NaN/blank cells fall back to --sex (pandas float-codes the
+            # whole column when any value is missing; parse_sex handles '1.0')
+            sexes = [args.sex if pd.isna(v) else v for v in df["sex"]]
+        else:
+            sexes = [args.sex] * len(slides)
     else:
         files = sorted(
             p for ext in (".pt", ".h5", ".npy", ".npz") for p in data_dir.glob(f"*{ext}")
@@ -83,17 +83,17 @@ def main(argv=None):
     for slide_id, sex in zip(slides, sexes):
         if sex is None:
             raise SystemExit(f"{slide_id}: no sex in manifest and no --sex fallback given")
-        pred, _ = infer_feature_bag(inference, bag_path(data_dir, slide_id), _sex_to_int(sex))
+        pred, _ = infer_feature_bag(inference, bag_path(data_dir, slide_id), parse_sex(sex))
         row = {
             "slide_id": slide_id,
-            "sex": _sex_to_int(sex),
+            "sex": parse_sex(sex),
             "Y_hat": pred.y_hat,
             "prediction": inv.get(pred.y_hat, str(pred.y_hat)) if inv else str(pred.y_hat),
             "site_hat": pred.site_hat,
             "site": "Metastatic" if pred.site_hat else "Primary",
             "n_patches": int(pred.attention.shape[0]),
         }
-        for r, (ci, prob) in enumerate(pred.topk[: args.topk], start=1):
+        for r, (ci, prob) in enumerate(pred.topk[:topk], start=1):
             row[f"top{r}"] = inv.get(ci, str(ci)) if inv else str(ci)
             row[f"top{r}_p"] = round(float(prob), 6)
         for ci, prob in enumerate(pred.y_prob):

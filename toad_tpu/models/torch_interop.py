@@ -96,6 +96,12 @@ def _lin_to(sd: dict[str, np.ndarray], name: str, lin: Mapping[str, Any]) -> Non
 
 def toad_state_dict_from_params(params: Params, dropout: bool = True) -> dict[str, np.ndarray]:
     """ToadMIL params pytree -> reference-layout flat state_dict (numpy)."""
+    if "b" not in params["attn"]:
+        raise ValueError(
+            "un-gated (gate=False) models have no reference-compatible state_dict "
+            "layout — the reference's Attn_Net path is a NameError (SURVEY §2.3.3); "
+            "export is only defined for gated models"
+        )
     fc2_idx, attn_idx = (3, 6) if dropout else (2, 4)
     sd: dict[str, np.ndarray] = {}
     _lin_to(sd, "attention_net.0", params["trunk"]["fc1"])

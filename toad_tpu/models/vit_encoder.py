@@ -203,10 +203,14 @@ def _ln(sd, name):
     }
 
 
-def params_from_timm_state_dict(sd: Mapping[str, Any], config: ViTConfig | None = None) -> tuple[Params, ViTConfig]:
+def params_from_timm_state_dict(
+    sd: Mapping[str, Any], config: ViTConfig | None = None, heads: int | None = None
+) -> tuple[Params, ViTConfig]:
     """timm ViT state_dict -> params. Infers depth/width/layerscale from the
-    keys when `config` is None. Ignores classifier heads (num_classes=0 for
-    UNI anyway)."""
+    keys when `config` is None; the head count is NOT stored in a state_dict,
+    so it defaults to head_dim=64 (correct for ViT-S/B/L/H and UNI) and must
+    be passed explicitly for other geometries. Ignores classifier heads
+    (num_classes=0 for UNI anyway)."""
     sd = {k.removeprefix("module.").removeprefix("model."): v for k, v in sd.items()}
     width = int(np.asarray(sd["cls_token"]).shape[-1])
     depth = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
@@ -216,11 +220,18 @@ def params_from_timm_state_dict(sd: Mapping[str, Any], config: ViTConfig | None 
     n_pos = int(np.asarray(sd["pos_embed"]).shape[1]) - 1
     grid = int(round(float(np.sqrt(n_pos))))
     if config is None:
+        if heads is None:
+            if width % 64 != 0:
+                raise ValueError(
+                    f"cannot infer head count for width {width} (not a multiple of 64); "
+                    "pass heads= explicitly"
+                )
+            heads = width // 64
         config = ViTConfig(
             patch_size=patch,
             width=width,
             depth=depth,
-            heads=width // 64,
+            heads=heads,
             pretrain_img_size=grid * patch,
             layerscale=layerscale,
         )
@@ -254,7 +265,9 @@ def params_from_timm_state_dict(sd: Mapping[str, Any], config: ViTConfig | None 
     return params, config
 
 
-def load_timm_weights(path: str | os.PathLike, config: ViTConfig | None = None) -> tuple[Params, ViTConfig]:
+def load_timm_weights(
+    path: str | os.PathLike, config: ViTConfig | None = None, heads: int | None = None
+) -> tuple[Params, ViTConfig]:
     """Load a timm ViT checkpoint file (e.g. UNI's ``pytorch_model.bin``)."""
     from toad_tpu.data.torch_io import load_torch_pickle
 
@@ -265,7 +278,7 @@ def load_timm_weights(path: str | os.PathLike, config: ViTConfig | None = None) 
         if key in sd and isinstance(sd[key], dict):
             sd = sd[key]
             break
-    return params_from_timm_state_dict(sd, config)
+    return params_from_timm_state_dict(sd, config, heads=heads)
 
 
 def make_vit_embedder(config: ViTConfig, params: Params):

@@ -252,7 +252,10 @@ def pallas_pool_partial(
     ``stats[:, 0] = max`` (running local max, NEG_INF if fully masked) and
     ``stats[:, 1] = denom``. Combine shards with
     :func:`toad_tpu.parallel.bag_shard.combine_partial_pool`.
+    Un-gated params (no attn.b) fall back to the jnp partial.
     """
+    if "b" not in params["attn"]:
+        return xla_pool_partial(params, x, mask, compute_dtype=compute_dtype)
     return _pallas_pool_call(
         params, x, mask, compute_dtype=jnp.dtype(compute_dtype), interpret=interpret,
         with_scores=False, partial=True,

@@ -52,6 +52,8 @@ def bag_sharded_pool(
     ``impl='pallas'`` runs the fused kernel per shard; ``impl='xla'`` uses the
     jnp partial (useful on CPU meshes / as oracle). Both are exact.
     """
+    if impl == "pallas" and "b" not in params["attn"]:
+        impl = "xla"  # the fused kernel implements the gated variant only
     partial_fn = pallas_pool_partial if impl == "pallas" else xla_pool_partial
 
     def local(params, x_l, mask_l):
@@ -61,16 +63,22 @@ def bag_sharded_pool(
             acc, stats = partial_fn(params, x_l, mask_l, compute_dtype=compute_dtype)
         return combine_partial_pool(acc, stats, axis)
 
+    import inspect
+
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    sig = inspect.signature(shard_map)
+    check_kw = {"check_vma": False} if "check_vma" in sig.parameters else (
+        {"check_rep": False} if "check_rep" in sig.parameters else {}
+    )
     pooled = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(None, axis, None), P(None, axis)),
         out_specs=P(),
-        check_vma=False,
+        **check_kw,
     )(params, x, mask)
     return pooled[:, :n_tasks, :]

@@ -77,9 +77,14 @@ class SlideInference:
         return cls(params, model_cfg, **kw)
 
     def predict(self, features: np.ndarray, sex: int) -> SlidePrediction:
-        """One bag [N, D] -> prediction. N is padded up to the nearest bucket."""
+        """One bag [N, D] -> prediction. N is padded up to the nearest bucket;
+        bags longer than the largest bucket are head-truncated to it (same
+        policy as the training batcher)."""
         n = int(features.shape[0])
         bucket = bucket_for(n, self.buckets)
+        if n > bucket:
+            features = features[:bucket]
+            n = bucket
         feats = np.zeros((1, bucket, features.shape[1]), np.float32)
         feats[0, :n] = features
         mask = np.zeros((1, bucket), np.float32)

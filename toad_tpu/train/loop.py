@@ -156,10 +156,6 @@ class FoldTrainer:
 
     def _batcher(self, split, training: bool) -> BagBatcher:
         d = self.cfg.data
-        if d.patient_bags:
-            from toad_tpu.data.wsi_dataset import PatientBagSplit
-
-            split = PatientBagSplit(split)
         mode = ("weighted" if d.weighted_sample else "shuffle") if training else "sequential"
         return BagBatcher(
             split,
@@ -205,6 +201,16 @@ class FoldTrainer:
             },
             self.results_dir / f"splits_{self.fold}.csv",
         )
+
+        if cfg.data.patient_bags:
+            # wrap ONCE here so indices, ids, and labels stay patient-level
+            # everywhere downstream (batching, eval passes, patient_results);
+            # the snapshot above stays slide-level for reproducibility
+            from toad_tpu.data.wsi_dataset import PatientBagSplit
+
+            train_split = PatientBagSplit(train_split)
+            val_split = PatientBagSplit(val_split)
+            test_split = PatientBagSplit(test_split)
 
         rng = jax.random.PRNGKey(cfg.seed)
         rng, init_key = jax.random.split(rng)
