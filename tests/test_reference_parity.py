@@ -1,0 +1,127 @@
+"""Cross-checks against the ACTUAL reference implementation (imported
+read-only from /root/reference when present; skipped elsewhere).
+
+These are the strongest parity proofs available: identical RNG draw order in
+split generation, and identical forward logits for the same checkpoint.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
+
+
+def _stub_torchvision():
+    """The reference imports torchvision but never uses it (SURVEY §2.3.6);
+    this image doesn't ship it, so satisfy the import with an empty stub."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    pytest.importorskip("torch")  # reference utils imports torch at module level
+    _stub_torchvision()
+    sys.path.insert(0, str(REF))
+    try:
+        import utils.utils as ref_utils  # noqa
+
+        return ref_utils
+    finally:
+        sys.path.remove(str(REF))
+
+
+@pytest.mark.parametrize("label_frac", [1.0, 0.5])
+@pytest.mark.parametrize("seed", [1, 7])
+def test_generate_splits_identical_draws(ref_utils, seed, label_frac):
+    """Same cls_ids/seed -> byte-identical train/val/test id sequences."""
+    from toad_tpu.data.splits import generate_splits
+
+    rng = np.random.RandomState(0)
+    n = 200
+    labels = rng.randint(0, 5, n)
+    cls_ids = [np.where(labels == c)[0] for c in range(5)]
+    counts = np.bincount(labels, minlength=5)
+    val_num = np.maximum((counts * 0.1).astype(int), 1)
+    test_num = np.maximum((counts * 0.2).astype(int), 1)
+
+    ref_gen = ref_utils.generate_split(
+        cls_ids, val_num, test_num, samples=n, n_splits=3, seed=seed, label_frac=label_frac
+    )
+    our_gen = generate_splits(
+        cls_ids, val_num, test_num, samples=n, n_splits=3, seed=seed, label_frac=label_frac
+    )
+    for _ in range(3):
+        r_train, r_val, r_test = next(ref_gen)
+        ours = next(our_gen)
+        np.testing.assert_array_equal(np.asarray(sorted(r_train)), np.sort(ours.train))
+        np.testing.assert_array_equal(np.asarray(sorted(r_val)), np.sort(ours.val))
+        np.testing.assert_array_equal(np.asarray(sorted(r_test)), np.sort(ours.test))
+
+
+def test_generate_splits_custom_test_ids(ref_utils):
+    from toad_tpu.data.splits import generate_splits
+
+    rng = np.random.RandomState(1)
+    n = 120
+    labels = rng.randint(0, 3, n)
+    cls_ids = [np.where(labels == c)[0] for c in range(3)]
+    counts = np.bincount(labels, minlength=3)
+    val_num = np.maximum((counts * 0.1).astype(int), 1)
+    test_num = np.zeros(3, int)
+    custom = np.sort(rng.choice(n, 20, replace=False))
+
+    r_train, r_val, r_test = next(
+        ref_utils.generate_split(cls_ids, val_num, test_num, samples=n, n_splits=1, seed=5, custom_test_ids=custom)
+    )
+    ours = next(
+        generate_splits(cls_ids, val_num, test_num, samples=n, n_splits=1, seed=5, custom_test_ids=custom)
+    )
+    np.testing.assert_array_equal(np.asarray(sorted(r_test)), np.sort(ours.test))
+    np.testing.assert_array_equal(np.asarray(sorted(r_train)), np.sort(ours.train))
+    np.testing.assert_array_equal(np.asarray(sorted(r_val)), np.sort(ours.val))
+
+
+def test_forward_parity_with_reference_model():
+    """Same weights -> same logits as the reference TOAD_fc_mtl_concat."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    _stub_torchvision()
+    sys.path.insert(0, str(REF))
+    try:
+        from models.model_toad import TOAD_fc_mtl_concat
+    finally:
+        sys.path.remove(str(REF))
+
+    tmod = TOAD_fc_mtl_concat(gate=True, size_arg="big", dropout=True, n_classes=18).eval()
+    sd = {k: v.numpy() for k, v in tmod.state_dict().items()}
+
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.models.toad_mil import ToadMIL
+    from toad_tpu.models.torch_interop import toad_params_from_state_dict
+
+    cfg = ModelConfig(in_dim=1024, n_classes=18, dropout=True)
+    params = toad_params_from_state_dict(sd, cfg)
+    model = ToadMIL(cfg)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(137, 1024).astype(np.float32)
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(x), torch.tensor([1.0]))
+    ours = model.apply(params, jnp.asarray(x[None]), jnp.ones((1, 137)), jnp.array([1]))
+
+    np.testing.assert_allclose(np.asarray(ours.logits)[0], ref["logits"].numpy()[0], rtol=1e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ours.site_logits)[0], ref["site_logits"].numpy()[0], rtol=1e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ours.y_prob)[0], ref["Y_prob"].numpy()[0], atol=1e-4)
+    assert int(ours.y_hat[0]) == int(ref["Y_hat"].item())
