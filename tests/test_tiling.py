@@ -94,3 +94,22 @@ def test_tile_cli(tmp_path, capsys):
         with h5py.File(tmp_path / "patches" / f"s{i}.h5") as f:
             assert f["imgs"].shape[0] > 0
             assert f["coords"].shape[1] == 2
+
+
+def test_tile_embedder_sharded_matches_single():
+    """Data-parallel featurization over a mesh == single-device embedding."""
+    from jax.sharding import Mesh
+
+    ecfg = EncoderConfig(blocks=(1, 1, 1), compute_dtype="float32")
+    params = ResNetEncoder(ecfg).init(jax.random.PRNGKey(0))
+    tiles = np.random.RandomState(0).randint(0, 256, (16, 32, 32, 3), np.uint8)
+
+    single = TileEmbedder(params, ecfg, batch_size=8)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    sharded = TileEmbedder(params, ecfg, batch_size=8, mesh=mesh)
+    a = single.embed_all(tiles)
+    b = sharded.embed_all(tiles)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        TileEmbedder(params, ecfg, batch_size=6, mesh=mesh)

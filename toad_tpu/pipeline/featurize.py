@@ -67,9 +67,13 @@ class TileEmbedder:
     ResNet-50) or :class:`toad_tpu.models.vit_encoder.ViTConfig` (UNI-style
     ViT, the BASELINE.json foundation-model stretch config)."""
 
-    def __init__(self, params: Any, config: Any = EncoderConfig(), batch_size: int = 128):
+    def __init__(self, params: Any, config: Any = EncoderConfig(), batch_size: int = 128, mesh=None):
+        """``mesh``: optional :class:`jax.sharding.Mesh` — tile batches shard
+        over its first axis (data-parallel featurization; params replicated,
+        no collectives needed). batch_size must divide by the axis size."""
         self.config = config
         self.batch_size = batch_size
+        self.mesh = mesh
         if isinstance(config, EncoderConfig):
             self.folded_params, self._embed = make_embedder(config, params)
         else:
@@ -78,9 +82,25 @@ class TileEmbedder:
             if not isinstance(config, ViTConfig):
                 raise TypeError(f"unsupported encoder config: {type(config)}")
             self.folded_params, self._embed = make_vit_embedder(config, params)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            n_dev = mesh.shape[axis]
+            if batch_size % n_dev:
+                raise ValueError(f"batch_size {batch_size} not divisible by mesh axis {axis}={n_dev}")
+            self._tile_sharding = NamedSharding(mesh, P(axis, None, None, None))
+            self.folded_params = jax.device_put(self.folded_params, NamedSharding(mesh, P()))
+        else:
+            self._tile_sharding = None
+
+    def _put(self, tiles_uint8) -> jax.Array:
+        if self._tile_sharding is not None:
+            return jax.device_put(np.asarray(tiles_uint8), self._tile_sharding)
+        return jnp.asarray(tiles_uint8)
 
     def __call__(self, tiles_uint8: np.ndarray) -> jax.Array:
-        return self._embed(jnp.asarray(tiles_uint8))
+        return self._embed(self._put(tiles_uint8))
 
     def embed_all(self, imgs, progress: Callable[[int, int], None] | None = None) -> np.ndarray:
         """Stream every tile of an (h5 dataset or array) into a [N, D] bag."""
@@ -90,7 +110,7 @@ class TileEmbedder:
         done = 0
         for chunk, valid in iter_tile_batches(imgs, self.batch_size):
             with annotate("toad.featurize.embed_dispatch"):
-                outs.append(self._embed(jnp.asarray(chunk)))  # async dispatch
+                outs.append(self._embed(self._put(chunk)))  # async dispatch
             valids.append(valid)
             done += valid
             if progress is not None:
