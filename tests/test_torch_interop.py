@@ -163,3 +163,26 @@ def test_ungated_export_raises_clearly():
     params = jax.tree.map(np.asarray, ToadMIL(cfg).init(jax.random.PRNGKey(0)))
     with pytest.raises(ValueError, match="un-gated"):
         toad_state_dict_from_params(params)
+
+
+def test_eval_engine_accepts_reference_checkpoint_file(tmp_path, dummy_env):
+    """A reference models dir (s_k_checkpoint.pt files) evaluates as-is
+    through the engine, including the bare path without .pt extension the
+    CLI constructs from checkpoint_name()."""
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+    from toad_tpu.evaluate.engine import evaluate_checkpoint
+
+    dim = dummy_env["dim"]
+    cfg = ModelConfig(in_dim=dim, n_classes=18)
+    params = jax.tree.map(np.asarray, ToadMIL(cfg).init(jax.random.PRNGKey(0)))
+    export_torch_checkpoint(tmp_path / "s_0_checkpoint.pt", params)
+
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]), print_info=False)
+    split = ds.subset(np.arange(12))
+    r1 = evaluate_checkpoint(tmp_path / "s_0_checkpoint.pt", split, cfg, batch_size=4)
+    r2 = evaluate_checkpoint(tmp_path / "s_0_checkpoint", split, cfg, batch_size=4)  # CLI-style bare name
+    assert len(r1.df) == 12
+    np.testing.assert_array_equal(
+        r1.df[[f"p_{c}" for c in range(18)]].to_numpy(),
+        r2.df[[f"p_{c}" for c in range(18)]].to_numpy(),
+    )

@@ -131,12 +131,25 @@ def evaluate_checkpoint(
     batch_size: int = 1,
     max_bag_size: int | None = None,
 ) -> EvalResult:
-    """Load a checkpoint (params-only, tolerant of extra state) and evaluate."""
+    """Load a checkpoint (params-only, tolerant of extra state) and evaluate.
+
+    Accepts an Orbax checkpoint directory OR a reference-trained torch
+    ``s_{fold}_checkpoint.pt`` file (parsed natively), so a reference user's
+    existing models dir evaluates as-is."""
     model = ToadMIL(model_cfg)
     import jax
 
-    template = model.init(jax.random.PRNGKey(0))
-    params = restore_params(ckpt_path, template)
+    ckpt_path = Path(ckpt_path)
+    if ckpt_path.is_dir():
+        template = model.init(jax.random.PRNGKey(0))
+        params = restore_params(ckpt_path, template)
+    else:
+        from toad_tpu.models.torch_interop import import_torch_checkpoint
+
+        torch_file = ckpt_path if ckpt_path.exists() else ckpt_path.with_suffix(".pt")
+        if not torch_file.exists():
+            raise FileNotFoundError(f"checkpoint not found: {ckpt_path} (or {torch_file})")
+        params = import_torch_checkpoint(torch_file, model_cfg)
     return evaluate_split(
         model,
         params,
