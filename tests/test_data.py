@@ -77,3 +77,42 @@ def test_subset_by_slide_ids(dummy_env):
     wanted = list(ds.slide_ids[5:10])
     sub = ds.subset_by_slide_ids(wanted)
     assert sorted(sub.slide_ids) == sorted(wanted)
+
+
+def test_multi_source_data_dir_routing(tmp_path):
+    """data_dir as a {source: dir} mapping routes each slide's bag load by
+    the CSV's `source` column (reference dataset_mtl_concat.py:364-368)."""
+    import pandas as pd
+
+    from toad_tpu.data.synthetic import dummy_task
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(6):
+        src = "site_a" if i % 2 == 0 else "site_b"
+        rows.append({"slide_id": f"S{i}", "case_id": f"P{i}", "label": "Lung",
+                     "site": "Primary", "sex": "F", "source": src})
+    csv = tmp_path / "multi.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    dirs = {"site_a": tmp_path / "a", "site_b": tmp_path / "b"}
+    for d in dirs.values():
+        d.mkdir()
+    bags = {}
+    for i in range(6):
+        d = dirs["site_a" if i % 2 == 0 else "site_b"]
+        bags[f"S{i}"] = rng.randn(10 + i, 8).astype(np.float32)
+        np.save(d / f"S{i}.npy", bags[f"S{i}"])
+
+    task = dummy_task(str(csv))
+    ds = WSIBagDataset(task, data_dir={k: str(v) for k, v in dirs.items()}, print_info=False)
+    for i in range(6):
+        np.testing.assert_array_equal(ds.load_bag(i), bags[str(ds.slide_ids[i])])
+
+    # mapping without a source column fails loudly
+    df2 = pd.DataFrame(rows).drop(columns=["source"])
+    csv2 = tmp_path / "nosrc.csv"
+    df2.to_csv(csv2, index=False)
+    ds2 = WSIBagDataset(dummy_task(str(csv2)), data_dir={k: str(v) for k, v in dirs.items()}, print_info=False)
+    with pytest.raises(ValueError, match="source"):
+        ds2.load_bag(0)
