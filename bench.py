@@ -32,7 +32,7 @@ import numpy as np
 BAG_N = 8192
 DIM = 1024
 BATCH = 32
-CHAIN = 48
+CHAIN = 96
 N_CLASSES = 18
 
 
