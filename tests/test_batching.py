@@ -85,3 +85,56 @@ def test_prefetch_equals_direct(dummy_env):
     direct = [b.indices.tolist() for b in BagBatcher(split, prefetch=0, **kw)]
     pref = [b.indices.tolist() for b in BagBatcher(split, prefetch=3, **kw)]
     assert direct == pref
+
+
+def test_len_exact_across_buckets(tmp_path):
+    """__len__ counts per-bucket partial batches (was ceil(n/batch))."""
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.synthetic import dummy_task, write_dummy_csv
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    csv = tmp_path / "m.csv"
+    manifest = write_dummy_csv(csv, n_patients=8, max_slides_per_patient=1, seed=0)
+    task = dummy_task(str(csv))
+    bags_dir = tmp_path / "bags"
+    bags_dir.mkdir()
+    rng = np.random.RandomState(0)
+    # 4 small bags (bucket 32), 4 large (bucket 64)
+    for i, row in enumerate(manifest.itertuples()):
+        n = 20 if i < 4 else 50
+        np.save(bags_dir / f"{row.slide_id}.npy", rng.randn(n, 8).astype(np.float32))
+    ds = WSIBagDataset(task, data_dir=str(bags_dir), print_info=False)
+    split = ds.subset(np.arange(8))
+    b = BagBatcher(split, batch_size=8, bucket_sizes=(32, 64), prefetch=0)
+    batches = list(b)
+    assert len(batches) == 2  # one partial batch per bucket
+    assert len(b) == 2  # exact, not ceil(8/8)=1
+    # shuffle mode: same count (grouping is order-independent)
+    b2 = BagBatcher(split, batch_size=8, bucket_sizes=(32, 64), mode="shuffle", prefetch=0)
+    assert len(b2) == 2
+
+
+def test_prefetch_producer_stops_on_abandoned_iterator():
+    """Abandoning the generator mid-iteration must not leave the producer
+    blocked on the bounded queue forever."""
+    import threading
+    import time
+
+    from toad_tpu.data.batching import _prefetch_iter
+
+    produced = []
+
+    def make():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = _prefetch_iter(make, depth=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    assert len(produced) < 1000  # it actually stopped early

@@ -170,3 +170,28 @@ def test_cli_skips_completed_folds(dummy_env, tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert out.count("already complete") == 2
     assert df2["cls_test_auc"].tolist() == df1["cls_test_auc"].tolist()
+
+
+def test_early_stopping_checkpoint_roundtrip(dummy_env, tmp_path):
+    """Early stopping saves best-val checkpoints mid-training and reloads
+    them at the end (reference core_utils:148-151) — this exercises the
+    orbax save/restore of mixed params+scalar state that plain runs skip."""
+    splits = _splits(dummy_env)
+    cfg = TrainConfig(
+        max_epochs=3,
+        seed=1,
+        early_stopping=True,
+        min_stop_epoch=0,
+        patience=2,
+        model=ModelConfig(in_dim=dummy_env["dim"], n_classes=18),
+        optim=OptimConfig(lr=3e-4),
+        data=DataConfig(batch_size=4, bucket_sizes=(64, 128, 256)),
+    )
+    trainer = FoldTrainer(cfg, fold=0, results_dir=tmp_path)
+    r = trainer.train(*splits, log_fn=lambda s: None)
+    assert trainer.ckpt_path.exists()
+    assert np.isfinite(r["cls_test_auc"])
+    from toad_tpu.train.checkpoint import restore_checkpoint
+
+    state = restore_checkpoint(trainer.ckpt_path)
+    assert "params" in state and "epoch" in state

@@ -16,6 +16,11 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
+# the padding ladder every component defaults to (powers of two divide any
+# power-of-two mesh axis; the top rung covers the 150k-patch stretch scale)
+DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072)
+
+
 @dataclass(frozen=True)
 class TaskConfig:
     """A classification task: the data contract between CSV and model.
@@ -119,7 +124,7 @@ class DataConfig:
 
     data_dir: str | dict[str, str] | None = None
     batch_size: int = 1
-    bucket_sizes: tuple[int, ...] = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072)
+    bucket_sizes: tuple[int, ...] = DEFAULT_BUCKETS
     max_bag_size: int | None = None  # truncate bags longer than this
     use_h5: bool = False
     prefetch: int = 2

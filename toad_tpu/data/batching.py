@@ -29,6 +29,8 @@ from typing import Callable, Iterator, Sequence
 
 import numpy as np
 
+from toad_tpu.config import DEFAULT_BUCKETS
+
 
 @dataclass
 class BagBatch:
@@ -92,7 +94,7 @@ class BagBatcher:
         self,
         split,
         batch_size: int = 1,
-        bucket_sizes: Sequence[int] | None = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072),
+        bucket_sizes: Sequence[int] | None = DEFAULT_BUCKETS,
         mode: str = "sequential",
         seed: int = 0,
         testing_frac: float | None = None,
@@ -114,12 +116,51 @@ class BagBatcher:
         self.feature_dim = feature_dim
         self.native = native  # 'auto' | 'on' | 'off'
         self._payloads: list | None = None  # lazy PayloadInfo cache
+        self._lengths: list | None | bool = False  # False = not yet probed
         self.native_active: bool | None = None
         self._epoch = 0
 
+    def _bag_lengths(self) -> list | None:
+        """Per-bag row counts from file metadata (no payload reads), or None
+        when any bag is unresolvable."""
+        if self._lengths is not False:
+            return self._lengths
+        lengths = None
+        if hasattr(self.split, "bag_file"):
+            from toad_tpu.data.native_bags import resolve_payload
+
+            out = []
+            for i in range(len(self.split)):
+                p = resolve_payload(self.split.bag_file(i))
+                if p is None:
+                    out = None
+                    break
+                out.append(p.nrows)
+            lengths = out
+        self._lengths = lengths
+        return lengths
+
     def __len__(self) -> int:
-        n = len(self._order(np.random.RandomState(0)))
-        return (n + self.batch_size - 1) // self.batch_size
+        """Exact batch count for sequential/shuffle modes when bag lengths are
+        resolvable from file metadata (grouping is by bucket, so the count is
+        order-independent); otherwise the bag-count upper bound
+        ceil(n/batch_size) (weighted mode resamples per epoch, so its exact
+        count is epoch-dependent anyway)."""
+        order = self._order(np.random.RandomState(0))
+        approx = (len(order) + self.batch_size - 1) // self.batch_size
+        if self.mode == "weighted" or self.testing_frac is not None or self.bucket_sizes is None:
+            return approx
+        lengths = self._bag_lengths()
+        if lengths is None:
+            return approx
+        counts: dict[int, int] = {}
+        for i in order:
+            n = lengths[int(i)]
+            if self.max_bag_size is not None:
+                n = min(n, self.max_bag_size)
+            b = bucket_for(n, self.bucket_sizes)
+            counts[b] = counts.get(b, 0) + 1
+        return sum((c + self.batch_size - 1) // self.batch_size for c in counts.values())
 
     @property
     def n_bags(self) -> int:
@@ -285,26 +326,43 @@ class BagBatcher:
 
 
 def _prefetch_iter(make_iter: Callable[[], Iterator], depth: int) -> Iterator:
-    """Run an iterator in a background thread, keeping `depth` items ready."""
+    """Run an iterator in a background thread, keeping `depth` items ready.
+    If the consumer abandons the generator (exception mid-epoch), the
+    producer notices via a stop event and exits instead of blocking forever
+    on the bounded queue (which leaked its thread pool)."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
     error: list[BaseException] = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in make_iter():
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate into consumer
             error.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -17,7 +17,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
-from toad_tpu.config import EvalConfig, ModelConfig
+from toad_tpu.config import DEFAULT_BUCKETS, EvalConfig, ModelConfig
 from toad_tpu.data.batching import BagBatcher
 from toad_tpu.evaluate.metrics import AccuracyLogger, binary_auc, micro_ovr_auc, ovr_aucs, topk_accuracy
 from toad_tpu.evaluate.runner import make_eval_step, run_eval_pass
@@ -64,7 +64,7 @@ def evaluate_split(
     batcher = BagBatcher(
         split,
         batch_size=batch_size,
-        bucket_sizes=bucket_sizes if bucket_sizes is not None else (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072),
+        bucket_sizes=bucket_sizes if bucket_sizes is not None else DEFAULT_BUCKETS,
         mode="sequential",
         max_bag_size=max_bag_size,
     )

@@ -160,34 +160,18 @@ class ToadMIL:
         )
 
     def _forward_dropout(self, params: Params, x, mask, rng):
-        """Training path with dropout p=0.25 at the reference's positions
-        (after each trunk ReLU and after tanh/sigmoid in the attention
-        branches — ``model_toad.py:59-64`` and ``:27-29``)."""
+        """Training path with dropout p=0.25 at the reference's positions,
+        reusing the ONE shared forward (:func:`_trunk_scores`) with a
+        per-site dropout hook."""
         c = self.config
         p = c.dropout_rate
         dt = jnp.dtype(c.compute_dtype)
-        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        keys = jax.random.split(rng, 4)
 
-        def drop(v, k):
-            keep = jax.random.bernoulli(k, 1.0 - p, v.shape)
+        def drop(site, v):
+            keep = jax.random.bernoulli(keys[site], 1.0 - p, v.shape)
             return jnp.where(keep, v / (1.0 - p), 0.0)
 
-        w1, b1 = params["trunk"]["fc1"]["w"].astype(dt), params["trunk"]["fc1"]["b"].astype(dt)
-        w2, b2 = params["trunk"]["fc2"]["w"].astype(dt), params["trunk"]["fc2"]["b"].astype(dt)
-        wa, ba = params["attn"]["a"]["w"].astype(dt), params["attn"]["a"]["b"].astype(dt)
-        gated = "b" in params["attn"]
-        if gated:
-            wb, bb = params["attn"]["b"]["w"].astype(dt), params["attn"]["b"]["b"].astype(dt)
-        wc, bc = params["attn"]["c"]["w"].astype(dt), params["attn"]["c"]["b"].astype(dt)
-
-        h = jax.nn.relu(jnp.einsum("bnd,dh->bnh", x.astype(dt), w1, preferred_element_type=dt) + b1)
-        h = drop(h, k1)
-        h = jax.nn.relu(jnp.einsum("bnh,hk->bnk", h, w2, preferred_element_type=dt) + b2)
-        h = drop(h, k2)
-        a = drop(jnp.tanh(jnp.einsum("bnh,ha->bna", h, wa, preferred_element_type=dt) + ba), k3)
-        if gated:
-            g = drop(jax.nn.sigmoid(jnp.einsum("bnh,ha->bna", h, wb, preferred_element_type=dt) + bb), k4)
-            a = a * g
-        scores = jnp.einsum("bna,at->bnt", a, wc, preferred_element_type=jnp.float32) + bc.astype(jnp.float32)
+        h, scores = _trunk_scores(params, x, dt, drop=drop)
         m, attn = masked_attention_pool(scores, h.astype(jnp.float32), mask)
         return m, attn, scores

@@ -29,12 +29,18 @@ import jax.numpy as jnp
 from toad_tpu.ops.pooling import masked_attention_pool
 
 
-def _trunk_scores(params: dict[str, Any], x: jax.Array, compute_dtype=jnp.float32):
+def _trunk_scores(params: dict[str, Any], x: jax.Array, compute_dtype=jnp.float32, drop=None):
     """Shared math: trunk MLP then gated attention scores.
 
     x: [B, N, D] -> (h [B, N, H], scores [B, N, T])
+
+    ``drop(site, value)`` is an optional hook applied at the reference's four
+    dropout positions (after each trunk ReLU, after tanh, after sigmoid —
+    ``model_toad.py:59-64,27-29``); the ONE definition of this forward serves
+    both the eval path (drop=None) and the training path.
     """
     dt = compute_dtype
+    d = drop if drop is not None else (lambda i, v: v)
     w1, b1 = params["trunk"]["fc1"]["w"].astype(dt), params["trunk"]["fc1"]["b"].astype(dt)
     w2, b2 = params["trunk"]["fc2"]["w"].astype(dt), params["trunk"]["fc2"]["b"].astype(dt)
     wa, ba = params["attn"]["a"]["w"].astype(dt), params["attn"]["a"]["b"].astype(dt)
@@ -44,11 +50,11 @@ def _trunk_scores(params: dict[str, Any], x: jax.Array, compute_dtype=jnp.float3
     wc, bc = params["attn"]["c"]["w"].astype(dt), params["attn"]["c"]["b"].astype(dt)
 
     x = x.astype(dt)
-    h = jax.nn.relu(jnp.einsum("bnd,dh->bnh", x, w1, preferred_element_type=dt) + b1)
-    h = jax.nn.relu(jnp.einsum("bnh,hk->bnk", h, w2, preferred_element_type=dt) + b2)
-    a = jnp.tanh(jnp.einsum("bnh,ha->bna", h, wa, preferred_element_type=dt) + ba)
+    h = d(0, jax.nn.relu(jnp.einsum("bnd,dh->bnh", x, w1, preferred_element_type=dt) + b1))
+    h = d(1, jax.nn.relu(jnp.einsum("bnh,hk->bnk", h, w2, preferred_element_type=dt) + b2))
+    a = d(2, jnp.tanh(jnp.einsum("bnh,ha->bna", h, wa, preferred_element_type=dt) + ba))
     if gated:
-        g = jax.nn.sigmoid(jnp.einsum("bnh,ha->bna", h, wb, preferred_element_type=dt) + bb)
+        g = d(3, jax.nn.sigmoid(jnp.einsum("bnh,ha->bna", h, wb, preferred_element_type=dt) + bb))
         a = a * g
     scores = jnp.einsum("bna,at->bnt", a, wc, preferred_element_type=jnp.float32) + bc.astype(jnp.float32)
     return h, scores

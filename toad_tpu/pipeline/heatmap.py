@@ -106,9 +106,9 @@ def render_heatmap(
     cnt = np.zeros((H, W), np.float32)
     xy = coords // downscale
     for (x, y), s in zip(xy, scores):
-        y2, x2 = min(y + ps, H), min(x + ps, W)
-        if y >= H or x >= W:
+        if y >= H or x >= W or y < 0 or x < 0:  # off-canvas (incl. negative wrap)
             continue
+        y2, x2 = min(y + ps, H), min(x + ps, W)
         acc[y:y2, x:x2] += s
         cnt[y:y2, x:x2] += 1.0
     covered = cnt > 0

@@ -47,10 +47,14 @@ class SlideInference:
         self,
         params: Any,
         model_cfg: ModelConfig,
-        bucket_sizes: Sequence[int] = DataConfig().bucket_sizes,
+        bucket_sizes: Sequence[int] | None = None,
     ):
         self.model = ToadMIL(model_cfg)
         self.params = params
+        if bucket_sizes is None:
+            from toad_tpu.config import DEFAULT_BUCKETS
+
+            bucket_sizes = DEFAULT_BUCKETS
         self.buckets = tuple(sorted(bucket_sizes))
 
         def fwd(params, feats, mask, sex):

@@ -33,17 +33,42 @@ def save_checkpoint(path: str | os.PathLike, state: dict[str, Any]) -> None:
     with os.replace, so the previous snapshot survives a preemption at any
     point during the write — crucial for the per-epoch resume snapshots,
     whose whole purpose is surviving mid-write kills."""
+    import jax
+
+    state = jax.tree.map(np.asarray, state)  # orbax rejects bare numpy scalars
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.parent / f".tmp_{path.name}_{os.getpid()}"
-    if tmp.exists():
-        shutil.rmtree(tmp)
+    tmp = path.parent / f".tmp_{path.name}"
+    old = path.parent / f".old_{path.name}"
+    for stale in (tmp, old):
+        if stale.exists():
+            shutil.rmtree(stale)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp, state)
         ckptr.wait_until_finished()
+    # two renames instead of rmtree-then-rename: a kill at any point leaves
+    # either the new snapshot at `path` or the previous one recoverable at
+    # `old` (see recover_checkpoint) — never zero snapshots
     if path.exists():
-        shutil.rmtree(path)  # new snapshot is already durable at tmp
+        os.replace(path, old)
     os.replace(tmp, path)
+    if old.exists():
+        shutil.rmtree(old)
+
+
+def recover_checkpoint(path: str | os.PathLike) -> Path | None:
+    """Resolve `path` to a usable snapshot: itself, or the rename-aside
+    `.old_<name>` left by a preemption inside save_checkpoint's swap window
+    (in which case the previous epoch's snapshot is restored into place).
+    Returns None when neither exists."""
+    path = Path(path).absolute()
+    if path.exists():
+        return path
+    old = path.parent / f".old_{path.name}"
+    if old.exists():
+        os.replace(old, path)
+        return path
+    return None
 
 
 def restore_checkpoint(path: str | os.PathLike, template: dict[str, Any] | None = None) -> dict[str, Any]:
@@ -52,6 +77,7 @@ def restore_checkpoint(path: str | os.PathLike, template: dict[str, Any] | None 
     path = Path(path).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         if template is not None:
+            template = jax.tree.map(np.asarray, template)  # no bare numpy scalars
             abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
             return ckptr.restore(path, abstract)
         return ckptr.restore(path)

@@ -34,7 +34,7 @@ from toad_tpu.evaluate.metrics import AccuracyLogger
 from toad_tpu.evaluate.runner import batch_to_dict as _to_batch_dict
 from toad_tpu.evaluate.runner import make_eval_step, run_eval_pass
 from toad_tpu.models.toad_mil import ToadMIL
-from toad_tpu.train.checkpoint import checkpoint_name, restore_checkpoint, save_checkpoint
+from toad_tpu.train.checkpoint import checkpoint_name, recover_checkpoint, restore_checkpoint, save_checkpoint
 from toad_tpu.train.optim import make_optimizer
 
 
@@ -105,7 +105,9 @@ class EarlyStopping:
 
     def __call__(self, epoch: int, val_loss: float) -> bool:
         """Returns True when this epoch's state should be checkpointed."""
-        improved = self.best is None or val_loss < self.best
+        # ties count as improvements, like the reference (score < best_score
+        # is the only non-improving branch, core_utils:70-76)
+        improved = self.best is None or val_loss <= self.best
         if improved:
             self.best = val_loss
             self.counter = 0
@@ -187,7 +189,7 @@ class FoldTrainer:
         }
         if stopper is not None:
             state["stopper"] = stopper.state_dict()
-        save_checkpoint(self.resume_path, jax.tree.map(np.asarray, state))
+        save_checkpoint(self.resume_path, state)
 
     def train(self, train_split, val_split, test_split, log_fn: Callable[[str], None] = print):
         cfg = self.cfg
@@ -212,6 +214,8 @@ class FoldTrainer:
             val_split = PatientBagSplit(val_split)
             test_split = PatientBagSplit(test_split)
 
+        # every fold starts from the same seed — reference semantics: it
+        # re-seeds with args.seed before EACH fold (main_mtl_concat.py:48)
         rng = jax.random.PRNGKey(cfg.seed)
         rng, init_key = jax.random.split(rng)
         params = self.model.init(init_key)
@@ -237,7 +241,7 @@ class FoldTrainer:
         best_saved = False
         start_epoch = 0
 
-        if cfg.resume and self.resume_path.exists():
+        if cfg.resume and recover_checkpoint(self.resume_path) is not None:
             template = {
                 "params": jax.tree.map(np.asarray, params),
                 "opt_state": jax.tree.map(np.asarray, opt_state),
@@ -334,7 +338,7 @@ class FoldTrainer:
             if cfg.resume and (epoch + 1) % cfg.resume_every == 0:
                 self._save_resume(params, opt_state, rng, epoch, stopper, best_saved)
 
-        if cfg.resume and self.resume_path.exists():
+        if cfg.resume and recover_checkpoint(self.resume_path) is not None:
             import shutil
 
             shutil.rmtree(self.resume_path)  # fold finished; snapshot obsolete
