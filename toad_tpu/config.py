@@ -18,7 +18,7 @@ from typing import Any
 
 # the padding ladder every component defaults to (powers of two divide any
 # power-of-two mesh axis; the top rung covers the 150k-patch stretch scale)
-DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072)
+DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 163840, 262144)
 
 
 @dataclass(frozen=True)
