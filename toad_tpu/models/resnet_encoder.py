@@ -68,6 +68,10 @@ class ResNetEncoder:
         self.config = config
 
     def init(self, key: jax.Array) -> Params:
+        """One jitted program (see ViTEncoder.init for why)."""
+        return jax.jit(self._init_impl)(key)
+
+    def _init_impl(self, key: jax.Array) -> Params:
         c = self.config
         dtype = jnp.dtype(c.param_dtype)
         n_stages = len(c.blocks)
@@ -315,11 +319,12 @@ def make_embedder(config: EncoderConfig, params: Params):
     enc = ResNetEncoder(config)
     fp = fold_bn(params, config) if config.fold_bn else params
 
+    # params as jit arguments, not closure constants (see make_vit_embedder)
     @jax.jit
-    def embed(tiles: jax.Array) -> jax.Array:
+    def embed_fn(fp, tiles: jax.Array) -> jax.Array:
         x = enc.preprocess(tiles)
         if config.fold_bn:
             return apply_folded(config, fp, x)
         return enc.apply(fp, x)
 
-    return fp, embed
+    return fp, lambda tiles: embed_fn(fp, tiles)

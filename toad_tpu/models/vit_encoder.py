@@ -72,6 +72,11 @@ class ViTEncoder:
         self.config = config
 
     def init(self, key: jax.Array) -> Params:
+        """One jitted program — per-tensor RNG dispatches are pathologically
+        slow through remote-device transports (~150 round-trips for ViT-L)."""
+        return jax.jit(self._init_impl)(key)
+
+    def _init_impl(self, key: jax.Array) -> Params:
         c = self.config
         dt = jnp.dtype(c.param_dtype)
         n_grid = c.pretrain_img_size // c.patch_size
@@ -283,11 +288,15 @@ def load_timm_weights(
 
 def make_vit_embedder(config: ViTConfig, params: Params):
     """(params, jitted embed(tiles_uint8) -> [B, width]) like
-    :func:`toad_tpu.models.resnet_encoder.make_embedder`."""
+    :func:`toad_tpu.models.resnet_encoder.make_embedder`.
+
+    Params are jit ARGUMENTS, not closure captures — captured arrays bake
+    into the program as constants (1.2GB for ViT-L), which remote compile
+    services cannot survive."""
     enc = ViTEncoder(config)
 
     @jax.jit
-    def embed(tiles: jax.Array) -> jax.Array:
+    def embed_fn(params: Params, tiles: jax.Array) -> jax.Array:
         return enc.embed(params, tiles)
 
-    return params, embed
+    return params, lambda tiles: embed_fn(params, tiles)
