@@ -36,6 +36,32 @@ CHAIN = 96
 N_CLASSES = 18
 
 
+def _chained_forward(model, k: int, b: int, n: int):
+    """K serially-dependent forwards over device-generated bf16 bags in one
+    jitted fori_loop (see module docstring for why)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(params, key):
+        # bf16-resident features: production bags live on device in bf16
+        # (half the HBM traffic of f32; the model computes in bf16 anyway)
+        feats = jax.random.normal(key, (b, n, DIM), jnp.float32).astype(jnp.bfloat16)
+        mask = jnp.ones((b, n), jnp.float32)
+        sex = jnp.zeros((b,), jnp.int32)
+
+        def body(_, carry):
+            f, acc = carry
+            out = model.apply(params, f, mask, sex, train=False, need_attention=False)
+            bump = ((out.y_prob.sum() + out.site_prob.sum()) * 1e-12).astype(jnp.bfloat16)
+            return (f + bump, acc + out.y_prob.sum())
+
+        _, acc = jax.lax.fori_loop(0, k, body, (feats, jnp.float32(0)))
+        return acc
+
+    return fn
+
+
 def bench_ours() -> dict:
     import jax
     import jax.numpy as jnp
@@ -48,24 +74,7 @@ def bench_ours() -> dict:
     params = model.init(jax.random.PRNGKey(0))
 
     def chained(k, b):
-        @jax.jit
-        def fn(params, key):
-            # bf16-resident features: production bags live on device in bf16
-            # (half the HBM traffic of f32; the model computes in bf16 anyway)
-            feats = jax.random.normal(key, (b, BAG_N, DIM), jnp.float32).astype(jnp.bfloat16)
-            mask = jnp.ones((b, BAG_N), jnp.float32)
-            sex = jnp.zeros((b,), jnp.int32)
-
-            def body(_, carry):
-                f, acc = carry
-                out = model.apply(params, f, mask, sex, train=False, need_attention=False)
-                bump = ((out.y_prob.sum() + out.site_prob.sum()) * 1e-12).astype(jnp.bfloat16)
-                return (f + bump, acc + out.y_prob.sum())
-
-            _, acc = jax.lax.fori_loop(0, k, body, (feats, jnp.float32(0)))
-            return acc
-
-        return fn
+        return _chained_forward(model, k=k, b=b, n=BAG_N)
 
     # throughput: B bags x CHAIN serial iterations, inputs device-generated
     fn = chained(CHAIN, BATCH)
@@ -97,7 +106,8 @@ def bench_ours() -> dict:
 
 
 def bench_long_bag() -> dict:
-    """Foundation-model bag scale: single 131072-patch bag latency."""
+    """Foundation-model bag scale: single 131072-patch bag latency (same
+    serial-dependency chain harness as bench_ours)."""
     import jax
     import jax.numpy as jnp
 
@@ -108,21 +118,7 @@ def bench_long_bag() -> dict:
     cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16", use_pallas=True)
     model = ToadMIL(cfg)
     params = model.init(jax.random.PRNGKey(0))
-
-    @jax.jit
-    def fn(params, key):
-        feats = jax.random.normal(key, (1, n, DIM), jnp.float32).astype(jnp.bfloat16)
-        mask = jnp.ones((1, n), jnp.float32)
-        sex = jnp.zeros((1,), jnp.int32)
-
-        def body(_, carry):
-            f, acc = carry
-            out = model.apply(params, f, mask, sex, train=False, need_attention=False)
-            return (f + (out.y_prob.sum() * 1e-12).astype(jnp.bfloat16), acc + out.y_prob.sum())
-
-        _, acc = jax.lax.fori_loop(0, k, body, (feats, jnp.float32(0)))
-        return acc
-
+    fn = _chained_forward(model, k=k, b=1, n=n)
     float(fn(params, jax.random.PRNGKey(1)))
     times = []
     for i in range(3):
@@ -287,7 +283,10 @@ def main() -> None:
                 "pool_tflops": round(ours["tflops"], 2),
                 "encoder_patches_per_sec": round(ours.get("patches_per_sec", 0.0), 1),
                 "train_slides_per_sec": round(ours.get("train_slides_per_sec", 0.0), 1),
-                "long_bag_131k_ms": round(ours.get("long_bag_131k_ms", 0.0), 2),
+                "long_bag_131k_ms": (
+                    round(ours["long_bag_131k_ms"], 2) if "long_bag_131k_ms" in ours else None
+                ),
+                **{k: v for k, v in ours.items() if k.endswith("_error")},
                 "device": ours["device"],
             }
         )

@@ -139,9 +139,9 @@ def test_load_from_pth_file(tmp_path, torch_model, jx):
 
 
 def test_embedder_uint8_pipeline(jx):
-    _, embed = make_embedder(CFG, jx)
+    fp, embed_fn = make_embedder(CFG, jx)
     tiles = np.random.RandomState(3).randint(0, 256, (2, 64, 64, 3), np.uint8)
-    feats = np.asarray(embed(jnp.asarray(tiles)))
+    feats = np.asarray(embed_fn(fp, jnp.asarray(tiles)))
     assert feats.shape == (2, 1024)
     assert np.isfinite(feats).all()
 

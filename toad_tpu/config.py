@@ -16,8 +16,10 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
-# the padding ladder every component defaults to (powers of two divide any
-# power-of-two mesh axis; the top rung covers the 150k-patch stretch scale)
+# the padding ladder every component defaults to. Every rung is divisible by
+# 128*256, so any bag-shard mesh axis up to 256 keeps per-shard lengths a
+# multiple of the 128-row Pallas tile (163840 = 5*2^15 is the one non-power
+# of two, added so 150k-patch bags pad by 9% instead of 75%).
 DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 163840, 262144)
 
 

@@ -66,10 +66,14 @@ class ResNetEncoder:
 
     def __init__(self, config: EncoderConfig = EncoderConfig()):
         self.config = config
+        self._init_jit = None
 
     def init(self, key: jax.Array) -> Params:
-        """One jitted program (see ViTEncoder.init for why)."""
-        return jax.jit(self._init_impl)(key)
+        """One jitted program (see ViTEncoder.init for why); wrapper cached
+        so repeated init() calls hit the jit cache."""
+        if self._init_jit is None:
+            self._init_jit = jax.jit(self._init_impl)
+        return self._init_jit(key)
 
     def _init_impl(self, key: jax.Array) -> Params:
         c = self.config
@@ -311,15 +315,16 @@ def load_torchvision_weights(path: str | os.PathLike, config: EncoderConfig = En
 
 
 def make_embedder(config: EncoderConfig, params: Params):
-    """Return (folded_params, jitted embed_fn(tiles_uint8) -> [B, out_dim]).
+    """Return (folded_params, jitted embed_fn(params, tiles_uint8) -> [B, out_dim]).
 
     The hot path for featurization: BN pre-folded on host, one jitted
     program per tile shape, bf16 convs on the MXU, fp32 accumulated GAP.
+    Params are a jit ARGUMENT (closure capture would bake them into the
+    program as constants), so callers may re-shard/replace them per call.
     """
     enc = ResNetEncoder(config)
     fp = fold_bn(params, config) if config.fold_bn else params
 
-    # params as jit arguments, not closure constants (see make_vit_embedder)
     @jax.jit
     def embed_fn(fp, tiles: jax.Array) -> jax.Array:
         x = enc.preprocess(tiles)
@@ -327,4 +332,4 @@ def make_embedder(config: EncoderConfig, params: Params):
             return apply_folded(config, fp, x)
         return enc.apply(fp, x)
 
-    return fp, lambda tiles: embed_fn(fp, tiles)
+    return fp, embed_fn

@@ -11,8 +11,7 @@ LayerScale, standard GELU MLP, a cls token whose final-norm embedding is the
 TPU-first choices:
 - bf16 matmuls with f32 LayerNorm/softmax statistics;
 - one jitted program per tile shape; position embeddings are bicubically
-  resized on the fly for non-224 tiles (timm ``dynamic_img_size`` analog),
-  folded into the compiled program as a constant computation;
+  resized on the fly for non-224 tiles (timm ``dynamic_img_size`` analog);
 - weight ingestion from timm-layout torch state_dicts via the native
   torch-zip parser (no torch/timm needed).
 """
@@ -70,11 +69,15 @@ def _ln_init(d):
 class ViTEncoder:
     def __init__(self, config: ViTConfig = ViTConfig()):
         self.config = config
+        self._init_jit = None
 
     def init(self, key: jax.Array) -> Params:
         """One jitted program — per-tensor RNG dispatches are pathologically
-        slow through remote-device transports (~150 round-trips for ViT-L)."""
-        return jax.jit(self._init_impl)(key)
+        slow through remote-device transports (~150 round-trips for ViT-L).
+        The wrapper is cached so repeated init() calls reuse the compile."""
+        if self._init_jit is None:
+            self._init_jit = jax.jit(self._init_impl)
+        return self._init_jit(key)
 
     def _init_impl(self, key: jax.Array) -> Params:
         c = self.config
@@ -292,11 +295,11 @@ def make_vit_embedder(config: ViTConfig, params: Params):
 
     Params are jit ARGUMENTS, not closure captures — captured arrays bake
     into the program as constants (1.2GB for ViT-L), which remote compile
-    services cannot survive."""
+    services cannot survive. embed_fn therefore takes (params, tiles)."""
     enc = ViTEncoder(config)
 
     @jax.jit
     def embed_fn(params: Params, tiles: jax.Array) -> jax.Array:
         return enc.embed(params, tiles)
 
-    return params, lambda tiles: embed_fn(params, tiles)
+    return params, embed_fn

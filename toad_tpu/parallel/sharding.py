@@ -33,8 +33,8 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 
 def shard_batch(batch: Mapping[str, Any], mesh: Mesh) -> dict[str, jax.Array]:
     """Device-put a host batch with the mesh layouts. Requires B % data and
-    N % bag divisibility (bucket sizes are powers of two, so any power-of-two
-    mesh divides them)."""
+    N % bag divisibility (every default bucket rung divides by bag axes up
+    to 256; see config.DEFAULT_BUCKETS)."""
     shardings = batch_shardings(mesh)
     b, n = batch["features"].shape[:2]
     data_n, bag_n = mesh.shape["data"], mesh.shape["bag"]

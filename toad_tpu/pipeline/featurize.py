@@ -75,13 +75,13 @@ class TileEmbedder:
         self.batch_size = batch_size
         self.mesh = mesh
         if isinstance(config, EncoderConfig):
-            self.folded_params, self._embed = make_embedder(config, params)
+            self.folded_params, self._embed_fn = make_embedder(config, params)
         else:
             from toad_tpu.models.vit_encoder import ViTConfig, make_vit_embedder
 
             if not isinstance(config, ViTConfig):
                 raise TypeError(f"unsupported encoder config: {type(config)}")
-            self.folded_params, self._embed = make_vit_embedder(config, params)
+            self.folded_params, self._embed_fn = make_vit_embedder(config, params)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -98,6 +98,11 @@ class TileEmbedder:
         if self._tile_sharding is not None:
             return jax.device_put(np.asarray(tiles_uint8), self._tile_sharding)
         return jnp.asarray(tiles_uint8)
+
+    def _embed(self, tiles: jax.Array) -> jax.Array:
+        # always pass the CURRENT folded_params (possibly mesh-replicated
+        # above) — params are jit arguments, never closure constants
+        return self._embed_fn(self.folded_params, tiles)
 
     def __call__(self, tiles_uint8: np.ndarray) -> jax.Array:
         return self._embed(self._put(tiles_uint8))
