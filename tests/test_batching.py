@@ -138,3 +138,30 @@ def test_prefetch_producer_stops_on_abandoned_iterator():
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer thread leaked"
     assert len(produced) < 1000  # it actually stopped early
+
+
+def test_bf16_transfer_dtype(tmp_path):
+    """transfer_dtype='bfloat16' halves feature bytes; values round-trip
+    within bf16 precision and masks/labels stay exact."""
+    import ml_dtypes
+
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.synthetic import dummy_task, write_dummy_bags, write_dummy_csv
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    csv = tmp_path / "m.csv"
+    manifest = write_dummy_csv(csv, n_patients=6, max_slides_per_patient=1, seed=0)
+    task = dummy_task(str(csv))
+    write_dummy_bags(tmp_path / "bags", manifest, task, n_patches_range=(8, 20), dim=16, fmt="npy", seed=0)
+    ds = WSIBagDataset(task, data_dir=str(tmp_path / "bags"), print_info=False)
+    split = ds.subset(np.arange(len(ds.slide_ids)))
+
+    kw = dict(batch_size=3, bucket_sizes=(32,), prefetch=2)
+    b32 = list(BagBatcher(split, **kw))
+    b16 = list(BagBatcher(split, transfer_dtype="bfloat16", **kw))
+    for a, b in zip(b32, b16):
+        assert b.features.dtype == np.dtype(ml_dtypes.bfloat16)
+        assert b.features.nbytes == a.features.nbytes // 2
+        np.testing.assert_allclose(b.features.astype(np.float32), a.features, rtol=8e-3, atol=1e-2)
+        np.testing.assert_array_equal(a.patch_mask, b.patch_mask)
+        np.testing.assert_array_equal(a.label, b.label)

@@ -258,3 +258,28 @@ def test_predict_cli_nan_sex_falls_back(tmp_path, capsys):
                       "--csv", str(manifest), "--out", str(out), "--sex", "F", "--topk", "0"])
     df = pd.read_csv(out)
     assert df["sex"].tolist() == [1, 0]  # 1.0 parsed; NaN -> --sex F
+
+
+def test_heatmap_cli_from_attention_file(tmp_path, capsys):
+    import h5py
+
+    from toad_tpu.cli import heatmap as hm_cli
+
+    n = 16
+    coords = np.array([[256 * (i % 4), 256 * (i // 4)] for i in range(n)], np.int64)
+    with h5py.File(tmp_path / "a.h5", "w") as f:
+        f.create_dataset("attention", data=np.linspace(0, 1, n).astype(np.float32))
+        f.create_dataset("coords", data=coords)
+    out = tmp_path / "hm.png"
+    hm_cli.main(["--attention", str(tmp_path / "a.h5"), "--out", str(out)])
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (32, 32, 3)
+
+    # blended over an auto-resized thumbnail
+    Image.fromarray(np.full((100, 100, 3), 120, np.uint8)).save(tmp_path / "thumb.png")
+    out2 = tmp_path / "hm2.png"
+    hm_cli.main(["--attention", str(tmp_path / "a.h5"), "--out", str(out2),
+                 "--background", str(tmp_path / "thumb.png"), "--alpha", "0.4"])
+    assert out2.exists()

@@ -134,6 +134,9 @@ class DataConfig:
     testing_frac: float | None = None  # reference --testing: 1% subsample
     native: str = "auto"  # C++ zero-copy bag loader: 'auto' | 'on' | 'off'
     patient_bags: bool = False  # concat all of a patient's slides into one bag
+    # host->device feature dtype: 'bfloat16' halves transfer bytes (the model
+    # computes in bf16 anyway when compute_dtype is bf16); 'float32' is exact
+    transfer_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -103,6 +103,7 @@ class BagBatcher:
         prefetch: int = 2,
         feature_dim: int | None = None,
         native: str = "auto",
+        transfer_dtype: str = "float32",
     ) -> None:
         self.split = split
         self.batch_size = int(batch_size)
@@ -115,6 +116,7 @@ class BagBatcher:
         self.prefetch = prefetch
         self.feature_dim = feature_dim
         self.native = native  # 'auto' | 'on' | 'off'
+        self.transfer_dtype = transfer_dtype
         self._payloads: list | None = None  # lazy PayloadInfo cache
         self._lengths: list | None | bool = False  # False = not yet probed
         self.native_active: bool | None = None
@@ -318,11 +320,21 @@ class BagBatcher:
                 if group:
                     yield self._assemble(group, bucket)
 
+    def _convert(self, b: BagBatch) -> BagBatch:
+        if self.transfer_dtype == "float32":
+            return b
+        import ml_dtypes
+
+        dt = np.dtype(ml_dtypes.bfloat16) if self.transfer_dtype == "bfloat16" else np.dtype(self.transfer_dtype)
+        b.features = b.features.astype(dt)
+        return b
+
     def __iter__(self) -> Iterator[BagBatch]:
+        src = self._batches_raw
         if self.prefetch and self.prefetch > 0:
-            yield from _prefetch_iter(self._batches_raw, self.prefetch)
+            yield from map(self._convert, _prefetch_iter(src, self.prefetch))
         else:
-            yield from self._batches_raw()
+            yield from map(self._convert, src())
 
 
 def _prefetch_iter(make_iter: Callable[[], Iterator], depth: int) -> Iterator:

@@ -169,6 +169,7 @@ class FoldTrainer:
             max_bag_size=d.max_bag_size,
             prefetch=d.prefetch,
             native=d.native,
+            transfer_dtype=d.transfer_dtype,
         )
 
     @property
