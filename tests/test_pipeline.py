@@ -283,3 +283,13 @@ def test_heatmap_cli_from_attention_file(tmp_path, capsys):
     hm_cli.main(["--attention", str(tmp_path / "a.h5"), "--out", str(out2),
                  "--background", str(tmp_path / "thumb.png"), "--alpha", "0.4"])
     assert out2.exists()
+
+
+def test_site_attention_exposed():
+    mcfg = ModelConfig(in_dim=32, n_classes=5)
+    inf = SlideInference(ToadMIL(mcfg).init(jax.random.PRNGKey(11)), mcfg, bucket_sizes=(64,))
+    feats = np.random.RandomState(0).randn(40, 32).astype(np.float32)
+    pred = inf.predict(feats, sex=1)
+    assert pred.site_attention.shape == (40,)
+    # the two tasks genuinely attend differently
+    assert not np.allclose(pred.attention, pred.site_attention)

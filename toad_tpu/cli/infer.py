@@ -30,6 +30,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--heatmap", type=str, default=None, help="write attention heatmap PNG here")
     p.add_argument("--save_attention", type=str, default=None, help="write raw per-patch attention (+coords) to this .h5")
+    p.add_argument("--attention_task", type=str, choices=["origin", "site"], default="origin",
+                   help="which task's attention drives the heatmap/export")
     p.add_argument("--patch_size", type=int, default=256)
     p.add_argument("--downscale", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=64, help="tile batch for --patches")
@@ -79,6 +81,7 @@ def main(argv=None):
         "n_patches": int(pred.attention.shape[0]),
     }
 
+    attn = pred.attention if args.attention_task == "origin" else pred.site_attention
     if args.save_attention:
         import h5py
 
@@ -86,7 +89,7 @@ def main(argv=None):
 
         _P(args.save_attention).parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(args.save_attention, "w") as f:
-            f.create_dataset("attention", data=pred.attention)
+            f.create_dataset("attention", data=attn)
             if coords is not None:
                 f.create_dataset("coords", data=coords)
         result["attention_file"] = str(_P(args.save_attention).absolute())
@@ -97,7 +100,7 @@ def main(argv=None):
         else:
             from toad_tpu.pipeline.heatmap import render_heatmap, save_png
 
-            img = render_heatmap(coords, pred.attention, patch_size=args.patch_size, downscale=args.downscale)
+            img = render_heatmap(coords, attn, patch_size=args.patch_size, downscale=args.downscale)
             save_png(args.heatmap, img)
             result["heatmap"] = str(Path(args.heatmap).absolute())
 

@@ -30,6 +30,7 @@ class SlidePrediction(NamedTuple):
     site_hat: int
     site_prob: np.ndarray  # [2]
     attention: np.ndarray  # [N] raw origin-task attention over real patches
+    site_attention: np.ndarray  # [N] raw site-task attention
     topk: list[tuple[int, float]]  # (class index, prob) best-first
 
     def top_labels(self, inv_label_dict: dict[int, str] | None, k: int = 3):
@@ -99,12 +100,14 @@ class SlideInference:
         y_prob = np.asarray(jax.nn.softmax(logits[0]))
         site_prob = np.asarray(jax.nn.softmax(site_logits[0]))
         order = np.argsort(-y_prob)
+        attn = np.asarray(attention)
         return SlidePrediction(
             y_hat=int(order[0]),
             y_prob=y_prob,
             site_hat=int(site_prob.argmax()),
             site_prob=site_prob,
-            attention=np.asarray(attention)[0, 0, :n],
+            attention=attn[0, 0, :n],
+            site_attention=attn[0, 1, :n],
             topk=[(int(i), float(y_prob[i])) for i in order],
         )
 
