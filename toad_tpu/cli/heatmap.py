@@ -21,7 +21,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch_size", type=int, default=256)
     p.add_argument("--downscale", type=int, default=32)
     p.add_argument("--cmap", type=str, default="jet")
-    p.add_argument("--no_percentile", action="store_true", help="use raw scores instead of rank percentiles")
+    p.add_argument("--no_percentile", action="store_true",
+                   help="min-max normalize raw scores instead of rank percentiles")
     p.add_argument("--background", type=str, default=None, help="thumbnail image to blend under the heatmap")
     p.add_argument("--alpha", type=float, default=0.5)
     return p
@@ -42,15 +43,21 @@ def main(argv=None):
         scores = np.asarray(f[key][:])
         coords = np.asarray(f["coords"][:])
 
+    if args.no_percentile and len(scores):
+        # raw attention scores are unbounded; min-max them into the colormap
+        # domain (render_heatmap clips to [0, 1])
+        lo, hi = float(scores.min()), float(scores.max())
+        scores = (scores - lo) / (hi - lo) if hi > lo else np.zeros_like(scores)
+
     background = None
     if args.background:
         from PIL import Image
 
-        # resize the thumbnail to the heatmap canvas implied by the coords
-        w = (int(coords[:, 0].max()) + args.patch_size) // args.downscale
-        h = (int(coords[:, 1].max()) + args.patch_size) // args.downscale
+        from toad_tpu.pipeline.heatmap import canvas_shape
+
+        h, w = canvas_shape(coords, args.patch_size, args.downscale)
         with Image.open(args.background) as im:
-            background = np.asarray(im.convert("RGB").resize((max(w, 1), max(h, 1))))
+            background = np.asarray(im.convert("RGB").resize((w, h)))
 
     img = render_heatmap(
         coords,

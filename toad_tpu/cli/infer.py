@@ -89,10 +89,12 @@ def main(argv=None):
 
         _P(args.save_attention).parent.mkdir(parents=True, exist_ok=True)
         with h5py.File(args.save_attention, "w") as f:
-            f.create_dataset("attention", data=attn)
+            d = f.create_dataset("attention", data=attn)
+            d.attrs["task"] = args.attention_task
             if coords is not None:
                 f.create_dataset("coords", data=coords)
         result["attention_file"] = str(_P(args.save_attention).absolute())
+        result["attention_task"] = args.attention_task
 
     if args.heatmap:
         if coords is None:

@@ -330,11 +330,15 @@ class BagBatcher:
         return b
 
     def __iter__(self) -> Iterator[BagBatch]:
-        src = self._batches_raw
+        def src() -> Iterator[BagBatch]:
+            # dtype conversion runs in the producer so the queued batches are
+            # already half-size and the cast overlaps device compute
+            return map(self._convert, self._batches_raw())
+
         if self.prefetch and self.prefetch > 0:
-            yield from map(self._convert, _prefetch_iter(src, self.prefetch))
+            yield from _prefetch_iter(src, self.prefetch)
         else:
-            yield from map(self._convert, src())
+            yield from src()
 
 
 def _prefetch_iter(make_iter: Callable[[], Iterator], depth: int) -> Iterator:

@@ -61,6 +61,15 @@ def colorize(values: np.ndarray, cmap: str = "jet") -> np.ndarray:
         return out.astype(np.uint8)
 
 
+def canvas_shape(coords: np.ndarray, patch_size: int, downscale: int) -> tuple[int, int]:
+    """(H, W) of the rendered canvas for these coords — the single source of
+    truth shared by render_heatmap and callers that pre-resize backgrounds."""
+    coords = np.asarray(coords)
+    w0 = int(coords[:, 0].max()) + patch_size if len(coords) else patch_size
+    h0 = int(coords[:, 1].max()) + patch_size if len(coords) else patch_size
+    return max(1, h0 // downscale), max(1, w0 // downscale)
+
+
 def render_heatmap(
     coords: np.ndarray,
     scores: np.ndarray,
@@ -95,11 +104,10 @@ def render_heatmap(
         scores = to_percentiles(scores).astype(np.float32)
 
     if canvas_wh is None:
-        w0 = int(coords[:, 0].max()) + patch_size if len(coords) else patch_size
-        h0 = int(coords[:, 1].max()) + patch_size if len(coords) else patch_size
+        H, W = canvas_shape(coords, patch_size, downscale)
     else:
         w0, h0 = canvas_wh
-    W, H = max(1, w0 // downscale), max(1, h0 // downscale)
+        W, H = max(1, w0 // downscale), max(1, h0 // downscale)
     ps = max(1, patch_size // downscale)
 
     acc = np.zeros((H, W), np.float32)
