@@ -1,0 +1,193 @@
+"""Serving subsystem: dynamic batcher correctness + HTTP API.
+
+The batcher must be *transparent*: a prediction served from a coalesced
+batch must match the single-bag SlideInference result bit-for-bit (same
+bucket padding, same forward). The HTTP layer is driven in-process with
+http.client against a port-0 server (CLAUDE.md: no subprocess JAX re-init).
+"""
+
+import base64
+import http.client
+import json
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from toad_tpu.config import ModelConfig
+from toad_tpu.models.toad_mil import ToadMIL
+from toad_tpu.pipeline.infer import SlideInference
+from toad_tpu.serve import DynamicBatcher, InferenceService, ServeConfig, serve_in_thread
+
+DIM = 64
+BUCKETS = (32, 64, 128)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = ModelConfig(in_dim=DIM, n_classes=6)
+    params = ToadMIL(cfg).init(jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _bags(rng, count, lo=5, hi=120):
+    return [
+        (rng.standard_normal((int(rng.integers(lo, hi)), DIM)).astype(np.float32), int(rng.integers(0, 2)))
+        for _ in range(count)
+    ]
+
+
+def test_batched_matches_single(model_and_params):
+    cfg, params = model_and_params
+    single = SlideInference(params, cfg, bucket_sizes=BUCKETS)
+    rng = np.random.default_rng(0)
+    bags = _bags(rng, 17)
+    with DynamicBatcher(params, cfg, ServeConfig(max_batch=8, max_wait_ms=20, bucket_sizes=BUCKETS, need_attention=True)) as b:
+        futures = [b.submit(f, s) for f, s in bags]
+        preds = [f.result(timeout=60) for f in futures]
+    for (feats, sex), pred in zip(bags, preds):
+        ref = single.predict(feats, sex)
+        np.testing.assert_allclose(pred.y_prob, ref.y_prob, atol=1e-5)
+        np.testing.assert_allclose(pred.site_prob, ref.site_prob, atol=1e-5)
+        np.testing.assert_allclose(pred.attention, ref.attention, atol=1e-4)
+        assert pred.y_hat == ref.y_hat and pred.site_hat == ref.site_hat
+
+
+def test_requests_are_coalesced(model_and_params):
+    cfg, params = model_and_params
+    with DynamicBatcher(params, cfg, ServeConfig(max_batch=16, max_wait_ms=200, bucket_sizes=BUCKETS)) as b:
+        b.predict(np.zeros((10, DIM), np.float32), 0)  # warm the compile cache
+        rng = np.random.default_rng(1)
+        # same bucket so they can share one forward
+        futures = [b.submit(rng.standard_normal((20, DIM)).astype(np.float32), 0) for _ in range(12)]
+        for f in futures:
+            f.result(timeout=60)
+        s = b.stats()
+    assert s.requests == 13 and s.batched_slides == 13
+    assert s.batches < 13, f"no coalescing happened: {s}"
+
+
+def test_oversized_bag_truncates_and_validates(model_and_params):
+    cfg, params = model_and_params
+    with DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=BUCKETS)) as b:
+        pred = b.predict(np.random.default_rng(2).standard_normal((300, DIM)).astype(np.float32), 1)
+        assert pred.y_prob.shape == (6,)
+        with pytest.raises(ValueError, match="in_dim"):
+            b.submit(np.zeros((10, DIM + 1), np.float32), 0)
+        with pytest.raises(ValueError, match="empty"):
+            b.submit(np.zeros((0, DIM), np.float32), 0)
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.zeros((10, DIM), np.float32), 0)
+
+
+def _post(port, path, obj):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", path, json.dumps(obj), {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    out = json.loads(r.read())
+    conn.close()
+    return r.status, out
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    out = json.loads(r.read())
+    conn.close()
+    return r.status, out
+
+
+@pytest.fixture(scope="module")
+def http_service(model_and_params, dummy_env):
+    cfg, params = model_and_params
+    from toad_tpu.config import TaskConfig
+
+    task = dummy_env["task"]
+    service = InferenceService(
+        params, cfg, ServeConfig(max_batch=8, max_wait_ms=5, bucket_sizes=BUCKETS), task=task
+    )
+    server, port = serve_in_thread(service)
+    yield service, port, task
+    server.shutdown()
+    service.close()
+
+
+def test_http_predict_features(http_service):
+    service, port, task = http_service
+    status, health = _get(port, "/healthz")
+    assert status == 200 and health["status"] == "ok"
+
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((40, DIM)).astype(np.float32)
+    body = {
+        "features_b64": base64.b64encode(feats.astype("<f4").tobytes()).decode(),
+        "shape": [40, DIM],
+        "sex": "F",
+        "top_k": 3,
+        "attention": True,
+    }
+    status, out = _post(port, "/predict", body)
+    assert status == 200, out
+    assert len(out["topk"]) == 3 and len(out["attention"]) == 40
+    inv = {v: k for k, v in task.label_dicts[0].items()}
+    assert out["label"] == inv[out["y_hat"]]
+    assert abs(sum(out["y_prob"]) - 1.0) < 1e-4
+
+    # nested-list variant gives the same answer
+    status2, out2 = _post(port, "/predict", {"features": feats.tolist(), "sex": 0})
+    assert status2 == 200
+    np.testing.assert_allclose(out2["y_prob"], out["y_prob"], atol=1e-5)
+
+
+def test_http_predict_bag_path(http_service, dummy_env):
+    service, port, task = http_service
+    bag = next(iter(dummy_env["data_dir"].glob("*.npy")))
+    status, out = _post(port, "/predict", {"bag_path": str(bag), "sex": "M"})
+    assert status == 200, out
+    assert out["site_label"] in task.label_dicts[1]
+
+    status, out = _post(port, "/predict", {"bag_path": str(bag) + ".missing", "sex": "M"})
+    assert status == 404
+
+    status, out = _get(port, "/stats")
+    assert status == 200 and out["requests"] >= 1 and out["mean_batch_size"] >= 1
+
+
+def test_http_bad_requests(http_service):
+    _, port, _ = http_service
+    status, out = _post(port, "/predict", {"sex": "F"})
+    assert status == 400 and "features" in out["error"]
+    status, out = _post(port, "/predict", {"features": [[0.0] * DIM], "sex": "banana"})
+    assert status == 400
+    status, out = _post(
+        port, "/predict", {"features_b64": base64.b64encode(b"\x00" * 8).decode(), "shape": [40, DIM], "sex": 0}
+    )
+    assert status == 400 and "floats" in out["error"]
+    status, _ = _get(port, "/nope")
+    assert status == 404
+
+
+def test_concurrent_http_clients_share_batches(http_service):
+    service, port, _ = http_service
+    before = service.stats()
+    rng = np.random.default_rng(4)
+    results = [None] * 10
+    feats = rng.standard_normal((24, DIM)).astype(np.float32)  # one bucket
+    body = {"features": feats.tolist(), "sex": 1}
+
+    def hit(i):
+        results[i] = _post(port, "/predict", body)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(st == 200 for st, _ in results)
+    first = results[0][1]["y_prob"]
+    for _, out in results[1:]:
+        np.testing.assert_allclose(out["y_prob"], first, atol=1e-5)
+    after = service.stats()
+    assert after["served"] - before["served"] == 10

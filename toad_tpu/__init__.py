@@ -37,6 +37,9 @@ _EXPORTS = {
     "evaluate_checkpoint": "toad_tpu.evaluate.engine",
     "evaluate_split": "toad_tpu.evaluate.engine",
     "SlideInference": "toad_tpu.pipeline.infer",
+    "InferenceService": "toad_tpu.serve.server",
+    "DynamicBatcher": "toad_tpu.serve.batcher",
+    "ServeConfig": "toad_tpu.serve.batcher",
     "TileEmbedder": "toad_tpu.pipeline.featurize",
     "render_heatmap": "toad_tpu.pipeline.heatmap",
     "load_task": "toad_tpu.registry",

@@ -1,0 +1,62 @@
+"""``python -m toad_tpu.cli.serve`` — online prediction server.
+
+Loads a trained checkpoint (Orbax directory or reference torch
+``s_{fold}_checkpoint.pt``) and serves ``POST /predict`` with dynamic
+batching (:mod:`toad_tpu.serve`). The reference has no serving entry point;
+its closest analog is the offline ``eval_mtl_concat.py``, which requires
+ground-truth labels.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", type=str, required=True, help="Orbax dir or torch s_k_checkpoint.pt")
+    p.add_argument("--task", type=str, default=None, help="task JSON (for label names in responses)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--encoding_size", type=int, default=1024)
+    p.add_argument("--n_classes", type=int, default=None, help="defaults to the task's class count (or 18)")
+    p.add_argument("--max_batch", type=int, default=32, help="dynamic-batch size cap")
+    p.add_argument("--max_wait_ms", type=float, default=5.0, help="batching window after first request")
+    p.add_argument("--attention", action="store_true", help="compute attention scores on every request")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--pallas", action="store_true", help="fused Pallas pooling kernel")
+    return p
+
+
+def main(argv=None) -> None:
+    args = make_parser().parse_args(argv)
+
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.registry import load_task
+    from toad_tpu.serve import InferenceService, ServeConfig, make_http_server
+
+    task = load_task(args.task) if args.task else None
+    n_classes = args.n_classes or (task.n_classes[0] if task else 18)
+    model_cfg = ModelConfig(
+        in_dim=args.encoding_size,
+        n_classes=n_classes,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        use_pallas=args.pallas,
+    )
+    serve_cfg = ServeConfig(
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, need_attention=args.attention
+    )
+    service = InferenceService.from_checkpoint(args.ckpt, model_cfg, serve_cfg, task=task)
+    server = make_http_server(service, args.host, args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]}  (POST /predict)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

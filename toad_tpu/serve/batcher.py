@@ -1,0 +1,254 @@
+"""Dynamic request batching for online MIL inference.
+
+The reference has no serving story at all: its only inference entry point is
+``eval_mtl_concat.py``, which requires a labeled CSV and walks a DataLoader
+one bag at a time (``/root/reference/utils/eval_utils_mtl_concat.py:65-114``).
+For production serving on TPU the economics are inverted — a single forward
+over a padded ``[B, N, 1024]`` batch costs barely more than ``B == 1`` (the
+pooling stack is HBM-bound, SURVEY §3.2) — so the server must *coalesce*
+concurrent requests into batches to reach the hardware's throughput.
+
+:class:`DynamicBatcher` implements the standard dynamic-batching discipline:
+
+- requests arrive on arbitrary threads and enqueue ``(features, sex, future)``;
+- a single dispatch thread collects up to ``max_batch`` requests, waiting at
+  most ``max_wait_ms`` after the first arrival (latency bound under low load,
+  full batches under high load);
+- requests are grouped by padding bucket (the same ladder the training
+  batcher uses, so serving reuses the already-compiled shapes), the batch
+  dimension is padded to a power of two, and one jitted forward serves the
+  whole group. Compile count is bounded by ``len(buckets) * log2(max_batch)``.
+
+Everything here is stdlib threading + the existing jitted model — no new
+runtime dependencies.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Any, NamedTuple, Sequence
+
+import numpy as np
+
+from toad_tpu.config import DEFAULT_BUCKETS, ModelConfig
+from toad_tpu.data.batching import bucket_for
+from toad_tpu.models.toad_mil import ToadMIL
+from toad_tpu.pipeline.infer import SlidePrediction
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """Serving knobs (see module docstring for the batching discipline)."""
+
+    max_batch: int = 32
+    max_wait_ms: float = 5.0
+    bucket_sizes: tuple[int, ...] = DEFAULT_BUCKETS
+    # default for requests that don't say: attention costs an extra [B,T,N]
+    # HBM tensor, so it's opt-in per request (submit(..., attention=True))
+    need_attention: bool = False
+
+
+class _Request(NamedTuple):
+    features: np.ndarray  # [n, D] float32, already truncated to max bucket
+    n: int
+    bucket: int
+    sex: int
+    attention: bool
+    future: Future
+
+
+class BatcherStats(NamedTuple):
+    requests: int
+    batches: int
+    batched_slides: int  # == requests that have been served
+    padded_slots: int  # wasted batch slots from power-of-two padding
+
+    @property
+    def mean_batch_size(self) -> float:
+        return self.batched_slides / self.batches if self.batches else 0.0
+
+
+def _pow2_at_least(n: int, cap: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+class DynamicBatcher:
+    """Coalesces concurrent single-slide requests into padded batched
+    forwards. Thread-safe; use as a context manager or call :meth:`close`."""
+
+    def __init__(self, params: Any, model_cfg: ModelConfig, cfg: ServeConfig = ServeConfig()):
+        import jax
+
+        self.model = ToadMIL(model_cfg)
+        self.params = params
+        self.cfg = cfg
+        self.buckets = tuple(sorted(cfg.bucket_sizes))
+        self._queue: queue.SimpleQueue = queue.SimpleQueue()
+        self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._requests = 0
+        self._batches = 0
+        self._batched = 0
+        self._padded = 0
+
+        def fwd(params, feats, mask, sex, need_attention: bool):
+            out = self.model.apply(
+                params, feats, mask, sex, train=False, need_attention=need_attention
+            )
+            attn = out.attention if need_attention else out.logits  # placeholder arm
+            return out.y_prob, out.site_prob, attn
+
+        self._fwd = jax.jit(fwd, static_argnames=("need_attention",))
+        self._thread = threading.Thread(target=self._run, name="toad-serve-batcher", daemon=True)
+        self._thread.start()
+
+    # -- client side -----------------------------------------------------------
+
+    def submit(self, features: np.ndarray, sex: int, attention: bool | None = None) -> Future:
+        """Enqueue one bag ``[n, D]``; the Future resolves to a
+        :class:`~toad_tpu.pipeline.infer.SlidePrediction`. ``attention=None``
+        falls back to ``ServeConfig.need_attention``."""
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
+        features = np.asarray(features, np.float32)
+        if features.ndim != 2:
+            raise ValueError(f"features must be [n_patches, dim], got shape {features.shape}")
+        if features.shape[1] != self.model.config.in_dim:
+            raise ValueError(
+                f"feature dim {features.shape[1]} != model in_dim {self.model.config.in_dim}"
+            )
+        n = int(features.shape[0])
+        if n == 0:
+            raise ValueError("empty bag")
+        bucket = bucket_for(n, self.buckets)
+        if n > bucket:  # longer than the largest bucket: head-truncate (batcher policy)
+            features, n = features[:bucket], bucket
+        fut: Future = Future()
+        want_attn = self.cfg.need_attention if attention is None else bool(attention)
+        with self._stats_lock:
+            self._requests += 1
+        self._queue.put(_Request(features, n, bucket, int(sex), want_attn, fut))
+        return fut
+
+    def predict(self, features: np.ndarray, sex: int, attention: bool | None = None) -> SlidePrediction:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(features, sex, attention).result()
+
+    def stats(self) -> BatcherStats:
+        with self._stats_lock:
+            return BatcherStats(self._requests, self._batches, self._batched, self._padded)
+
+    # -- dispatch thread ---------------------------------------------------------
+
+    def _collect(self) -> list[_Request]:
+        """Block for the first request, then drain up to max_batch within the
+        max_wait window."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        if first is None:  # close() sentinel
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.cfg.max_wait_ms / 1e3
+        while len(batch) < self.cfg.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if req is None:
+                break
+            batch.append(req)
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            groups: dict[tuple[int, bool], list[_Request]] = {}
+            for r in batch:
+                groups.setdefault((r.bucket, r.attention), []).append(r)
+            for (bucket, want_attn), group in groups.items():
+                self._dispatch(bucket, want_attn, group)
+        # drain anything left after stop so no future hangs
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.future.set_exception(RuntimeError("batcher closed"))
+
+    def _dispatch(self, bucket: int, want_attn: bool, group: list[_Request]) -> None:
+        import jax
+
+        b = len(group)
+        b_pad = _pow2_at_least(b, self.cfg.max_batch)
+        dim = self.model.config.in_dim
+        feats = np.zeros((b_pad, bucket, dim), np.float32)
+        mask = np.zeros((b_pad, bucket), np.float32)
+        sex = np.zeros((b_pad,), np.int32)
+        for i, r in enumerate(group):
+            feats[i, : r.n] = r.features
+            mask[i, : r.n] = 1.0
+            sex[i] = r.sex
+        mask[b:, 0] = 1.0  # padded rows attend to one zero patch: keeps softmax finite
+        try:
+            y_prob, site_prob, attn = jax.device_get(
+                self._fwd(self.params, feats, mask, sex, need_attention=want_attn)
+            )
+        except Exception as e:  # propagate to every waiting client
+            for r in group:
+                if not r.future.cancelled():
+                    r.future.set_exception(e)
+            return
+        with self._stats_lock:
+            self._batches += 1
+            self._batched += b
+            self._padded += b_pad - b
+        for i, r in enumerate(group):
+            yp = np.asarray(y_prob[i])
+            sp = np.asarray(site_prob[i])
+            order = np.argsort(-yp)
+            if want_attn:
+                a = np.asarray(attn[i, 0, : r.n])
+                sa = np.asarray(attn[i, 1, : r.n])
+            else:
+                a = sa = np.zeros((0,), np.float32)
+            pred = SlidePrediction(
+                y_hat=int(order[0]),
+                y_prob=yp,
+                site_hat=int(sp.argmax()),
+                site_prob=sp,
+                attention=a,
+                site_attention=sa,
+                topk=[(int(j), float(yp[j])) for j in order],
+            )
+            if not r.future.cancelled():
+                r.future.set_result(pred)
+
+    # -- lifecycle ---------------------------------------------------------------
+
+    def close(self) -> None:
+        if self._stop.is_set():
+            return
+        self._stop.set()
+        self._queue.put(None)
+        self._thread.join(timeout=10)
+
+    def __enter__(self) -> "DynamicBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -1,0 +1,214 @@
+"""Online inference service: JSON-over-HTTP in front of the dynamic batcher.
+
+The reference cannot serve at all — prediction requires a labeled dataset CSV
+and an offline eval run (``/root/reference/eval_mtl_concat.py:72-138``). This
+module is the deployment surface: load a checkpoint once, keep the jitted
+model resident on the TPU, and answer concurrent prediction requests, which
+the :class:`~toad_tpu.serve.batcher.DynamicBatcher` coalesces into padded
+batched forwards.
+
+Stdlib only (``http.server`` + ``ThreadingHTTPServer``): each request thread
+blocks on its Future while the single dispatch thread feeds the device, so
+concurrency in the HTTP layer translates directly into device batch size.
+
+API:
+
+- ``GET  /healthz``  → ``{"status": "ok", "device": ...}``
+- ``GET  /stats``    → request/batch counters incl. mean batch size
+- ``POST /predict``  → body is JSON with either
+    - ``features_b64``: base64 little-endian float32 ``[n*dim]`` + ``shape``, or
+    - ``features``: nested lists ``[n][dim]`` (convenience, slow), or
+    - ``bag_path``: server-side path to a ``.pt``/``.h5``/``.npy`` feature bag;
+  plus ``sex`` ("F"/"M"/0/1), optional ``top_k`` (default 5) and
+  ``attention`` (bool; include raw per-patch attention scores).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+import numpy as np
+
+from toad_tpu.config import ModelConfig, TaskConfig
+from toad_tpu.pipeline.infer import SlidePrediction
+from toad_tpu.serve.batcher import DynamicBatcher, ServeConfig
+
+
+class InferenceService:
+    """Checkpoint + task vocabulary + dynamic batcher, as one object."""
+
+    def __init__(
+        self,
+        params: Any,
+        model_cfg: ModelConfig,
+        serve_cfg: ServeConfig = ServeConfig(),
+        task: TaskConfig | None = None,
+    ):
+        self.model_cfg = model_cfg
+        self.batcher = DynamicBatcher(params, model_cfg, serve_cfg)
+        self.task = task
+        self.inv_labels: dict[int, str] | None = None
+        self.inv_site: dict[int, str] | None = None
+        if task is not None:
+            self.inv_labels = {v: k for k, v in task.label_dicts[0].items()}
+            if len(task.label_dicts) > 1:
+                self.inv_site = {v: k for k, v in task.label_dicts[1].items()}
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        ckpt_path,
+        model_cfg: ModelConfig,
+        serve_cfg: ServeConfig = ServeConfig(),
+        task: TaskConfig | None = None,
+    ) -> "InferenceService":
+        """Orbax checkpoint directory or reference torch ``s_k_checkpoint.pt``
+        (same sniffing as :meth:`SlideInference.from_checkpoint`)."""
+        from pathlib import Path
+
+        p = Path(ckpt_path)
+        if p.is_dir():
+            from toad_tpu.train.checkpoint import restore_params
+
+            params = restore_params(p)
+        else:
+            from toad_tpu.models.torch_interop import import_torch_checkpoint
+
+            params = import_torch_checkpoint(p, model_cfg)
+        return cls(params, model_cfg, serve_cfg, task=task)
+
+    # -- prediction --------------------------------------------------------------
+
+    def predict_features(
+        self, features: np.ndarray, sex: int, top_k: int = 5, attention: bool = False
+    ) -> dict:
+        pred = self.batcher.predict(features, sex, attention=attention)
+        return self._to_json(pred, top_k, attention)
+
+    def predict_bag(self, bag_path, sex: int, top_k: int = 5, attention: bool = False) -> dict:
+        from pathlib import Path
+
+        from toad_tpu.data.bags import load_bag
+
+        if not Path(bag_path).exists():
+            raise FileNotFoundError(f"feature bag not found: {bag_path}")
+        feats, _ = load_bag(bag_path, with_coords=True)
+        return self.predict_features(np.asarray(feats, np.float32), sex, top_k, attention)
+
+    def _to_json(self, pred: SlidePrediction, top_k: int, attention: bool) -> dict:
+        def label(i: int) -> str:
+            return self.inv_labels.get(i, str(i)) if self.inv_labels else str(i)
+
+        def site_label(i: int) -> str:
+            return self.inv_site.get(i, str(i)) if self.inv_site else str(i)
+
+        out = {
+            "y_hat": pred.y_hat,
+            "label": label(pred.y_hat),
+            "y_prob": [float(p) for p in pred.y_prob],
+            "topk": [[label(i), p] for i, p in pred.topk[:top_k]],
+            "site_hat": pred.site_hat,
+            "site_label": site_label(pred.site_hat),
+            "site_prob": [float(p) for p in pred.site_prob],
+        }
+        if attention:
+            out["attention"] = [float(a) for a in pred.attention]
+        return out
+
+    def stats(self) -> dict:
+        s = self.batcher.stats()
+        return {
+            "requests": s.requests,
+            "batches": s.batches,
+            "served": s.batched_slides,
+            "padded_slots": s.padded_slots,
+            "mean_batch_size": round(s.mean_batch_size, 3),
+        }
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
+def _decode_features(body: dict, in_dim: int) -> np.ndarray:
+    if "features_b64" in body:
+        shape = body.get("shape")
+        if not (isinstance(shape, list) and len(shape) == 2):
+            raise ValueError("features_b64 requires 'shape': [n_patches, dim]")
+        raw = base64.b64decode(body["features_b64"])
+        arr = np.frombuffer(raw, dtype="<f4")
+        if arr.size != shape[0] * shape[1]:
+            raise ValueError(f"payload has {arr.size} floats, shape says {shape[0] * shape[1]}")
+        return arr.reshape(shape[0], shape[1])
+    if "features" in body:
+        return np.asarray(body["features"], np.float32)
+    raise ValueError("body needs one of: features_b64, features, bag_path")
+
+
+def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
+    """Build (not start) a ``ThreadingHTTPServer``; ``port=0`` picks a free
+    port (``server.server_address[1]``). Caller owns serve_forever/shutdown."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default; /stats has the counters
+            pass
+
+        def _send(self, code: int, obj: dict) -> None:
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._send(200, {"status": "ok", "device": str(jax.devices()[0])})
+            elif self.path == "/stats":
+                self._send(200, service.stats())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                from toad_tpu.cli.common import parse_sex
+
+                sex = parse_sex(body.get("sex", ""))
+                top_k = int(body.get("top_k", 5))
+                attention = bool(body.get("attention", False))
+                if "bag_path" in body:
+                    out = service.predict_bag(body["bag_path"], sex, top_k, attention)
+                else:
+                    feats = _decode_features(body, service.model_cfg.in_dim)
+                    out = service.predict_features(feats, sex, top_k, attention)
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+                return
+            except FileNotFoundError as e:
+                self._send(404, {"error": str(e)})
+                return
+            except Exception as e:  # device/runtime failure
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send(200, out)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_in_thread(service: InferenceService, host: str = "127.0.0.1", port: int = 0):
+    """Start the HTTP server on a daemon thread; returns (server, port).
+    Used by tests and by embedders that run serving next to other work."""
+    server = make_http_server(service, host, port)
+    t = threading.Thread(target=server.serve_forever, name="toad-serve-http", daemon=True)
+    t.start()
+    return server, server.server_address[1]
