@@ -58,6 +58,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16_transfer", action="store_true", default=False, help="send features to device in bfloat16 (half the H2D bytes)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR", help="write a jax.profiler trace of the first train steps to DIR")
     p.add_argument("--native_io", type=str, choices=["auto", "on", "off"], default="auto", help="C++ zero-copy bag loader")
+    p.add_argument("--debug_checks", action="store_true", default=False, help="checkified train step: raise on NaN/Inf/bad labels (slow)")
+    p.add_argument("--debug_nans", action="store_true", default=False, help="global jax_debug_nans NaN trapping (very slow)")
     return p
 
 
@@ -75,6 +77,7 @@ def config_from_args(args, n_classes: int) -> TrainConfig:
         early_stopping=args.early_stopping,
         resume=args.resume,
         profile_dir=args.profile,
+        debug_checks=args.debug_checks,
         log_data=args.log_data,
         testing=args.testing,
         model=ModelConfig(
@@ -102,6 +105,10 @@ def config_from_args(args, n_classes: int) -> TrainConfig:
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.debug_nans:
+        from toad_tpu.utils.debug import enable_debug_nans
+
+        enable_debug_nans()
     seed_everything(args.seed)
     task, dataset = build_dataset(args, data_dir=args.data_root_dir)
     cfg = config_from_args(args, n_classes=task.n_classes[0])

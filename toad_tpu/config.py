@@ -165,6 +165,9 @@ class TrainConfig:
     resume: bool = False
     resume_every: int = 1
     profile_dir: str | None = None  # jax.profiler trace of the first steps
+    # numerical sanitizer (utils/debug.py): checkified train step that raises
+    # on NaN/Inf/out-of-range labels instead of training on garbage
+    debug_checks: bool = False
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     data: DataConfig = field(default_factory=DataConfig)

@@ -26,7 +26,12 @@ def masked_softmax(scores: jax.Array, mask: jax.Array, axis: int = -1) -> jax.Ar
     m = jnp.where(m <= NEG_INF / 2, 0.0, m)
     e = jnp.exp(scores - m) * (mask > 0)
     denom = jnp.sum(e, axis=axis, keepdims=True)
-    return e / jnp.maximum(denom, 1e-30)
+    # guard epsilon must survive squaring in f32: the div VJP computes
+    # cot·x/denom², and 1e-30² underflows to 0 → 0/0 NaN on fully-masked
+    # padding rows (transient — maximum's select-VJP discards it — but it
+    # trips jax_debug_nans/checkify). Real rows have denom ≥ 1 (max-shifted
+    # exp), so 1e-12 is semantically identical.
+    return e / jnp.maximum(denom, 1e-12)
 
 
 def masked_attention_pool(

@@ -32,7 +32,9 @@ def combine_partial_pool(acc: jax.Array, stats: jax.Array, axis_name: str):
     scale = jnp.where(mx <= NEG_INF / 2, 0.0, jnp.exp(mx - jnp.where(gmax <= NEG_INF / 2, 0.0, gmax)))
     acc = jax.lax.psum(acc * scale[:, :, None], axis_name)
     denom = jax.lax.psum(denom * scale, axis_name)
-    return acc / jnp.maximum(denom, 1e-30)[:, :, None]
+    # 1e-12 not 1e-30: must survive squaring in f32 under autodiff (see
+    # ops/pooling.py masked_softmax)
+    return acc / jnp.maximum(denom, 1e-12)[:, :, None]
 
 
 def bag_sharded_pool(

@@ -54,8 +54,13 @@ def make_loss_fn(model: ToadMIL, cls_w: float, site_w: float):
         )
         bag_mask = batch["bag_mask"]
         n = jnp.maximum(bag_mask.sum(), 1.0)
-        cls_ce = (_ce_with_ints(out.logits, batch["label"]) * bag_mask).sum() / n
-        site_ce = (_ce_with_ints(out.site_logits, batch["site"]) * bag_mask).sum() / n
+        # zero out labels on padding rows BEFORE the CE: an out-of-range label
+        # there would make take_along_axis fill NaN, and NaN * mask0 is still
+        # NaN — masking by multiplication alone can't contain it
+        label = jnp.where(bag_mask > 0, batch["label"], 0)
+        site = jnp.where(bag_mask > 0, batch["site"], 0)
+        cls_ce = (_ce_with_ints(out.logits, label) * bag_mask).sum() / n
+        site_ce = (_ce_with_ints(out.site_logits, site) * bag_mask).sum() / n
         loss = cls_w * cls_ce + site_w * site_ce
         aux = {
             "cls_loss": cls_ce,
@@ -142,7 +147,12 @@ class FoldTrainer:
         self.writer = writer
         self.model = ToadMIL(cfg.model)
         self.tx = make_optimizer(cfg.optim)
-        self.train_step = make_train_step(self.model, self.tx, cfg.cls_loss_weight, cfg.site_loss_weight)
+        if cfg.debug_checks:
+            from toad_tpu.utils.debug import make_checked_step
+
+            self.train_step = make_checked_step(self.model, self.tx, cfg.cls_loss_weight, cfg.site_loss_weight)
+        else:
+            self.train_step = make_train_step(self.model, self.tx, cfg.cls_loss_weight, cfg.site_loss_weight)
         self.eval_step = make_eval_step(self.model)
         if mesh is None and cfg.data_shards * cfg.bag_shards > 1:
             from toad_tpu.parallel.mesh import make_mesh
