@@ -138,3 +138,22 @@ def test_train_missing_splits_errors(cli_env):
             )
     finally:
         os.chdir(cwd)
+
+
+def test_unified_dispatcher(capsys):
+    """python -m toad_tpu <command> routes to the per-command mains."""
+    from toad_tpu.__main__ import COMMANDS, main
+
+    assert main([]) == 0
+    assert "create-splits" in capsys.readouterr().out
+    assert main(["not-a-command"]) == 2
+    assert "unknown command" in capsys.readouterr().err
+    # every advertised command resolves to a module with main(argv)
+    import importlib
+
+    for name, (mod, _) in COMMANDS.items():
+        m = importlib.import_module(mod)
+        assert callable(m.main), name
+    # and a real command actually runs through the dispatcher
+    with pytest.raises(SystemExit):  # argparse --help exits 0
+        main(["train", "--help"])

@@ -285,7 +285,10 @@ class FoldTrainer:
             cls_logger = AccuracyLogger(n_classes)
             site_logger = AccuracyLogger(2)
             sums = {"cls_loss_sum": 0.0, "site_loss_sum": 0.0, "n_bags": 0.0, "cls_correct": 0.0, "site_correct": 0.0}
+            t_data = 0.0  # host time blocked on the input pipeline (SURVEY §5 tracing row)
+            t_fetch = time.perf_counter()
             for b in train_batcher:
+                t_data += time.perf_counter() - t_fetch
                 rng, step_key = jax.random.split(rng)
                 bd = _to_batch_dict(b)
                 if self._put is not None:
@@ -297,15 +300,17 @@ class FoldTrainer:
                     sums[k] += float(metrics[k])
                 cls_logger.log_batch(metrics["y_hat"], b.label, b.bag_mask)
                 site_logger.log_batch(metrics["site_hat"], b.site, b.bag_mask)
+                t_fetch = time.perf_counter()
 
             tracer.stop()
             n = max(sums["n_bags"], 1.0)
             tr_cls_loss = sums["cls_loss_sum"] / n
             tr_cls_err = 1.0 - sums["cls_correct"] / n
             dt = time.perf_counter() - t0
+            data_frac = t_data / max(dt, 1e-9)
             log_fn(
                 f"[fold {self.fold}] epoch {epoch}: train cls_loss {tr_cls_loss:.4f} "
-                f"err {tr_cls_err:.4f} | {n / dt:.1f} slides/s"
+                f"err {tr_cls_err:.4f} | {n / dt:.1f} slides/s (data wait {data_frac:.0%})"
             )
             self._write_scalars(
                 "train",
@@ -315,6 +320,7 @@ class FoldTrainer:
                     "cls_error": tr_cls_err,
                     "site_loss": sums["site_loss_sum"] / n,
                     "site_error": 1.0 - sums["site_correct"] / n,
+                    "data_wait_frac": data_frac,
                 },
                 cls_logger,
                 site_logger,
