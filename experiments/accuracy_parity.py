@@ -104,7 +104,7 @@ def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1):
     return np.asarray(probs), np.asarray(labels)
 
 
-def train_ours(ds, spec, dim: int, epochs: int, lr: float, tmp: Path = Path("/tmp/acc_parity")):
+def train_ours(ds, spec, dim: int, epochs: int, lr: float, batch_size: int = 8, tmp: Path = Path("/tmp/acc_parity")):
     from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
     from toad_tpu.train.loop import FoldTrainer
 
@@ -113,7 +113,7 @@ def train_ours(ds, spec, dim: int, epochs: int, lr: float, tmp: Path = Path("/tm
         seed=1,
         model=ModelConfig(in_dim=dim, n_classes=18),
         optim=OptimConfig(lr=lr),
-        data=DataConfig(batch_size=8, bucket_sizes=(64, 128, 256)),
+        data=DataConfig(batch_size=batch_size, bucket_sizes=(64, 128, 256)),
     )
     trainer = FoldTrainer(cfg, fold=0, results_dir=tmp / "results")
     r = trainer.train(
@@ -128,6 +128,7 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--batch_size", type=int, default=8, help="1 = the reference's exact one-bag-one-step semantics")
     args = ap.parse_args()
 
     from toad_tpu.evaluate.metrics import macro_ovr_auc, topk_accuracy
@@ -135,7 +136,7 @@ def main():
     ds, spec = build_data(args.dim)
 
     t0 = time.perf_counter()
-    ours_probs, ours_labels, _ = train_ours(ds, spec, args.dim, args.epochs, args.lr)
+    ours_probs, ours_labels, _ = train_ours(ds, spec, args.dim, args.epochs, args.lr, args.batch_size)
     t_ours = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -146,6 +147,7 @@ def main():
     np.testing.assert_array_equal(np.sort(ours_labels), np.sort(ref_labels))
     result = {
         "dim": args.dim,
+        "batch_size": args.batch_size,
         "epochs": args.epochs,
         "ours_auc": round(macro_ovr_auc(ours_labels, ours_probs, 18), 4),
         "ref_auc": round(macro_ovr_auc(ref_labels, ref_probs, 18), 4),

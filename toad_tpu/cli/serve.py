@@ -49,13 +49,23 @@ def main(argv=None) -> None:
     service = InferenceService.from_checkpoint(args.ckpt, model_cfg, serve_cfg, task=task)
     server = make_http_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]}  (POST /predict)")
+
+    # graceful stop on SIGTERM/SIGINT: shutdown() must run off the serving
+    # thread (it blocks until serve_forever exits), so hand it to a thread
+    import signal
+    import threading
+
+    def _stop(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
     try:
         server.serve_forever()
-    except KeyboardInterrupt:
-        pass
     finally:
-        server.shutdown()
+        server.server_close()
         service.close()
+        print("server stopped; in-flight requests drained")
 
 
 if __name__ == "__main__":
