@@ -191,3 +191,44 @@ def test_concurrent_http_clients_share_batches(http_service):
         np.testing.assert_allclose(out["y_prob"], first, atol=1e-5)
     after = service.stats()
     assert after["served"] - before["served"] == 10
+
+
+def test_dispatch_thread_survives_forward_failure(model_and_params):
+    """A failing dispatch must reject its own futures but keep the singleton
+    dispatch thread alive for later requests (review finding: an unguarded
+    exception killed the thread and hung every subsequent caller)."""
+    cfg, params = model_and_params
+    with DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=BUCKETS, max_wait_ms=5)) as b:
+        good = np.zeros((10, DIM), np.float32)
+        b.predict(good, 0)  # warm
+        orig = b._fwd
+        b._fwd = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+        with pytest.raises(RuntimeError, match="boom"):
+            b.predict(good, 0)
+        b._fwd = orig
+        pred = b.predict(good, 0)  # thread still serving
+        assert pred.y_prob.shape == (6,)
+
+
+def test_close_reports_drain_and_is_idempotent(model_and_params):
+    cfg, params = model_and_params
+    b = DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=BUCKETS))
+    b.predict(np.zeros((10, DIM), np.float32), 0)
+    assert b.close() is True
+    assert b.close() is True  # idempotent
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.zeros((10, DIM), np.float32), 0)
+
+
+def test_http_shape_validation(http_service):
+    """Non-integer / wrong-dim shapes are 400s, not 500s (review finding)."""
+    import base64 as b64
+
+    _, port, _ = http_service
+    payload = b64.b64encode(np.zeros(40 * DIM, "<f4").tobytes()).decode()
+    status, out = _post(port, "/predict", {"features_b64": payload, "shape": [40.0, DIM], "sex": 0})
+    assert status == 400 and "positive integers" in out["error"]
+    status, out = _post(port, "/predict", {"features_b64": payload, "shape": [40, DIM + 1], "sex": 0})
+    assert status == 400 and "in_dim" in out["error"]
+    status, out = _post(port, "/predict", {"features": [0.0] * DIM, "sex": 0})  # 1-D
+    assert status == 400 and "n_patches" in out["error"]

@@ -64,8 +64,12 @@ def main(argv=None) -> None:
         server.serve_forever()
     finally:
         server.server_close()
-        service.close()
-        print("server stopped; in-flight requests drained")
+        drained = service.close()
+        print(
+            "server stopped; in-flight requests drained"
+            if drained
+            else "server stopped; WARNING: dispatch thread still busy after timeout"
+        )
 
 
 if __name__ == "__main__":

@@ -67,19 +67,11 @@ class SlideInference:
     @classmethod
     def from_checkpoint(cls, ckpt_path: str | os.PathLike, model_cfg: ModelConfig, **kw) -> "SlideInference":
         """Load either an Orbax checkpoint directory or a reference torch
-        ``s_{fold}_checkpoint.pt`` file — sniffed by path type."""
-        from pathlib import Path
+        ``s_{fold}_checkpoint.pt`` file — sniffed by path type (one shared
+        loading policy: :func:`toad_tpu.train.checkpoint.load_params_any`)."""
+        from toad_tpu.train.checkpoint import load_params_any
 
-        p = Path(ckpt_path)
-        if p.is_dir():
-            from toad_tpu.train.checkpoint import restore_params
-
-            params = restore_params(p)
-        else:
-            from toad_tpu.models.torch_interop import import_torch_checkpoint
-
-            params = import_torch_checkpoint(p, model_cfg)
-        return cls(params, model_cfg, **kw)
+        return cls(load_params_any(ckpt_path, model_cfg), model_cfg, **kw)
 
     def predict(self, features: np.ndarray, sex: int) -> SlidePrediction:
         """One bag [N, D] -> prediction. N is padded up to the nearest bucket;

@@ -92,6 +92,10 @@ class DynamicBatcher:
         self.buckets = tuple(sorted(cfg.bucket_sizes))
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
         self._stop = threading.Event()
+        # serializes submit-enqueue against close(): without it a submit that
+        # passed the is_set() check could enqueue after the final drain and
+        # hang its caller forever
+        self._submit_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._requests = 0
         self._batches = 0
@@ -132,9 +136,12 @@ class DynamicBatcher:
             features, n = features[:bucket], bucket
         fut: Future = Future()
         want_attn = self.cfg.need_attention if attention is None else bool(attention)
-        with self._stats_lock:
-            self._requests += 1
-        self._queue.put(_Request(features, n, bucket, int(sex), want_attn, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("batcher is closed")
+            with self._stats_lock:
+                self._requests += 1
+            self._queue.put(_Request(features, n, bucket, int(sex), want_attn, fut))
         return fut
 
     def predict(self, features: np.ndarray, sex: int, attention: bool | None = None) -> SlidePrediction:
@@ -180,14 +187,22 @@ class DynamicBatcher:
             for r in batch:
                 groups.setdefault((r.bucket, r.attention), []).append(r)
             for (bucket, want_attn), group in groups.items():
-                self._dispatch(bucket, want_attn, group)
+                # the dispatch thread is a singleton: it must survive EVERY
+                # failure (batch-assembly MemoryError included), else all
+                # pending and future requests hang in future.result()
+                try:
+                    self._dispatch(bucket, want_attn, group)
+                except BaseException as e:  # noqa: BLE001
+                    for r in group:
+                        if not r.future.done():
+                            r.future.set_exception(e)
         # drain anything left after stop so no future hangs
         while True:
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if req is not None:
+            if req is not None and not req.future.done():
                 req.future.set_exception(RuntimeError("batcher closed"))
 
     def _dispatch(self, bucket: int, want_attn: bool, group: list[_Request]) -> None:
@@ -204,15 +219,9 @@ class DynamicBatcher:
             mask[i, : r.n] = 1.0
             sex[i] = r.sex
         mask[b:, 0] = 1.0  # padded rows attend to one zero patch: keeps softmax finite
-        try:
-            y_prob, site_prob, attn = jax.device_get(
-                self._fwd(self.params, feats, mask, sex, need_attention=want_attn)
-            )
-        except Exception as e:  # propagate to every waiting client
-            for r in group:
-                if not r.future.cancelled():
-                    r.future.set_exception(e)
-            return
+        y_prob, site_prob, attn = jax.device_get(
+            self._fwd(self.params, feats, mask, sex, need_attention=want_attn)
+        )
         with self._stats_lock:
             self._batches += 1
             self._batched += b
@@ -235,17 +244,25 @@ class DynamicBatcher:
                 site_attention=sa,
                 topk=[(int(j), float(yp[j])) for j in order],
             )
-            if not r.future.cancelled():
+            if not r.future.done():
                 r.future.set_result(pred)
 
     # -- lifecycle ---------------------------------------------------------------
 
-    def close(self) -> None:
-        if self._stop.is_set():
-            return
-        self._stop.set()
-        self._queue.put(None)
-        self._thread.join(timeout=10)
+    def close(self, timeout: float = 60.0) -> bool:
+        """Stop the dispatch thread. Returns True once it has fully drained;
+        False if it is still mid-forward after `timeout` seconds (e.g. a
+        first-touch XLA compile) — callers should not claim a clean drain
+        then."""
+        with self._submit_lock:
+            already = self._stop.is_set()
+            self._stop.set()
+        if not already:
+            self._queue.put(None)
+        deadline = time.monotonic() + timeout
+        while self._thread.is_alive() and time.monotonic() < deadline:
+            self._thread.join(timeout=min(5.0, max(0.0, deadline - time.monotonic())))
+        return not self._thread.is_alive()
 
     def __enter__(self) -> "DynamicBatcher":
         return self

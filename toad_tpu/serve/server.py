@@ -67,19 +67,10 @@ class InferenceService:
         task: TaskConfig | None = None,
     ) -> "InferenceService":
         """Orbax checkpoint directory or reference torch ``s_k_checkpoint.pt``
-        (same sniffing as :meth:`SlideInference.from_checkpoint`)."""
-        from pathlib import Path
+        (one shared loading policy: :func:`toad_tpu.train.checkpoint.load_params_any`)."""
+        from toad_tpu.train.checkpoint import load_params_any
 
-        p = Path(ckpt_path)
-        if p.is_dir():
-            from toad_tpu.train.checkpoint import restore_params
-
-            params = restore_params(p)
-        else:
-            from toad_tpu.models.torch_interop import import_torch_checkpoint
-
-            params = import_torch_checkpoint(p, model_cfg)
-        return cls(params, model_cfg, serve_cfg, task=task)
+        return cls(load_params_any(ckpt_path, model_cfg), model_cfg, serve_cfg, task=task)
 
     # -- prediction --------------------------------------------------------------
 
@@ -129,22 +120,33 @@ class InferenceService:
             "mean_batch_size": round(s.mean_batch_size, 3),
         }
 
-    def close(self) -> None:
-        self.batcher.close()
+    def close(self, timeout: float = 60.0) -> bool:
+        """Returns True when the dispatch thread fully drained (see
+        :meth:`DynamicBatcher.close`)."""
+        return self.batcher.close(timeout)
 
 
 def _decode_features(body: dict, in_dim: int) -> np.ndarray:
     if "features_b64" in body:
         shape = body.get("shape")
-        if not (isinstance(shape, list) and len(shape) == 2):
-            raise ValueError("features_b64 requires 'shape': [n_patches, dim]")
+        if not (
+            isinstance(shape, list)
+            and len(shape) == 2
+            and all(isinstance(v, int) and not isinstance(v, bool) and v > 0 for v in shape)
+        ):
+            raise ValueError("features_b64 requires 'shape': [n_patches, dim] (positive integers)")
+        if shape[1] != in_dim:
+            raise ValueError(f"feature dim {shape[1]} != model in_dim {in_dim}")
         raw = base64.b64decode(body["features_b64"])
         arr = np.frombuffer(raw, dtype="<f4")
         if arr.size != shape[0] * shape[1]:
             raise ValueError(f"payload has {arr.size} floats, shape says {shape[0] * shape[1]}")
         return arr.reshape(shape[0], shape[1])
     if "features" in body:
-        return np.asarray(body["features"], np.float32)
+        arr = np.asarray(body["features"], np.float32)
+        if arr.ndim != 2 or arr.shape[1] != in_dim:
+            raise ValueError(f"features must be [n_patches, {in_dim}], got shape {arr.shape}")
+        return arr
     raise ValueError("body needs one of: features_b64, features, bag_path")
 
 

@@ -98,3 +98,16 @@ def _project_like(src: Any, template: Any) -> Any:
     if isinstance(template, dict):
         return {k: _project_like(src[k], v) for k, v in template.items()}
     return src
+
+
+def load_params_any(ckpt_path: str | os.PathLike, model_cfg=None):
+    """Load ToadMIL params from either an Orbax checkpoint directory (ours)
+    or a reference torch ``s_{fold}_checkpoint.pt`` file — sniffed by path
+    type. The ONE loading policy shared by :class:`SlideInference`, the
+    serving :class:`InferenceService`, and the eval engine."""
+    p = Path(ckpt_path)
+    if p.is_dir():
+        return restore_params(p)
+    from toad_tpu.models.torch_interop import import_torch_checkpoint
+
+    return import_torch_checkpoint(p, model_cfg)
