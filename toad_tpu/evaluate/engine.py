@@ -22,7 +22,6 @@ from toad_tpu.data.batching import BagBatcher
 from toad_tpu.evaluate.metrics import AccuracyLogger, binary_auc, micro_ovr_auc, ovr_aucs, topk_accuracy
 from toad_tpu.evaluate.runner import make_eval_step, run_eval_pass
 from toad_tpu.models.toad_mil import ToadMIL
-from toad_tpu.train.checkpoint import restore_params
 
 
 @dataclass
@@ -139,17 +138,9 @@ def evaluate_checkpoint(
     model = ToadMIL(model_cfg)
     import jax
 
-    ckpt_path = Path(ckpt_path)
-    if ckpt_path.is_dir():
-        template = model.init(jax.random.PRNGKey(0))
-        params = restore_params(ckpt_path, template)
-    else:
-        from toad_tpu.models.torch_interop import import_torch_checkpoint
+    from toad_tpu.train.checkpoint import load_params_any
 
-        torch_file = ckpt_path if ckpt_path.exists() else ckpt_path.with_suffix(".pt")
-        if not torch_file.exists():
-            raise FileNotFoundError(f"checkpoint not found: {ckpt_path} (or {torch_file})")
-        params = import_torch_checkpoint(torch_file, model_cfg)
+    params = load_params_any(ckpt_path, model_cfg, template=model.init(jax.random.PRNGKey(0)))
     return evaluate_split(
         model,
         params,

@@ -100,14 +100,19 @@ def _project_like(src: Any, template: Any) -> Any:
     return src
 
 
-def load_params_any(ckpt_path: str | os.PathLike, model_cfg=None):
+def load_params_any(ckpt_path: str | os.PathLike, model_cfg=None, template: Any | None = None):
     """Load ToadMIL params from either an Orbax checkpoint directory (ours)
     or a reference torch ``s_{fold}_checkpoint.pt`` file — sniffed by path
-    type. The ONE loading policy shared by :class:`SlideInference`, the
-    serving :class:`InferenceService`, and the eval engine."""
+    type, with a ``.pt`` suffix fallback for reference-style bare names. The
+    ONE loading policy shared by :class:`SlideInference`, the serving
+    :class:`InferenceService`, and the eval engine. ``template`` (optional)
+    makes the Orbax restore shape-checked."""
     p = Path(ckpt_path)
     if p.is_dir():
-        return restore_params(p)
+        return restore_params(p, template)
     from toad_tpu.models.torch_interop import import_torch_checkpoint
 
-    return import_torch_checkpoint(p, model_cfg)
+    f = p if p.exists() else p.with_suffix(".pt")
+    if not f.exists():
+        raise FileNotFoundError(f"checkpoint not found: {p} (or {f})")
+    return import_torch_checkpoint(f, model_cfg)
