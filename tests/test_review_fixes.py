@@ -1,0 +1,80 @@
+"""Regression tests for data/native-layer review findings:
+
+- numeric slide ids in ragged split CSVs must round-trip (pandas would
+  float-ify NaN-padded columns -> '201.0' matched nothing -> empty split)
+- split ids missing from the manifest must raise, not silently intersect
+- numpy-2 array pickles inside torch-zip files must parse natively
+- BagBatcher.__len__ must equal the actually-iterated batch count for every
+  mode when bag lengths are resolvable (was a lower bound for weighted)
+- native pack_bags buffer validation must raise real errors (not asserts)
+"""
+
+import numpy as np
+import pytest
+
+from toad_tpu.data.batching import BagBatcher
+from toad_tpu.data.splits import load_split_csv, save_split_columnar
+from toad_tpu.data.wsi_dataset import LabelVocabularyError, WSIBagDataset
+
+
+def test_numeric_slide_ids_round_trip_split_csv(tmp_path):
+    ids = {
+        "train": [str(i) for i in range(100, 110)],
+        "val": ["110", "111"],  # shorter than train -> NaN padding on read
+        "test": ["112"],
+    }
+    path = tmp_path / "splits_0.csv"
+    save_split_columnar(ids, path)
+    out = load_split_csv(path)
+    assert out["val"] == ["110", "111"], out["val"]  # not ['110.0', ...]
+    assert out["test"] == ["112"]
+
+
+def test_subset_by_unknown_slide_ids_raises(dummy_env):
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]), print_info=False)
+    good = [str(s) for s in ds.slide_ids[:3]]
+    assert len(ds.subset_by_slide_ids(good)) == 3
+    with pytest.raises(LabelVocabularyError, match="not in the dataset csv"):
+        ds.subset_by_slide_ids(good + ["no-such-slide"])
+
+
+def test_numpy2_array_in_torch_zip_parses_natively(tmp_path):
+    torch = pytest.importorskip("torch")
+    from toad_tpu.data.torch_io import load_torch_pickle
+
+    payload = {
+        "features": torch.arange(12, dtype=torch.float32).reshape(3, 4),
+        "coords": np.array([[0, 1], [2, 3], [4, 5]], np.int64),  # raw numpy -> _codecs.encode path
+        "note": "mixed container",
+    }
+    p = tmp_path / "mixed.pt"
+    torch.save(payload, p)
+    out = load_torch_pickle(p)
+    np.testing.assert_array_equal(np.asarray(out["features"]), payload["features"].numpy())
+    np.testing.assert_array_equal(np.asarray(out["coords"]), payload["coords"])
+
+
+@pytest.mark.parametrize("mode", ["sequential", "shuffle", "weighted"])
+def test_len_matches_iteration_every_mode(dummy_env, mode):
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]), print_info=False)
+    split = ds.subset(np.arange(ds.n_slides))
+    b = BagBatcher(split, batch_size=4, bucket_sizes=(64, 128, 256), mode=mode, seed=3, prefetch=0)
+    for epoch in (0, 1):
+        b.set_epoch(epoch)
+        n_iter = sum(1 for _ in b)
+        assert len(b) == n_iter, (mode, epoch, len(b), n_iter)
+
+
+def test_native_buffer_validation_raises(tmp_path):
+    native = pytest.importorskip("toad_tpu.native")
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    bag = tmp_path / "b.npy"
+    np.save(bag, np.ones((4, 8), np.float32))
+    from toad_tpu.data.native_bags import resolve_payload
+
+    p = resolve_payload(bag)
+    out = np.zeros((1, 16, 8), np.float64)  # wrong dtype
+    mask = np.zeros((1, 16), np.float32)
+    with pytest.raises(ValueError, match="C-contiguous float32"):
+        native.pack_bags([p.path], np.array([p.offset]), np.array([4]), 8, 16, out, mask)

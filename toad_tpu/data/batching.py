@@ -122,36 +122,42 @@ class BagBatcher:
         self.native_active: bool | None = None
         self._epoch = 0
 
+    def _resolve_payloads(self) -> list | None:
+        """Resolve every bag's payload metadata ONCE (shared by ``__len__``'s
+        length probe and the native-eligibility check — each resolve opens
+        the container and parses headers, so doubling it doubles the startup
+        stall on big splits). None when the split has no ``bag_file``;
+        entries are None for individually unresolvable bags."""
+        if self._payloads is None and hasattr(self.split, "bag_file"):
+            from toad_tpu.data.native_bags import resolve_payload
+
+            self._payloads = [resolve_payload(self.split.bag_file(i)) for i in range(len(self.split))]
+        return self._payloads
+
     def _bag_lengths(self) -> list | None:
         """Per-bag row counts from file metadata (no payload reads), or None
         when any bag is unresolvable."""
         if self._lengths is not False:
             return self._lengths
-        lengths = None
-        if hasattr(self.split, "bag_file"):
-            from toad_tpu.data.native_bags import resolve_payload
+        payloads = self._resolve_payloads()
+        if payloads is None or any(p is None for p in payloads):
+            self._lengths = None
+        else:
+            self._lengths = [p.nrows for p in payloads]
+        return self._lengths
 
-            out = []
-            for i in range(len(self.split)):
-                p = resolve_payload(self.split.bag_file(i))
-                if p is None:
-                    out = None
-                    break
-                out.append(p.nrows)
-            lengths = out
-        self._lengths = lengths
-        return lengths
+    def _epoch_rng(self) -> np.random.RandomState:
+        return np.random.RandomState((self.seed * 1_000_003 + self._epoch) % (2**31 - 1))
 
     def __len__(self) -> int:
-        """Exact batch count for sequential/shuffle modes when bag lengths are
-        resolvable from file metadata (grouping is by bucket, so the count is
-        order-independent); otherwise the bag-count upper bound
-        ceil(n/batch_size) (weighted mode resamples per epoch, so its exact
-        count is epoch-dependent anyway)."""
-        order = self._order(np.random.RandomState(0))
+        """Batch count for the CURRENT epoch (``set_epoch``): exact whenever
+        bag lengths are resolvable from file metadata — bucket grouping is
+        order-independent, and weighted/testing draws replay this epoch's
+        rng stream. When lengths are unresolvable, falls back to
+        ceil(n_bags/batch_size), which is a LOWER bound (bucket grouping can
+        only split batches, never merge across buckets)."""
+        order = self._order(self._epoch_rng())
         approx = (len(order) + self.batch_size - 1) // self.batch_size
-        if self.mode == "weighted" or self.testing_frac is not None or self.bucket_sizes is None:
-            return approx
         lengths = self._bag_lengths()
         if lengths is None:
             return approx
@@ -160,7 +166,7 @@ class BagBatcher:
             n = lengths[int(i)]
             if self.max_bag_size is not None:
                 n = min(n, self.max_bag_size)
-            b = bucket_for(n, self.bucket_sizes)
+            b = n if self.bucket_sizes is None else bucket_for(n, self.bucket_sizes)
             counts[b] = counts.get(b, 0) + 1
         return sum((c + self.batch_size - 1) // self.batch_size for c in counts.values())
 
@@ -229,7 +235,7 @@ class BagBatcher:
         ok = hasattr(self.split, "bag_file") and native_lib.available()
         eligible = "unchecked"
         if ok:
-            payloads = [resolve_payload(self.split.bag_file(i)) for i in range(len(self.split))]
+            payloads = self._resolve_payloads()
             eligible = all(p is not None for p in payloads)
             # every bag must agree on the feature dim (and match feature_dim if
             # pinned) — a mixed-dim store must fail loudly in the numpy path,
@@ -237,9 +243,7 @@ class BagBatcher:
             if eligible and payloads:
                 dims = {p.dim for p in payloads}
                 eligible = len(dims) == 1 and (self.feature_dim is None or dims == {self.feature_dim})
-            ok = bool(eligible)
-            if ok:
-                self._payloads = payloads
+            ok = bool(eligible)  # payloads already cached by _resolve_payloads
         if not ok and self.native == "on":
             from toad_tpu.native import failure_reason
 
@@ -300,12 +304,29 @@ class BagBatcher:
         if self._native_ready():
             yield from self._batches_native()
             return
-        rng = np.random.RandomState((self.seed * 1_000_003 + self._epoch) % (2**31 - 1))
-        order = self._order(rng)
+        order = self._order(self._epoch_rng())
         pools: dict[int, list[tuple[int, np.ndarray]]] = {}
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-            for i, feats in ex.map(self._load, order, chunksize=1):
+            # bounded in-flight window, NOT ex.map over the whole epoch:
+            # map holds every completed-but-unyielded bag, so a consumer
+            # slower than disk would accumulate the epoch's bags in host
+            # memory (0.5 GB each at 131k x 1024). FIFO keeps load order.
+            from collections import deque
+
+            idx_iter = iter(order)
+            pending: deque = deque()
+
+            def _submit_one() -> None:
+                i = next(idx_iter, None)
+                if i is not None:
+                    pending.append(ex.submit(self._load, int(i)))
+
+            for _ in range(2 * self.num_workers):
+                _submit_one()
+            while pending:
+                i, feats = pending.popleft().result()
+                _submit_one()
                 n = feats.shape[0]
                 if self.bucket_sizes is None:
                     bucket = n

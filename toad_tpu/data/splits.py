@@ -168,12 +168,17 @@ def split_descriptor(
 
 def load_split_csv(csv_path: str | os.PathLike) -> dict[str, list[str]]:
     """Read a columnar split file into {split: [slide ids]} dropping the NaN
-    ragged-padding (reference ``get_split_from_df``, ``:221-238``)."""
-    df = pd.read_csv(csv_path)
+    ragged-padding (reference ``get_split_from_df``, ``:221-238``).
+
+    Read with ``dtype=str``: the ragged val/test columns are NaN-padded, so
+    pandas would otherwise infer float64 for all-numeric slide ids and
+    ``astype(str)`` would yield '201.0' — which matches nothing in the
+    manifest and silently produced empty splits."""
+    df = pd.read_csv(csv_path, dtype=str)
     out: dict[str, list[str]] = {}
     for key in ("train", "val", "test"):
         if key in df.columns:
-            out[key] = df[key].dropna().astype(str).tolist()
+            out[key] = df[key].dropna().tolist()
     if not out:
         raise ValueError(f"{csv_path} has none of train/val/test columns")
     return out

@@ -26,6 +26,17 @@ from typing import Any
 
 import numpy as np
 
+
+def _np_multiarray():
+    """numpy's multiarray module without the numpy.core deprecation alias
+    (numpy >= 2 moved it to numpy._core)."""
+    try:
+        from numpy._core import multiarray  # numpy >= 2
+    except ImportError:  # pragma: no cover - numpy 1.x
+        from numpy.core import multiarray
+    return multiarray
+
+
 _STORAGE_DTYPES = {
     "FloatStorage": np.float32,
     "DoubleStorage": np.float64,
@@ -115,12 +126,18 @@ class _TorchUnpickler(pickle.Unpickler):
             import collections
 
             return collections.OrderedDict
-        if module == "numpy.core.multiarray" and name == "_reconstruct":
-            import numpy.core.multiarray as m
-
-            return m._reconstruct
+        if module in ("numpy.core.multiarray", "numpy._core.multiarray") and name == "_reconstruct":
+            # numpy 2 pickles reference numpy._core.*; numpy 1 used numpy.core.*
+            return _np_multiarray()._reconstruct
         if module == "numpy" and name in ("ndarray", "dtype"):
             return getattr(np, name)
+        if module.startswith("numpy") and name == "scalar":
+            return _np_multiarray().scalar
+        if module == "_codecs" and name == "encode":
+            # numpy array pickles encode byte payloads through _codecs.encode
+            import _codecs
+
+            return _codecs.encode
         raise pickle.UnpicklingError(f"refusing to load {module}.{name}")
 
 

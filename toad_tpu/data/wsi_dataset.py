@@ -70,6 +70,29 @@ def _map_column(df: pd.DataFrame, col: str, mapping: Mapping[str, int], task_nam
     return mapped.to_numpy().astype(np.int32)
 
 
+def vote_label(labels: np.ndarray, voting: str) -> int:
+    """Patient-level label vote (reference ``patient_data_prep``, ``:94-110``).
+    The ONE definition used by dataset bookkeeping and patient concat bags."""
+    if voting == "max":
+        return int(labels.max())
+    if voting == "maj":
+        return int(np.bincount(labels).argmax())
+    raise NotImplementedError(f"patient_voting={voting!r}")
+
+
+def inverse_frequency_weights(labels: np.ndarray, n_classes: int) -> np.ndarray:
+    """Per-sample inverse-class-frequency weights for balanced sampling.
+
+    Fixes the reference's broken ``make_weights_for_balanced_classes_split``
+    (``utils/utils.py:140-148`` calls ``getlabel(idx)`` with a missing
+    ``task`` argument → TypeError)."""
+    n = float(len(labels))
+    counts = np.bincount(labels, minlength=n_classes).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        per_class = np.where(counts > 0, n / counts, 0.0)
+    return per_class[labels]
+
+
 class WSIBagDataset:
     """Slide-level dataset over a CSV manifest plus on-disk feature bags.
 
@@ -103,8 +126,7 @@ class WSIBagDataset:
             raise FileNotFoundError(f"dataset csv not found: {path}")
         df = pd.read_csv(path)
 
-        required = {"slide_id", "case_id", *self.label_cols} - {"label"}
-        required.add(self.label_cols[0])
+        required = {"slide_id", "case_id", *self.label_cols}
         missing = sorted(required - set(df.columns))
         if missing:
             raise LabelVocabularyError(f"csv {path} missing required columns: {missing}")
@@ -150,12 +172,7 @@ class WSIBagDataset:
             labels = self.labels[inverse == p]
             if len(labels) == 0:
                 raise ValueError(f"patient {patients[p]} has no slides")
-            if voting == "max":
-                patient_labels[p] = labels.max()
-            elif voting == "maj":
-                patient_labels[p] = np.bincount(labels).argmax()
-            else:
-                raise NotImplementedError(f"patient_voting={voting!r}")
+            patient_labels[p] = vote_label(labels, voting)
         self.patient_ids = patients
         self.patient_labels = patient_labels
 
@@ -217,6 +234,15 @@ class WSIBagDataset:
     def subset_by_slide_ids(self, slide_ids: Sequence[str]) -> "WSIBagSplit":
         wanted = set(map(str, slide_ids))
         ids = np.where(np.isin(self.slide_ids, list(wanted)))[0]
+        found = {str(self.slide_ids[i]) for i in ids}
+        lost = sorted(wanted - found)
+        if lost:
+            # silent intersection would train/eval on a skewed subset — the
+            # split file disagrees with the manifest, say so loudly
+            raise LabelVocabularyError(
+                f"{len(lost)} split slide id(s) not in the dataset csv "
+                f"(first few: {lost[:5]}) — split file and manifest disagree"
+            )
         return self.subset(ids)
 
     def return_splits_from_csv(self, csv_path: str | os.PathLike):
@@ -276,16 +302,8 @@ class WSIBagSplit:
         return self.parent.load_bag(int(self.ids[i]), with_coords=with_coords)
 
     def class_weights(self) -> np.ndarray:
-        """Per-sample inverse-class-frequency weights for balanced sampling.
-
-        Fixes the reference's broken ``make_weights_for_balanced_classes_split``
-        (``utils/utils.py:140-148`` calls ``getlabel(idx)`` with a missing
-        ``task`` argument → TypeError)."""
-        n = float(len(self))
-        counts = np.bincount(self.labels, minlength=self.num_classes[0]).astype(np.float64)
-        with np.errstate(divide="ignore"):
-            per_class = np.where(counts > 0, n / counts, 0.0)
-        return per_class[self.labels]
+        """See :func:`inverse_frequency_weights` (fixes reference §2.3.2)."""
+        return inverse_frequency_weights(self.labels, self.num_classes[0])
 
 
 class PatientBagSplit:
@@ -318,13 +336,7 @@ class PatientBagSplit:
         sites = np.zeros(len(cases), np.int32)
         sexes = np.zeros(len(cases), np.int32)
         for p, g in enumerate(self.groups):
-            ls = split.labels[g]
-            if voting == "max":
-                labels[p] = ls.max()
-            elif voting == "maj":
-                labels[p] = np.bincount(ls).argmax()
-            else:
-                raise NotImplementedError(f"patient_voting={voting!r}")
+            labels[p] = vote_label(split.labels[g], voting)
             sites[p] = split.sites[g].max()
             sexes[p] = split.sexes[g[0]]
         self.labels = labels
@@ -348,8 +360,4 @@ class PatientBagSplit:
         return feats
 
     def class_weights(self) -> np.ndarray:
-        n = float(len(self))
-        counts = np.bincount(self.labels, minlength=self.num_classes[0]).astype(np.float64)
-        with np.errstate(divide="ignore"):
-            per_class = np.where(counts > 0, n / counts, 0.0)
-        return per_class[self.labels]
+        return inverse_frequency_weights(self.labels, self.num_classes[0])

@@ -117,8 +117,18 @@ def pack_bags(
     if lib is None:
         raise RuntimeError(f"native bagio unavailable: {_FAILED}")
     n = len(paths)
-    assert out.shape == (n, bucket, dim) and out.dtype == np.float32 and out.flags.c_contiguous
-    assert mask.shape == (n, bucket) and mask.dtype == np.float32 and mask.flags.c_contiguous
+    # real checks, not asserts: these guard raw-pointer C writes and must
+    # survive python -O (a stripped assert here means memory corruption)
+    if out.shape != (n, bucket, dim) or out.dtype != np.float32 or not out.flags.c_contiguous:
+        raise ValueError(
+            f"out must be C-contiguous float32 {(n, bucket, dim)}, got "
+            f"{out.dtype} {out.shape} contiguous={out.flags.c_contiguous}"
+        )
+    if mask.shape != (n, bucket) or mask.dtype != np.float32 or not mask.flags.c_contiguous:
+        raise ValueError(
+            f"mask must be C-contiguous float32 {(n, bucket)}, got "
+            f"{mask.dtype} {mask.shape} contiguous={mask.flags.c_contiguous}"
+        )
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     offsets = np.ascontiguousarray(offsets, np.int64)
     nrows = np.ascontiguousarray(nrows, np.int64)
