@@ -160,3 +160,19 @@ def test_random_init_shapes_and_stats():
     x = jnp.asarray(np.random.RandomState(4).randn(1, 64, 64, 3).astype(np.float32))
     out = enc.apply(params, x)
     assert out.shape == (1, 1024)
+
+
+def test_fold_bn_is_idempotent():
+    """fold_bn on already-folded params (stem included) is a no-op — a
+    re-folded checkpoint or a reused make_embedder fp must not KeyError."""
+    import jax
+
+    from toad_tpu.config import EncoderConfig
+    from toad_tpu.models.resnet_encoder import ResNetEncoder, fold_bn
+
+    cfg = EncoderConfig(blocks=(1, 1), stem_width=8)
+    params = ResNetEncoder(cfg).init(jax.random.PRNGKey(0))
+    once = fold_bn(params, cfg)
+    twice = fold_bn(once, cfg)
+    for a, b in zip(jax.tree.leaves(once), jax.tree.leaves(twice)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -137,7 +137,9 @@ class ResNetEncoder:
         return self.apply(params, self.preprocess(tiles))
 
     def param_count(self, params: Params) -> int:
-        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        from toad_tpu.utils import param_count
+
+        return param_count(params)
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +223,11 @@ def fold_bn(params: Params, config: EncoderConfig = EncoderConfig()) -> Params:
     only in name: it also becomes conv+bias."""
     eps = config.bn_eps
     out: Params = {}
-    w, b = _fold(params["stem"]["conv"], params["stem"]["bn"], eps)
-    out["stem"] = {"conv": w, "bias": b}
+    if "bn" in params["stem"]:
+        w, b = _fold(params["stem"]["conv"], params["stem"]["bn"], eps)
+        out["stem"] = {"conv": w, "bias": b}
+    else:  # already folded — idempotent, like the block-level guard below
+        out["stem"] = params["stem"]
     for s in range(len(config.blocks)):
         blocks = []
         for blk in params[f"layer{s + 1}"]:

@@ -95,7 +95,9 @@ class ToadMIL:
         return params
 
     def param_count(self, params: Params) -> int:
-        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        from toad_tpu.utils import param_count
+
+        return param_count(params)
 
     # -- forward ---------------------------------------------------------------
 

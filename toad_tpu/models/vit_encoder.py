@@ -140,15 +140,21 @@ class ViTEncoder:
         out = _layer_norm(tokens[:, 0, :], params["norm"], c.ln_eps)
         return out.astype(jnp.float32)
 
-    def preprocess(self, tiles: jax.Array, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)) -> jax.Array:
+    def preprocess(self, tiles: jax.Array, mean=None, std=None) -> jax.Array:
+        from toad_tpu.models.resnet_encoder import IMAGENET_MEAN, IMAGENET_STD
+
         x = tiles.astype(jnp.float32) / 255.0
+        mean = IMAGENET_MEAN if mean is None else np.asarray(mean, np.float32)
+        std = IMAGENET_STD if std is None else np.asarray(std, np.float32)
         return (x - jnp.asarray(mean)) / jnp.asarray(std)
 
     def embed(self, params: Params, tiles: jax.Array) -> jax.Array:
         return self.apply(params, self.preprocess(tiles))
 
     def param_count(self, params: Params) -> int:
-        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+        from toad_tpu.utils import param_count
+
+        return param_count(params)
 
 
 def _layer_norm(x, ln, eps):

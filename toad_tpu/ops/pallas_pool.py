@@ -263,8 +263,12 @@ def pallas_pool_partial(
 
 
 def xla_pool_partial(params: dict[str, Any], x: jax.Array, mask: jax.Array, *, compute_dtype=jnp.float32):
-    """jnp reference of :func:`pallas_pool_partial` (same outputs, padded to
-    T_PAD) — used off-TPU and as the parity oracle."""
+    """jnp reference of :func:`pallas_pool_partial` — used off-TPU and as the
+    parity oracle. Only the first ``t`` (real-task) columns of the T_PAD-wide
+    outputs match the kernel: padding columns here carry (max=NEG_INF,
+    denom=0) while the kernel's zero-padded wc columns yield (max=0,
+    denom=n_real) with acc=sum(h). Consumers (combine_partial_pool callers)
+    must slice ``[:, :t]`` and never trust the filler columns."""
     from toad_tpu.ops.fused_pool import _trunk_scores
 
     h, scores = _trunk_scores(params, x, jnp.dtype(compute_dtype))  # [B,N,H], [B,N,T]

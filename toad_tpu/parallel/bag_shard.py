@@ -14,6 +14,8 @@ propagation; this module is the explicit, kernel-compatible version.
 
 from __future__ import annotations
 
+import functools
+import inspect
 from typing import Any
 
 import jax
@@ -37,35 +39,22 @@ def combine_partial_pool(acc: jax.Array, stats: jax.Array, axis_name: str):
     return acc / jnp.maximum(denom, 1e-12)[:, :, None]
 
 
-def bag_sharded_pool(
-    params: Any,
-    x: jax.Array,  # [B, N, D] global
-    mask: jax.Array,  # [B, N] global
-    mesh: Mesh,
-    *,
-    axis: str = "bag",
-    impl: str = "pallas",
-    compute_dtype=jnp.bfloat16,
-    interpret: bool = False,
-    n_tasks: int = 2,
-):
-    """Pooled [B, T, H] with the patch dim sharded over ``mesh[axis]``.
-
-    ``impl='pallas'`` runs the fused kernel per shard; ``impl='xla'`` uses the
-    jnp partial (useful on CPU meshes / as oracle). Both are exact.
-    """
-    if impl == "pallas" and "b" not in params["attn"]:
-        impl = "xla"  # the fused kernel implements the gated variant only
-    partial_fn = pallas_pool_partial if impl == "pallas" else xla_pool_partial
+@functools.lru_cache(maxsize=None)
+def _sharded_local(mesh: Mesh, axis: str, impl: str, compute_dtype_name: str, interpret: bool):
+    """Build (and cache) the shard_map-wrapped local pooling fn — the wrapper
+    construction, shard_map signature probe, and closure are invariant per
+    (mesh, axis, impl, dtype), so rebuilding them per batch in an inference
+    loop was pure per-call Python overhead."""
+    compute_dtype = jnp.dtype(compute_dtype_name)
 
     def local(params, x_l, mask_l):
         if impl == "pallas":
-            acc, stats = partial_fn(params, x_l, mask_l, compute_dtype=compute_dtype, interpret=interpret)
+            acc, stats = pallas_pool_partial(
+                params, x_l, mask_l, compute_dtype=compute_dtype, interpret=interpret
+            )
         else:
-            acc, stats = partial_fn(params, x_l, mask_l, compute_dtype=compute_dtype)
+            acc, stats = xla_pool_partial(params, x_l, mask_l, compute_dtype=compute_dtype)
         return combine_partial_pool(acc, stats, axis)
-
-    import inspect
 
     try:
         from jax import shard_map
@@ -76,11 +65,38 @@ def bag_sharded_pool(
     check_kw = {"check_vma": False} if "check_vma" in sig.parameters else (
         {"check_rep": False} if "check_rep" in sig.parameters else {}
     )
-    pooled = shard_map(
+    return shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(None, axis, None), P(None, axis)),
         out_specs=P(),
         **check_kw,
-    )(params, x, mask)
+    )
+
+
+def bag_sharded_pool(
+    params: Any,
+    x: jax.Array,  # [B, N, D] global
+    mask: jax.Array,  # [B, N] global
+    mesh: Mesh,
+    *,
+    axis: str = "bag",
+    impl: str = "pallas",
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    n_tasks: int | None = None,
+):
+    """Pooled [B, T, H] with the patch dim sharded over ``mesh[axis]``.
+
+    ``impl='pallas'`` runs the fused kernel per shard; ``impl='xla'`` uses the
+    jnp partial (useful on CPU meshes / as oracle). Both are exact.
+    ``n_tasks`` defaults to the task count in ``params`` (columns beyond it
+    hold T_PAD filler, not real pooled values — never return them).
+    """
+    if impl == "pallas" and "b" not in params["attn"]:
+        impl = "xla"  # the fused kernel implements the gated variant only
+    if n_tasks is None:
+        n_tasks = int(params["attn"]["c"]["w"].shape[1])
+    fn = _sharded_local(mesh, axis, impl, jnp.dtype(compute_dtype).name, bool(interpret))
+    pooled = fn(params, x, mask)
     return pooled[:, :n_tasks, :]
