@@ -78,3 +78,60 @@ def test_native_buffer_validation_raises(tmp_path):
     mask = np.zeros((1, 16), np.float32)
     with pytest.raises(ValueError, match="C-contiguous float32"):
         native.pack_bags([p.path], np.array([p.offset]), np.array([4]), 8, 16, out, mask)
+
+
+def test_coords_sidecar_round_trip(tmp_path):
+    """write_bag persists coords for formats that can't embed them (.npy/.pt)
+    via a .coords.npy sidecar, and load_bag picks it up."""
+    from toad_tpu.data.bags import load_bag
+    from toad_tpu.pipeline.featurize import write_bag
+
+    feats = np.random.default_rng(0).standard_normal((7, 16)).astype(np.float32)
+    coords = np.arange(14, dtype=np.int64).reshape(7, 2)
+    for fmt in ("npy", "pt"):
+        p = tmp_path / f"slide.{fmt}"
+        write_bag(p, feats, coords)
+        got_f, got_c = load_bag(p, with_coords=True)
+        np.testing.assert_allclose(np.asarray(got_f), feats, atol=1e-6)
+        np.testing.assert_array_equal(got_c, coords)
+
+
+def test_truncated_bag_aligns_coords(tmp_path):
+    """A bag longer than the largest bucket is head-truncated; the returned
+    coords must match the attention length (was a corrupt-h5/crash pair)."""
+    import jax
+
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.pipeline.featurize import write_bag
+    from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag
+
+    cfg = ModelConfig(in_dim=16, n_classes=4)
+    from toad_tpu.models.toad_mil import ToadMIL
+
+    params = ToadMIL(cfg).init(jax.random.PRNGKey(0))
+    inf = SlideInference(params, cfg, bucket_sizes=(8, 16))
+    feats = np.random.default_rng(1).standard_normal((40, 16)).astype(np.float32)  # > max bucket
+    coords = np.arange(80, dtype=np.int64).reshape(40, 2)
+    p = tmp_path / "long.npy"
+    write_bag(p, feats, coords)
+    pred, got_c = infer_feature_bag(inf, p, sex=0)
+    assert len(pred.attention) == 16
+    assert got_c is not None and len(got_c) == len(pred.attention)
+    np.testing.assert_array_equal(got_c, coords[:16])
+
+
+def test_y_hat_matches_argmax_on_ties():
+    from toad_tpu.pipeline.infer import SlidePrediction  # noqa: F401 (schema import)
+    import jax
+
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.models.toad_mil import ToadMIL
+    from toad_tpu.pipeline.infer import SlideInference
+
+    cfg = ModelConfig(in_dim=16, n_classes=4)
+    params = ToadMIL(cfg).init(jax.random.PRNGKey(0))
+    inf = SlideInference(params, cfg, bucket_sizes=(8,))
+    feats = np.zeros((5, 16), np.float32)
+    pred = inf.predict(feats, 0)
+    assert pred.y_hat == int(np.asarray(pred.y_prob).argmax())
+    assert pred.topk[0][0] == pred.y_hat or pred.y_prob[pred.topk[0][0]] == pred.y_prob[pred.y_hat]

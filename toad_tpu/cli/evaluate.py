@@ -44,6 +44,11 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.save_exp_code is None:
+        # never write to EVAL_None: the models code is the natural identity
+        if args.models_exp_code is None:
+            raise SystemExit("one of --save_exp_code / --models_exp_code is required")
+        args.save_exp_code = f"{args.models_exp_code}_eval"
     task, dataset = build_dataset(args, data_dir=args.data_root_dir)
 
     save_dir = Path("./eval_results") / f"EVAL_{args.save_exp_code}"
@@ -74,6 +79,10 @@ def main(argv=None):
     )
 
     folds = list(fold_range(args.k, args.k_start, args.k_end)) if args.fold == -1 else [args.fold]
+    if not folds:
+        raise SystemExit(
+            f"empty fold window: k={args.k} k_start={args.k_start} k_end={args.k_end}"
+        )
     split_index = {"train": 0, "val": 1, "test": 2, "all": -1}[args.split]
 
     rows = []

@@ -54,7 +54,10 @@ def main(argv=None):
             sexes = [args.sex] * len(slides)
     else:
         files = sorted(
-            p for ext in (".pt", ".h5", ".npy", ".npz") for p in data_dir.glob(f"*{ext}")
+            p
+            for ext in (".pt", ".h5", ".npy", ".npz")
+            for p in data_dir.glob(f"*{ext}")
+            if not p.name.endswith(".coords.npy")  # featurizer coords sidecars
         )
         if not files:
             raise FileNotFoundError(f"no bag files in {data_dir}")

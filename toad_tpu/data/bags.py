@@ -78,18 +78,25 @@ def bag_path(data_dir: str | os.PathLike, slide_id: str, use_h5: bool = False) -
     return d / f"{slide_id}{preferred}"  # let the open fail with a clear path
 
 
+def _sidecar_coords(path: Path) -> np.ndarray | None:
+    """Coords for formats that can't embed them (.pt tensor, .npy): a
+    ``{stem}.coords.npy`` sibling written by the featurizer."""
+    p = path.with_suffix(".coords.npy")
+    return np.load(p) if p.exists() else None
+
+
 def load_bag(path: str | os.PathLike, with_coords: bool = False):
     """Load a feature bag [N, D] float array from any supported format."""
     path = Path(path)
     ext = path.suffix.lower()
     if ext == ".pt":
         feats = load_pt_tensor(path)
-        return (feats, None) if with_coords else feats
+        return (feats, _sidecar_coords(path)) if with_coords else feats
     if ext == ".h5":
         return load_h5_bag(path, with_coords=with_coords)
     if ext == ".npy":
         feats = np.load(path)
-        return (feats, None) if with_coords else feats
+        return (feats, _sidecar_coords(path)) if with_coords else feats
     if ext == ".npz":
         z = np.load(path)
         feats = z["features"] if "features" in z else z[z.files[0]]

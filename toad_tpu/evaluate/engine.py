@@ -98,16 +98,12 @@ def evaluate_split(
     cols["site_p"] = res["site_prob"][order, 1]
     df = pd.DataFrame(cols)
 
-    patient_results = {
-        str(sid): {
-            "slide_id": str(sid),
-            "cls_prob": probs[order][i : i + 1],
-            "cls_label": int(labels[order][i]),
-            "site_prob": res["site_prob"][order][i : i + 1],
-            "site_label": int(res["site"][order][i]),
-        }
-        for i, sid in enumerate(slide_ids)
-    }
+    from toad_tpu.evaluate.runner import patient_results_from_pass
+
+    patient_results = patient_results_from_pass(
+        {"y_prob": probs[order], "label": labels[order], "site_prob": res["site_prob"][order], "site": res["site"][order]},
+        slide_ids,
+    )
 
     return EvalResult(
         df=df,

@@ -102,3 +102,20 @@ def run_eval_pass(eval_step, params, batcher: BagBatcher, n_classes: int, put=No
         res["cls_aucs"] = np.array([])
         res["site_auc"] = float("nan")
     return res
+
+
+def patient_results_from_pass(res: dict, slide_ids) -> dict:
+    """Reference-style per-slide results dict (``core_utils_mtl_concat.py:
+    368-427`` summary). Row i of ``res`` must correspond to ``slide_ids[i]``.
+    The ONE schema shared by FoldTrainer's final summary and the eval engine."""
+    out = {}
+    for i, sid in enumerate(slide_ids):
+        sid = str(sid)
+        out[sid] = {
+            "slide_id": sid,
+            "cls_prob": res["y_prob"][i : i + 1],
+            "cls_label": int(res["label"][i]),
+            "site_prob": res["site_prob"][i : i + 1],
+            "site_label": int(res["site"][i]),
+        }
+    return out

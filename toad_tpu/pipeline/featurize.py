@@ -140,6 +140,8 @@ def write_bag(path: str | os.PathLike, features: np.ndarray, coords: np.ndarray 
                 f.create_dataset("coords", data=coords)
     elif ext == ".npy":
         np.save(path, features)
+        if coords is not None:  # .npy can't embed coords — sidecar, not silent loss
+            np.save(path.with_suffix(".coords.npy"), coords)
     elif ext == ".npz":
         if coords is not None:
             np.savez(path, features=features, coords=coords)
@@ -149,6 +151,8 @@ def write_bag(path: str | os.PathLike, features: np.ndarray, coords: np.ndarray 
         from toad_tpu.data.torch_io import save_torch_pickle
 
         save_torch_pickle(path, np.ascontiguousarray(features, np.float32))
+        if coords is not None:  # reference .pt bags are a bare tensor — sidecar
+            np.save(path.with_suffix(".coords.npy"), coords)
     else:
         raise ValueError(f"unsupported bag format: {path}")
 
@@ -164,8 +168,7 @@ def featurize_patch_file(
     try:
         t0 = time.perf_counter()
         with annotate("toad.featurize.slide"):
-            feats = embedder.embed_all(imgs, progress=progress)
-        jax.block_until_ready(feats) if hasattr(feats, "block_until_ready") else None
+            feats = embedder.embed_all(imgs, progress=progress)  # numpy: already synced
         dt = time.perf_counter() - t0
         write_bag(out, feats, coords)
     finally:

@@ -20,7 +20,6 @@ def to_percentiles(scores: np.ndarray) -> np.ndarray:
     scores = np.asarray(scores, np.float64).ravel()
     order = scores.argsort()
     ranks = np.empty_like(order, dtype=np.float64)
-    ranks[order] = np.arange(len(scores))
     # average ranks for ties
     if len(scores) > 1:
         sorted_scores = scores[order]

@@ -91,10 +91,13 @@ class SlideInference:
         )
         y_prob = np.asarray(jax.nn.softmax(logits[0]))
         site_prob = np.asarray(jax.nn.softmax(site_logits[0]))
-        order = np.argsort(-y_prob)
+        # argmax for y_hat (ties -> lowest index, matching the eval engine's
+        # jnp.argmax) + stable sort for the ranking, so predict() and batch
+        # eval never disagree on tied probabilities
+        order = np.argsort(-y_prob, kind="stable")
         attn = np.asarray(attention)
         return SlidePrediction(
-            y_hat=int(order[0]),
+            y_hat=int(y_prob.argmax()),
             y_prob=y_prob,
             site_hat=int(site_prob.argmax()),
             site_prob=site_prob,
@@ -119,7 +122,8 @@ def infer_patch_file(
         feats = embedder.embed_all(imgs)
     finally:
         f.close()
-    return inference.predict(feats, sex), coords
+    pred = inference.predict(feats, sex)
+    return pred, _align_coords(coords, pred)
 
 
 def infer_feature_bag(
@@ -131,4 +135,15 @@ def infer_feature_bag(
     from toad_tpu.data.bags import load_bag
 
     feats, coords = load_bag(bag_path, with_coords=True)
-    return inference.predict(np.asarray(feats, np.float32), sex), coords
+    pred = inference.predict(np.asarray(feats, np.float32), sex)
+    return pred, _align_coords(coords, pred)
+
+
+def _align_coords(coords: np.ndarray | None, pred: SlidePrediction) -> np.ndarray | None:
+    """Keep coords in lockstep with the prediction's attention: predict()
+    head-truncates bags longer than the largest bucket, and a coords array
+    longer than the attention would corrupt attention-export h5s and crash
+    heatmap rendering."""
+    if coords is not None and len(coords) > len(pred.attention):
+        coords = coords[: len(pred.attention)]
+    return coords

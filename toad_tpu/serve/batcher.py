@@ -229,14 +229,16 @@ class DynamicBatcher:
         for i, r in enumerate(group):
             yp = np.asarray(y_prob[i])
             sp = np.asarray(site_prob[i])
-            order = np.argsort(-yp)
+            # stable sort + argmax y_hat: ties resolve identically to the
+            # eval engine and SlideInference (see pipeline/infer.py)
+            order = np.argsort(-yp, kind="stable")
             if want_attn:
                 a = np.asarray(attn[i, 0, : r.n])
                 sa = np.asarray(attn[i, 1, : r.n])
             else:
                 a = sa = np.zeros((0,), np.float32)
             pred = SlidePrediction(
-                y_hat=int(order[0]),
+                y_hat=int(yp.argmax()),
                 y_prob=yp,
                 site_hat=int(sp.argmax()),
                 site_prob=sp,

@@ -362,7 +362,15 @@ class FoldTrainer:
 
         if stopper is not None and best_saved:
             state = restore_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(0)})
-            params = state["params"]
+            # restore returns host numpy leaves: commit them back to device
+            # (replicated over the mesh when present) so the final val/test
+            # passes don't re-upload the parameter tree on every batch
+            if self.mesh is not None:
+                from toad_tpu.parallel.sharding import replicate
+
+                params = replicate(self.mesh, state["params"])
+            else:
+                params = jax.device_put(state["params"])
         else:
             save_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(cfg.max_epochs - 1)})
 
@@ -373,16 +381,11 @@ class FoldTrainer:
             f"test: err {test['cls_error']:.4f} auc {test['cls_auc']:.4f}"
         )
 
-        patient_results = {}
-        for i, idx in enumerate(test["indices"]):
-            sid = str(test_split.slide_ids[int(idx)])
-            patient_results[sid] = {
-                "slide_id": sid,
-                "cls_prob": test["y_prob"][i : i + 1],
-                "cls_label": int(test["label"][i]),
-                "site_prob": test["site_prob"][i : i + 1],
-                "site_label": int(test["site"][i]),
-            }
+        from toad_tpu.evaluate.runner import patient_results_from_pass
+
+        patient_results = patient_results_from_pass(
+            test, [test_split.slide_ids[int(idx)] for idx in test["indices"]]
+        )
 
         if self.writer is not None:
             for key, v in (
