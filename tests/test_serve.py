@@ -232,3 +232,75 @@ def test_http_shape_validation(http_service):
     assert status == 400 and "in_dim" in out["error"]
     status, out = _post(port, "/predict", {"features": [0.0] * DIM, "sex": 0})  # 1-D
     assert status == 400 and "n_patches" in out["error"]
+
+
+def test_stress_mixed_buckets_and_attention(model_and_params):
+    """Soak: 120 concurrent requests over mixed buckets/attention flags with
+    8 client threads — all complete, all match single-bag inference."""
+    cfg, params = model_and_params
+    single = SlideInference(params, cfg, bucket_sizes=BUCKETS)
+    rng = np.random.default_rng(7)
+    reqs = [
+        (rng.standard_normal((int(rng.integers(4, 140)), DIM)).astype(np.float32),
+         int(rng.integers(0, 2)), bool(rng.integers(0, 2)))
+        for _ in range(120)
+    ]
+    results = [None] * len(reqs)
+    with DynamicBatcher(params, cfg, ServeConfig(max_batch=16, max_wait_ms=3, bucket_sizes=BUCKETS)) as b:
+        def worker(lo, hi):
+            for i in range(lo, hi):
+                f, s, a = reqs[i]
+                results[i] = b.predict(f, s, attention=a)
+
+        threads = [threading.Thread(target=worker, args=(i * 15, (i + 1) * 15)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats = b.stats()
+    assert stats.requests == 120 and stats.batched_slides == 120
+    for (f, s, a), pred in zip(reqs, results):
+        ref = single.predict(f, s)
+        assert pred.y_hat == ref.y_hat
+        np.testing.assert_allclose(pred.y_prob, ref.y_prob, atol=1e-5)
+        expect_n = min(f.shape[0], max(BUCKETS))  # oversize bags head-truncate
+        assert len(pred.attention) == (expect_n if a else 0)
+
+
+def test_close_during_inflight_requests_resolves_all(model_and_params):
+    """close() racing active submitters: every future resolves (result or
+    'closed' error) — nothing hangs."""
+    import concurrent.futures
+
+    cfg, params = model_and_params
+    b = DynamicBatcher(params, cfg, ServeConfig(max_batch=4, max_wait_ms=50, bucket_sizes=BUCKETS))
+    b.predict(np.zeros((10, DIM), np.float32), 0)  # warm
+    futs = []
+    stop_submitting = threading.Event()
+
+    def submitter():
+        rng = np.random.default_rng(threading.get_ident() % 2**31)
+        while not stop_submitting.is_set():
+            try:
+                futs.append(b.submit(rng.standard_normal((20, DIM)).astype(np.float32), 0))
+            except RuntimeError:
+                return
+
+    threads = [threading.Thread(target=submitter) for _ in range(4)]
+    for t in threads:
+        t.start()
+    import time as _t
+
+    _t.sleep(0.15)
+    assert b.close() is True
+    stop_submitting.set()
+    for t in threads:
+        t.join()
+    resolved = 0
+    for f in futs:
+        try:
+            f.result(timeout=30)  # either a prediction...
+            resolved += 1
+        except RuntimeError:  # ...or a loud 'batcher closed'
+            resolved += 1
+    assert resolved == len(futs) and len(futs) > 0
