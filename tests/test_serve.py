@@ -304,3 +304,32 @@ def test_close_during_inflight_requests_resolves_all(model_and_params):
         except RuntimeError:  # ...or a loud 'batcher closed'
             resolved += 1
     assert resolved == len(futs) and len(futs) > 0
+
+
+def test_mesh_parallel_serving_matches_single_device(model_and_params):
+    """Serving over a (4 data x 2 bag) mesh returns the same predictions as
+    single-device serving; batch dim pads to the data axis."""
+    from toad_tpu.parallel.mesh import make_mesh
+
+    cfg, params = model_and_params
+    mesh = make_mesh(4, 2)
+    rng = np.random.default_rng(9)
+    bags = _bags(rng, 9)
+    sc = ServeConfig(max_batch=8, max_wait_ms=20, bucket_sizes=BUCKETS)
+    with DynamicBatcher(params, cfg, sc, mesh=mesh) as bm, DynamicBatcher(params, cfg, sc) as b1:
+        fm = [bm.submit(f, s) for f, s in bags]
+        f1 = [b1.submit(f, s) for f, s in bags]
+        for a, b in zip(fm, f1):
+            pa, pb = a.result(timeout=120), b.result(timeout=120)
+            np.testing.assert_allclose(pa.y_prob, pb.y_prob, atol=1e-4)
+            assert pa.y_hat == pb.y_hat
+        assert bm.stats().batched_slides == 9
+
+
+def test_mesh_rejects_indivisible_buckets(model_and_params):
+    from toad_tpu.parallel.mesh import make_mesh
+
+    cfg, params = model_and_params
+    mesh = make_mesh(1, 8)  # bag axis 8; bucket withroom 36 not divisible
+    with pytest.raises(ValueError, match="not divisible by bag axis"):
+        DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=(36, 64)), mesh=mesh)

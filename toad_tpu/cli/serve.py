@@ -25,6 +25,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention", action="store_true", help="compute attention scores on every request")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--pallas", action="store_true", help="fused Pallas pooling kernel")
+    p.add_argument("--data_shards", type=int, default=1, help="mesh data axis (data-parallel serving)")
+    p.add_argument("--bag_shards", type=int, default=1, help="mesh bag axis (patch-dim sharding)")
     return p
 
 
@@ -46,7 +48,12 @@ def main(argv=None) -> None:
     serve_cfg = ServeConfig(
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, need_attention=args.attention
     )
-    service = InferenceService.from_checkpoint(args.ckpt, model_cfg, serve_cfg, task=task)
+    mesh = None
+    if args.data_shards * args.bag_shards > 1:
+        from toad_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_shards, args.bag_shards)
+    service = InferenceService.from_checkpoint(args.ckpt, model_cfg, serve_cfg, task=task, mesh=mesh)
     server = make_http_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]}  (POST /predict)")
 

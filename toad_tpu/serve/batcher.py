@@ -81,15 +81,37 @@ def _pow2_at_least(n: int, cap: int) -> int:
 
 class DynamicBatcher:
     """Coalesces concurrent single-slide requests into padded batched
-    forwards. Thread-safe; use as a context manager or call :meth:`close`."""
+    forwards. Thread-safe; use as a context manager or call :meth:`close`.
 
-    def __init__(self, params: Any, model_cfg: ModelConfig, cfg: ServeConfig = ServeConfig()):
+    Pass a ``('data','bag')`` :class:`jax.sharding.Mesh` to serve
+    data-parallel over multiple chips: params replicate, request batches
+    shard the batch dim over ``data`` and the patch dim over ``bag`` (exact
+    for attention pooling — SURVEY §2.2), and GSPMD inserts the ICI
+    collectives. Single-chip behavior is unchanged when ``mesh is None``.
+    """
+
+    def __init__(self, params: Any, model_cfg: ModelConfig, cfg: ServeConfig = ServeConfig(), mesh=None):
         import jax
 
         self.model = ToadMIL(model_cfg)
-        self.params = params
         self.cfg = cfg
         self.buckets = tuple(sorted(cfg.bucket_sizes))
+        self.mesh = mesh
+        if mesh is not None:
+            from toad_tpu.parallel.sharding import batch_shardings, replicate
+
+            bag_n = mesh.shape["bag"]
+            bad = [b for b in self.buckets if b % bag_n]
+            if bad:
+                raise ValueError(f"bucket sizes {bad} not divisible by bag axis {bag_n}")
+            self._data_n = mesh.shape["data"]
+            sh = batch_shardings(mesh)
+            self._shardings = (sh["features"], sh["patch_mask"], sh["sex"])
+            params = replicate(mesh, params)
+        else:
+            self._data_n = 1
+            self._shardings = None
+        self.params = params
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
         self._stop = threading.Event()
         # serializes submit-enqueue against close(): without it a submit that
@@ -210,6 +232,8 @@ class DynamicBatcher:
 
         b = len(group)
         b_pad = _pow2_at_least(b, self.cfg.max_batch)
+        if b_pad % self._data_n:  # mesh data axis needs even batch slices
+            b_pad = ((b_pad + self._data_n - 1) // self._data_n) * self._data_n
         dim = self.model.config.in_dim
         feats = np.zeros((b_pad, bucket, dim), np.float32)
         mask = np.zeros((b_pad, bucket), np.float32)
@@ -219,6 +243,13 @@ class DynamicBatcher:
             mask[i, : r.n] = 1.0
             sex[i] = r.sex
         mask[b:, 0] = 1.0  # padded rows attend to one zero patch: keeps softmax finite
+        if self._shardings is not None:
+            sf, sm, ss = self._shardings
+            feats, mask, sex = (
+                jax.device_put(feats, sf),
+                jax.device_put(mask, sm),
+                jax.device_put(sex, ss),
+            )
         y_prob, site_prob, attn = jax.device_get(
             self._fwd(self.params, feats, mask, sex, need_attention=want_attn)
         )

@@ -47,9 +47,10 @@ class InferenceService:
         model_cfg: ModelConfig,
         serve_cfg: ServeConfig = ServeConfig(),
         task: TaskConfig | None = None,
+        mesh=None,
     ):
         self.model_cfg = model_cfg
-        self.batcher = DynamicBatcher(params, model_cfg, serve_cfg)
+        self.batcher = DynamicBatcher(params, model_cfg, serve_cfg, mesh=mesh)
         self.task = task
         self.inv_labels: dict[int, str] | None = None
         self.inv_site: dict[int, str] | None = None
@@ -65,12 +66,13 @@ class InferenceService:
         model_cfg: ModelConfig,
         serve_cfg: ServeConfig = ServeConfig(),
         task: TaskConfig | None = None,
+        mesh=None,
     ) -> "InferenceService":
         """Orbax checkpoint directory or reference torch ``s_k_checkpoint.pt``
         (one shared loading policy: :func:`toad_tpu.train.checkpoint.load_params_any`)."""
         from toad_tpu.train.checkpoint import load_params_any
 
-        return cls(load_params_any(ckpt_path, model_cfg), model_cfg, serve_cfg, task=task)
+        return cls(load_params_any(ckpt_path, model_cfg), model_cfg, serve_cfg, task=task, mesh=mesh)
 
     # -- prediction --------------------------------------------------------------
 
