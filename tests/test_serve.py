@@ -333,3 +333,34 @@ def test_mesh_rejects_indivisible_buckets(model_and_params):
     mesh = make_mesh(1, 8)  # bag axis 8; bucket withroom 36 not divisible
     with pytest.raises(ValueError, match="not divisible by bag axis"):
         DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=(36, 64)), mesh=mesh)
+
+
+def _post_raw(port, path, obj):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", path, json.dumps(obj), {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    data = r.read()
+    ctype = r.getheader("Content-Type")
+    conn.close()
+    return r.status, ctype, data
+
+
+def test_http_heatmap_route(http_service, tmp_path):
+    _, port, _ = http_service
+    from toad_tpu.pipeline.featurize import write_bag
+
+    feats = np.random.default_rng(11).standard_normal((24, DIM)).astype(np.float32)
+    coords = (np.mgrid[0:6, 0:4].reshape(2, -1).T * 256).astype(np.int64)
+    bag = tmp_path / "hm.npy"
+    write_bag(bag, feats, coords)
+    status, ctype, data = _post_raw(port, "/heatmap", {"bag_path": str(bag), "sex": "F"})
+    assert status == 200 and ctype == "image/png", (status, ctype, data[:80])
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 100
+
+    # a coords-less bag is a 400 with a useful message
+    bare = tmp_path / "bare.npy"
+    np.save(bare, feats)
+    status, ctype, data = _post_raw(port, "/heatmap", {"bag_path": str(bare), "sex": "F"})
+    assert status == 400 and b"coordinates" in data
+    status, ctype, data = _post_raw(port, "/heatmap", {"sex": "F"})
+    assert status == 400 and b"bag_path" in data

@@ -134,13 +134,17 @@ def render_heatmap(
     return rgb
 
 
-def save_png(path: str | os.PathLike, image: np.ndarray) -> None:
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
+def encode_png(image: np.ndarray) -> bytes:
+    """RGB uint8 [H, W, 3] -> PNG bytes (PIL when present, else a minimal
+    stdlib writer). Shared by file export and the serving /heatmap route."""
     try:
+        from io import BytesIO
+
         from PIL import Image
 
-        Image.fromarray(image).save(path)
+        buf = BytesIO()
+        Image.fromarray(image).save(buf, format="PNG")
+        return buf.getvalue()
     except ImportError:  # minimal PNG writer fallback
         import struct
         import zlib
@@ -152,10 +156,15 @@ def save_png(path: str | os.PathLike, image: np.ndarray) -> None:
             c = tag + data
             return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
 
-        png = (
+        return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b"")
         )
-        path.write_bytes(png)
+
+
+def save_png(path: str | os.PathLike, image: np.ndarray) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(encode_png(image))

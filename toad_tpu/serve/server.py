@@ -15,6 +15,8 @@ API:
 
 - ``GET  /healthz``  → ``{"status": "ok", "device": ...}``
 - ``GET  /stats``    → request/batch counters incl. mean batch size
+- ``POST /heatmap``  → ``{"bag_path": ..., "sex": ..., "patch_size"?, "downscale"?}``
+  → attention heatmap as ``image/png`` bytes (bag must carry coords)
 - ``POST /predict``  → body is JSON with either
     - ``features_b64``: base64 little-endian float32 ``[n*dim]`` + ``shape``, or
     - ``features``: nested lists ``[n][dim]`` (convenience, slow), or
@@ -91,6 +93,24 @@ class InferenceService:
             raise FileNotFoundError(f"feature bag not found: {bag_path}")
         feats, _ = load_bag(bag_path, with_coords=True)
         return self.predict_features(np.asarray(feats, np.float32), sex, top_k, attention)
+
+    def heatmap_png(self, bag_path, sex: int, patch_size: int = 256, downscale: int = 32) -> bytes:
+        """Attention heatmap PNG for a coords-bearing bag (.h5, or .npy/.pt
+        with a coords sidecar) — the serving analog of ``cli/infer --heatmap``."""
+        from pathlib import Path
+
+        from toad_tpu.data.bags import load_bag
+        from toad_tpu.pipeline.heatmap import encode_png, render_heatmap
+
+        if not Path(bag_path).exists():
+            raise FileNotFoundError(f"feature bag not found: {bag_path}")
+        feats, coords = load_bag(bag_path, with_coords=True)
+        if coords is None:
+            raise ValueError(f"{bag_path} carries no patch coordinates — cannot render a heatmap")
+        pred = self.batcher.predict(np.asarray(feats, np.float32), sex, attention=True)
+        coords = np.asarray(coords)[: len(pred.attention)]  # oversize bags head-truncate
+        img = render_heatmap(coords, pred.attention, patch_size=patch_size, downscale=downscale)
+        return encode_png(img)
 
     def _to_json(self, pred: SlidePrediction, top_k: int, attention: bool) -> dict:
         def label(i: int) -> str:
@@ -179,7 +199,7 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/predict":
+            if self.path not in ("/predict", "/heatmap"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -188,6 +208,21 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
                 from toad_tpu.cli.common import parse_sex
 
                 sex = parse_sex(body.get("sex", ""))
+                if self.path == "/heatmap":
+                    if "bag_path" not in body:
+                        raise ValueError("heatmap requires 'bag_path' (needs patch coordinates)")
+                    png = service.heatmap_png(
+                        body["bag_path"],
+                        sex,
+                        patch_size=int(body.get("patch_size", 256)),
+                        downscale=int(body.get("downscale", 32)),
+                    )
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(png)))
+                    self.end_headers()
+                    self.wfile.write(png)
+                    return
                 top_k = int(body.get("top_k", 5))
                 attention = bool(body.get("attention", False))
                 if "bag_path" in body:
