@@ -364,3 +364,9 @@ def test_http_heatmap_route(http_service, tmp_path):
     assert status == 400 and b"coordinates" in data
     status, ctype, data = _post_raw(port, "/heatmap", {"sex": "F"})
     assert status == 400 and b"bag_path" in data
+
+    # site-task heatmap + bad task name
+    status, ctype, data = _post_raw(port, "/heatmap", {"bag_path": str(bag), "sex": "F", "task": "site"})
+    assert status == 200 and data[:8] == b"\x89PNG\r\n\x1a\n"
+    status, ctype, data = _post_raw(port, "/heatmap", {"bag_path": str(bag), "sex": "F", "task": "banana"})
+    assert status == 400 and b"origin" in data

@@ -94,22 +94,29 @@ class InferenceService:
         feats, _ = load_bag(bag_path, with_coords=True)
         return self.predict_features(np.asarray(feats, np.float32), sex, top_k, attention)
 
-    def heatmap_png(self, bag_path, sex: int, patch_size: int = 256, downscale: int = 32) -> bytes:
+    def heatmap_png(
+        self, bag_path, sex: int, patch_size: int = 256, downscale: int = 32, task: str = "origin"
+    ) -> bytes:
         """Attention heatmap PNG for a coords-bearing bag (.h5, or .npy/.pt
-        with a coords sidecar) — the serving analog of ``cli/infer --heatmap``."""
+        with a coords sidecar) — the serving analog of ``cli/infer --heatmap``.
+        ``task`` picks the attention head: 'origin' or 'site' (the CLI's
+        ``--attention_task``)."""
         from pathlib import Path
 
         from toad_tpu.data.bags import load_bag
         from toad_tpu.pipeline.heatmap import encode_png, render_heatmap
 
+        if task not in ("origin", "site"):
+            raise ValueError(f"task must be 'origin' or 'site', got {task!r}")
         if not Path(bag_path).exists():
             raise FileNotFoundError(f"feature bag not found: {bag_path}")
         feats, coords = load_bag(bag_path, with_coords=True)
         if coords is None:
             raise ValueError(f"{bag_path} carries no patch coordinates — cannot render a heatmap")
         pred = self.batcher.predict(np.asarray(feats, np.float32), sex, attention=True)
-        coords = np.asarray(coords)[: len(pred.attention)]  # oversize bags head-truncate
-        img = render_heatmap(coords, pred.attention, patch_size=patch_size, downscale=downscale)
+        scores = pred.attention if task == "origin" else pred.site_attention
+        coords = np.asarray(coords)[: len(scores)]  # oversize bags head-truncate
+        img = render_heatmap(coords, scores, patch_size=patch_size, downscale=downscale)
         return encode_png(img)
 
     def _to_json(self, pred: SlidePrediction, top_k: int, attention: bool) -> dict:
@@ -216,6 +223,7 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
                         sex,
                         patch_size=int(body.get("patch_size", 256)),
                         downscale=int(body.get("downscale", 32)),
+                        task=str(body.get("task", "origin")),
                     )
                     self.send_response(200)
                     self.send_header("Content-Type", "image/png")
