@@ -81,13 +81,19 @@ def test_oversized_bag_truncates_and_validates(model_and_params):
         b.submit(np.zeros((10, DIM), np.float32), 0)
 
 
-def _post(port, path, obj):
+def _post_raw(port, path, obj):
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
     conn.request("POST", path, json.dumps(obj), {"Content-Type": "application/json"})
     r = conn.getresponse()
-    out = json.loads(r.read())
+    data = r.read()
+    ctype = r.getheader("Content-Type")
     conn.close()
-    return r.status, out
+    return r.status, ctype, data
+
+
+def _post(port, path, obj):
+    status, _, data = _post_raw(port, path, obj)
+    return status, json.loads(data)
 
 
 def _get(port, path):
@@ -335,16 +341,6 @@ def test_mesh_rejects_indivisible_buckets(model_and_params):
         DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=(36, 64)), mesh=mesh)
 
 
-def _post_raw(port, path, obj):
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
-    conn.request("POST", path, json.dumps(obj), {"Content-Type": "application/json"})
-    r = conn.getresponse()
-    data = r.read()
-    ctype = r.getheader("Content-Type")
-    conn.close()
-    return r.status, ctype, data
-
-
 def test_http_heatmap_route(http_service, tmp_path):
     _, port, _ = http_service
     from toad_tpu.pipeline.featurize import write_bag
@@ -370,3 +366,22 @@ def test_http_heatmap_route(http_service, tmp_path):
     assert status == 200 and data[:8] == b"\x89PNG\r\n\x1a\n"
     status, ctype, data = _post_raw(port, "/heatmap", {"bag_path": str(bag), "sex": "F", "task": "banana"})
     assert status == 400 and b"origin" in data
+
+
+def test_heatmap_downscale_validation(http_service, tmp_path):
+    _, port, _ = http_service
+    from toad_tpu.pipeline.featurize import write_bag
+
+    feats = np.zeros((8, DIM), np.float32)
+    coords = np.arange(16, dtype=np.int64).reshape(8, 2) * 256
+    bag = tmp_path / "d.npy"
+    write_bag(bag, feats, coords)
+    status, _, data = _post_raw(port, "/heatmap", {"bag_path": str(bag), "sex": 0, "downscale": 0})
+    assert status == 400 and b">= 1" in data
+
+
+def test_serve_cli_rejects_bad_shards():
+    from toad_tpu.cli.serve import main
+
+    with pytest.raises(SystemExit, match="data_shards"):
+        main(["--ckpt", "/nonexistent", "--data_shards", "0"])

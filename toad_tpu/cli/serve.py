@@ -25,8 +25,14 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention", action="store_true", help="compute attention scores on every request")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--pallas", action="store_true", help="fused Pallas pooling kernel")
-    p.add_argument("--data_shards", type=int, default=1, help="mesh data axis (data-parallel serving)")
-    p.add_argument("--bag_shards", type=int, default=1, help="mesh bag axis (patch-dim sharding)")
+    p.add_argument(
+        "--data_shards", type=int, default=None,
+        help="mesh data axis (data-parallel serving); the other axis is inferred when omitted",
+    )
+    p.add_argument(
+        "--bag_shards", type=int, default=None,
+        help="mesh bag axis (patch-dim sharding); the other axis is inferred when omitted",
+    )
     return p
 
 
@@ -49,13 +55,23 @@ def main(argv=None) -> None:
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, need_attention=args.attention
     )
     mesh = None
-    if args.data_shards * args.bag_shards > 1:
+    if args.data_shards is not None or args.bag_shards is not None:
+        for name, v in (("data_shards", args.data_shards), ("bag_shards", args.bag_shards)):
+            if v is not None and v < 1:
+                raise SystemExit(f"--{name} must be >= 1, got {v}")
         from toad_tpu.parallel.mesh import make_mesh
 
+        # mesh_shape_for infers the other axis when only one flag is given
         mesh = make_mesh(args.data_shards, args.bag_shards)
+        if mesh.devices.size == 1:
+            mesh = None  # single device: the mesh adds nothing
     service = InferenceService.from_checkpoint(args.ckpt, model_cfg, serve_cfg, task=task, mesh=mesh)
     server = make_http_server(service, args.host, args.port)
-    print(f"serving on http://{args.host}:{server.server_address[1]}  (POST /predict)")
+    mesh_note = f"; mesh {dict(mesh.shape)}" if mesh is not None else ""
+    print(
+        f"serving on http://{args.host}:{server.server_address[1]}  "
+        f"(POST /predict, POST /heatmap, GET /stats){mesh_note}"
+    )
 
     # graceful stop on SIGTERM/SIGINT: shutdown() must run off the serving
     # thread (it blocks until serve_forever exits), so hand it to a thread

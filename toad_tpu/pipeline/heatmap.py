@@ -165,6 +165,16 @@ def encode_png(image: np.ndarray) -> bytes:
 
 
 def save_png(path: str | os.PathLike, image: np.ndarray) -> None:
+    """Write the image; non-.png extensions keep PIL's format-by-extension
+    behavior (e.g. ``out.jpg`` really is a JPEG) when PIL is available."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    if path.suffix.lower() not in ("", ".png"):
+        try:
+            from PIL import Image
+
+            Image.fromarray(image).save(path)
+            return
+        except ImportError:
+            pass  # stdlib fallback can only write PNG bytes
     path.write_bytes(encode_png(image))

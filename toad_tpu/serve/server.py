@@ -108,6 +108,8 @@ class InferenceService:
 
         if task not in ("origin", "site"):
             raise ValueError(f"task must be 'origin' or 'site', got {task!r}")
+        if patch_size < 1 or downscale < 1:
+            raise ValueError(f"patch_size/downscale must be >= 1, got {patch_size}/{downscale}")
         if not Path(bag_path).exists():
             raise FileNotFoundError(f"feature bag not found: {bag_path}")
         feats, coords = load_bag(bag_path, with_coords=True)
@@ -195,6 +197,18 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
             self.end_headers()
             self.wfile.write(payload)
 
+        def _send_bytes(self, payload: bytes, ctype: str = "image/png") -> None:
+            """Binary 200. Swallows mid-write disconnects so the outer error
+            mapping never attempts a second response on a dead socket."""
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
         def do_GET(self):
             if self.path == "/healthz":
                 import jax
@@ -225,12 +239,8 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
                         downscale=int(body.get("downscale", 32)),
                         task=str(body.get("task", "origin")),
                     )
-                    self.send_response(200)
-                    self.send_header("Content-Type", "image/png")
-                    self.send_header("Content-Length", str(len(png)))
-                    self.end_headers()
-                    self.wfile.write(png)
-                    return
+                    self._send_bytes(png)  # outside the error mapping: a client
+                    return  # disconnect mid-write must not trigger a second response
                 top_k = int(body.get("top_k", 5))
                 attention = bool(body.get("attention", False))
                 if "bag_path" in body:
