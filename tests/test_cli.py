@@ -157,3 +157,24 @@ def test_unified_dispatcher(capsys):
     # and a real command actually runs through the dispatcher
     with pytest.raises(SystemExit):  # argparse --help exits 0
         main(["train", "--help"])
+
+
+def test_enable_compile_cache_populates_dir(tmp_path):
+    """--compile_cache wiring: compiled programs persist to the given dir
+    (subprocess so the global jax config doesn't leak into other tests)."""
+    import subprocess
+    import sys
+
+    cache = tmp_path / "xla_cache"
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
+        "from toad_tpu.cli.common import enable_compile_cache\n"
+        f"enable_compile_cache({str(cache)!r}, min_compile_secs=0.0)\n"
+        "import jax, jax.numpy as jnp\n"
+        "jax.jit(lambda x: x @ x)(jnp.ones((256, 256))).block_until_ready()\n"
+        f"import pathlib; print(len(list(pathlib.Path({str(cache)!r}).iterdir())))\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300, env=env)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert int(out.stdout.strip().splitlines()[-1]) >= 1

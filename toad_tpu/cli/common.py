@@ -49,3 +49,18 @@ def parse_sex(value) -> int:
     if key not in m:
         raise ValueError(f"sex must be F/M/0/1, got {value!r}")
     return m[key]
+
+
+def enable_compile_cache(path: str | os.PathLike, min_compile_secs: float = 1.0) -> None:
+    """Persistent XLA compilation cache: compiled programs survive process
+    restarts, so a redeployed server or resumed training job skips the
+    20s-to-minutes first-touch compiles (the dominant cold-start cost on a
+    contended chip). Safe to share between processes; keyed by program
+    fingerprint."""
+    import jax
+
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(p))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", float(min_compile_secs))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

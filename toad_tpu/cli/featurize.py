@@ -36,11 +36,16 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_fold_bn", action="store_true", help="keep BatchNorm unfolded")
     p.add_argument("--skip_done", action="store_true", help="skip slides whose bag already exists")
     p.add_argument("--profile", type=str, default=None, metavar="DIR", help="capture a jax.profiler trace of the run")
+    p.add_argument("--compile_cache", type=str, default=None, metavar="DIR", help="persistent XLA compilation cache")
     return p
 
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.compile_cache:
+        from toad_tpu.cli.common import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
     if args.encoder == "vit":
         from toad_tpu.models.vit_encoder import ViTConfig, ViTEncoder, load_timm_weights
 

@@ -33,6 +33,10 @@ def make_parser() -> argparse.ArgumentParser:
         "--bag_shards", type=int, default=None,
         help="mesh bag axis (patch-dim sharding); the other axis is inferred when omitted",
     )
+    p.add_argument(
+        "--compile_cache", type=str, default=None, metavar="DIR",
+        help="persistent XLA compilation cache: restarts skip first-touch compiles",
+    )
     return p
 
 
@@ -43,6 +47,10 @@ def main(argv=None) -> None:
     from toad_tpu.registry import load_task
     from toad_tpu.serve import InferenceService, ServeConfig, make_http_server
 
+    if args.compile_cache:
+        from toad_tpu.cli.common import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
     task = load_task(args.task) if args.task else None
     n_classes = args.n_classes or (task.n_classes[0] if task else 18)
     model_cfg = ModelConfig(

@@ -60,6 +60,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--native_io", type=str, choices=["auto", "on", "off"], default="auto", help="C++ zero-copy bag loader")
     p.add_argument("--debug_checks", action="store_true", default=False, help="checkified train step: raise on NaN/Inf/bad labels (slow)")
     p.add_argument("--debug_nans", action="store_true", default=False, help="global jax_debug_nans NaN trapping (very slow)")
+    p.add_argument("--compile_cache", type=str, default=None, metavar="DIR", help="persistent XLA compilation cache (restarts/resumes skip recompiles)")
     return p
 
 
@@ -105,6 +106,10 @@ def config_from_args(args, n_classes: int) -> TrainConfig:
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.compile_cache:
+        from toad_tpu.cli.common import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
     if args.debug_nans:
         from toad_tpu.utils.debug import enable_debug_nans
 

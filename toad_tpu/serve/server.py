@@ -186,6 +186,11 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
     port (``server.server_address[1]``). Caller owns serve_forever/shutdown."""
 
     class Handler(BaseHTTPRequestHandler):
+        # socket timeout: a client that stalls mid-body (or lies about
+        # Content-Length) gets its connection dropped instead of pinning a
+        # handler thread forever
+        timeout = 120
+
         def log_message(self, *a):  # quiet by default; /stats has the counters
             pass
 
