@@ -179,9 +179,22 @@ def main():
         "ours_site_auc": round(float(ours.site_auc), 5),
         "n_test": len(test_split),
     }
+    # strongest check: per-slide probabilities agree, not just aggregates
+    ref_df = ref_out["df"].set_index(ref_out["df"]["slide_id"].astype(str))
+    our_df = ours.df.set_index(ours.df["slide_id"].astype(str))
+    prob_cols = [f"p_{c}" for c in range(18)] + ["site_p"]
+    common = ref_df.index.intersection(our_df.index)
+    assert len(common) == len(test_split)
+    dev = float(
+        np.max(np.abs(ref_df.loc[common, prob_cols].to_numpy() - our_df.loc[common, prob_cols].to_numpy()))
+    )
+    result["max_per_slide_prob_dev"] = round(dev, 7)
     result["auc_gap"] = round(abs(result["ref_auc"] - result["ours_auc"]), 6)
     print(json.dumps(result))
     assert result["auc_gap"] < 2e-3, result
+    # ~1e-3-level prob deviation is expected: torch CPU f32 vs TPU matmul
+    # accumulation orders; metrics/rankings are unaffected
+    assert dev < 5e-3, result
     return result
 
 
