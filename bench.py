@@ -36,6 +36,21 @@ CHAIN = 96
 N_CLASSES = 18
 
 
+def _time_best(call, runs: int = 3) -> float:
+    """Warmup once (compile), then best-of-`runs` wall time of call(i) — the
+    per-run index lets callers vary the RNG key so no run reuses outputs.
+    Each call must end in a scalar fetch (float(...)), forcing completion."""
+    import time as _time
+
+    call(-1)
+    times = []
+    for i in range(runs):
+        t0 = _time.perf_counter()
+        call(i)
+        times.append(_time.perf_counter() - t0)
+    return min(times)
+
+
 def _chained_forward(model, k: int, b: int, n: int):
     """K serially-dependent forwards over device-generated bf16 bags in one
     jitted fori_loop (see module docstring for why)."""
@@ -64,7 +79,6 @@ def _chained_forward(model, k: int, b: int, n: int):
 
 def bench_ours() -> dict:
     import jax
-    import jax.numpy as jnp
 
     from toad_tpu.config import ModelConfig
     from toad_tpu.models.toad_mil import ToadMIL
@@ -78,20 +92,13 @@ def bench_ours() -> dict:
 
     # throughput: B bags x CHAIN serial iterations, inputs device-generated
     fn = chained(CHAIN, BATCH)
-    key = jax.random.PRNGKey(1)
-    float(fn(params, key))  # compile + warmup
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        float(fn(params, jax.random.PRNGKey(2 + i)))
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+    t = _time_best(lambda i: float(fn(params, jax.random.PRNGKey(2 + i))))
     slides_per_sec = BATCH * CHAIN / t
     flops = 2 * BATCH * BAG_N * (DIM * 512 + 512 * 512 + 2 * 512 * 384) * CHAIN
 
     # single-bag attention latency p50: chain of 32 single-bag forwards
     fn1 = chained(32, 1)
-    float(fn1(params, key))
+    float(fn1(params, jax.random.PRNGKey(1)))
     lats = []
     for i in range(5):
         t0 = time.perf_counter()
@@ -109,7 +116,6 @@ def bench_long_bag() -> dict:
     """Foundation-model bag scale: single 131072-patch bag latency (same
     serial-dependency chain harness as bench_ours)."""
     import jax
-    import jax.numpy as jnp
 
     from toad_tpu.config import ModelConfig
     from toad_tpu.models.toad_mil import ToadMIL
@@ -119,18 +125,14 @@ def bench_long_bag() -> dict:
     model = ToadMIL(cfg)
     params = model.init(jax.random.PRNGKey(0))
     fn = _chained_forward(model, k=k, b=1, n=n)
-    float(fn(params, jax.random.PRNGKey(1)))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        float(fn(params, jax.random.PRNGKey(2 + i)))
-        times.append(time.perf_counter() - t0)
-    return {"long_bag_131k_ms": min(times) / k * 1e3}
+    t = _time_best(lambda i: float(fn(params, jax.random.PRNGKey(2 + i))))
+    return {"long_bag_131k_ms": t / k * 1e3}
 
 
 def bench_train() -> dict:
-    """Training-step throughput: forward+backward+Adam on one jitted donated
-    update, same chained-dependency methodology."""
+    """Training-step throughput: forward+backward+Adam steps chained inside
+    one jitted fori_loop (donation doesn't apply inside the traced loop; the
+    production step donates, so this slightly UNDERstates it)."""
     import jax
     import jax.numpy as jnp
 
@@ -167,13 +169,8 @@ def bench_train() -> dict:
         p, o, _ = jax.lax.fori_loop(0, k, body, (params, opt_state, key))
         return jax.tree.leaves(p)[0].sum()
 
-    float(chain(params, opt_state, jax.random.PRNGKey(1)))
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        float(chain(params, opt_state, jax.random.PRNGKey(2 + i)))
-        times.append(time.perf_counter() - t0)
-    return {"train_slides_per_sec": b * k / min(times)}
+    t = _time_best(lambda i: float(chain(params, opt_state, jax.random.PRNGKey(2 + i))))
+    return {"train_slides_per_sec": b * k / t}
 
 
 def bench_encoder() -> dict:
@@ -201,13 +198,8 @@ def bench_encoder() -> dict:
         _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.float32(0)))
         return acc
 
-    float(fn(params, jax.random.PRNGKey(1)))  # compile
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        float(fn(params, jax.random.PRNGKey(2 + i)))
-        times.append(time.perf_counter() - t0)
-    return {"patches_per_sec": b * k / min(times)}
+    t = _time_best(lambda i: float(fn(params, jax.random.PRNGKey(2 + i))))
+    return {"patches_per_sec": b * k / t}
 
 
 def bench_reference_pattern() -> float:

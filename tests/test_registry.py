@@ -58,3 +58,25 @@ def test_missing_bag_file_error_names_path(tmp_path):
     ds = WSIBagDataset(dummy_task(str(csv)), data_dir=str(tmp_path), print_info=False)
     with pytest.raises(FileNotFoundError, match="GONE"):
         ds.load_bag(0)
+
+
+def test_load_task_by_name_with_json_suffix():
+    """'name.json' without such a file in cwd still resolves via the search
+    dirs (was probing name.json.json and failing)."""
+    from toad_tpu.registry import load_task
+
+    t = load_task("dummy_mtl_concat.json")
+    assert t.name == "dummy_mtl_concat"
+
+
+def test_task_json_unknown_fields_are_loud(tmp_path):
+    import json
+
+    import pytest
+
+    from toad_tpu.config import TaskConfig
+
+    good = {"name": "t", "csv_path": "x.csv", "label_dicts": [{"A": 0}, {"P": 0, "M": 1}, {"F": 0, "M": 1}]}
+    TaskConfig.from_json(json.dumps(good))
+    with pytest.raises(ValueError, match="unknown task-config fields.*description"):
+        TaskConfig.from_json(json.dumps({**good, "description": "oops"}))

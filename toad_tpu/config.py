@@ -16,10 +16,13 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
-# the padding ladder every component defaults to. Every rung is divisible by
-# 128*256, so any bag-shard mesh axis up to 256 keeps per-shard lengths a
-# multiple of the 128-row Pallas tile (163840 = 5*2^15 is the one non-power
-# of two, added so 150k-patch bags pad by 9% instead of 75%).
+# the padding ladder every component defaults to. Every rung is a multiple
+# of 128 (the Pallas row tile); rungs >= 32768 are also multiples of 128*256,
+# so LONG bags shard over a bag mesh axis up to 256 with 128-aligned
+# per-shard lengths. Short rungs support proportionally smaller bag axes
+# (rung // 128); shard_batch and the serve batcher validate divisibility up
+# front. 163840 = 5*2^15 is the one non-power of two, added so 150k-patch
+# bags pad by 9% instead of 75%.
 DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072, 163840, 262144)
 
 
@@ -50,6 +53,10 @@ class TaskConfig:
     @staticmethod
     def from_json(text: str) -> "TaskConfig":
         raw = json.loads(text)
+        known = {f.name for f in dataclasses.fields(TaskConfig)}
+        unknown = sorted(set(raw) - known)
+        if unknown:  # loud, like every other task-config error
+            raise ValueError(f"unknown task-config fields {unknown}; known: {sorted(known)}")
         raw["label_dicts"] = tuple(raw["label_dicts"])
         raw["label_cols"] = tuple(raw.get("label_cols", ("label", "site", "sex")))
         raw["ignore"] = tuple(raw.get("ignore", ()))

@@ -41,8 +41,10 @@ def load_task(name_or_path: str) -> TaskConfig:
     p = Path(name_or_path)
     if p.suffix == ".json" and p.exists():
         return TaskConfig.from_json(p.read_text())
+    # a registry name, possibly written with its .json suffix
+    stem = name_or_path.removesuffix(".json")
     for d in task_search_dirs():
-        candidate = d / f"{name_or_path}.json"
+        candidate = d / f"{stem}.json"
         if candidate.exists():
             return TaskConfig.from_json(candidate.read_text())
     raise KeyError(

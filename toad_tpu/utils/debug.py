@@ -61,7 +61,8 @@ def make_checked_step(model: ToadMIL, tx: optax.GradientTransformation, cls_w: f
             n=jnp.int32(n_site), lo=site.min(), hi=site.max(),
         )
         checkify.check(
-            jnp.all((sex == 0) | (sex == 1)), "sex must be 0/1: min {lo}, max {hi}",
+            jnp.all((~bag_mask) | (sex == 0) | (sex == 1)),
+            "sex must be 0/1: min {lo}, max {hi}",
             lo=sex.min(), hi=sex.max(),
         )
         checkify.check(jnp.all(jnp.isfinite(batch["features"])), "non-finite feature values in batch")
