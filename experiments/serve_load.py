@@ -41,6 +41,7 @@ def main():
     ap.add_argument("--max_wait_ms", type=float, default=5.0)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--bf16_transfer", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +66,7 @@ def main():
     lat: list[float] = []
     lat_lock = threading.Lock()
     with DynamicBatcher(
-        params, cfg, ServeConfig(max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, bucket_sizes=DEFAULT_BUCKETS)
+        params, cfg, ServeConfig(max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, bucket_sizes=DEFAULT_BUCKETS, transfer_dtype="bfloat16" if args.bf16_transfer else "float32")
     ) as b:
         b.predict(bags[0], 0)  # warm the compile cache for the bucket
 
@@ -104,6 +105,7 @@ def main():
                 "max_batch": args.max_batch,
                 "max_wait_ms": args.max_wait_ms,
                 "bag_n": args.bag_n,
+                "transfer": "bf16" if args.bf16_transfer else "f32",
                 "device": str(jax.devices()[0]),
             }
         )

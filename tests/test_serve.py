@@ -385,3 +385,19 @@ def test_serve_cli_rejects_bad_shards():
 
     with pytest.raises(SystemExit, match="data_shards"):
         main(["--ckpt", "/nonexistent", "--data_shards", "0"])
+
+
+def test_bf16_transfer_mode_close_to_f32(model_and_params):
+    """bf16 feature transfer halves H2D bytes; predictions stay within bf16
+    rounding of the f32-transfer path."""
+    cfg, params = model_and_params
+    rng = np.random.default_rng(21)
+    bags = _bags(rng, 6)
+    sc32 = ServeConfig(bucket_sizes=BUCKETS)
+    scbf = ServeConfig(bucket_sizes=BUCKETS, transfer_dtype="bfloat16")
+    with DynamicBatcher(params, cfg, sc32) as b32, DynamicBatcher(params, cfg, scbf) as bbf:
+        for f, s in bags:
+            p32 = b32.predict(f, s)
+            pbf = bbf.predict(f, s)
+            np.testing.assert_allclose(pbf.y_prob, p32.y_prob, atol=5e-3)
+            assert pbf.site_hat == p32.site_hat

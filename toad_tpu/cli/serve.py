@@ -24,6 +24,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_wait_ms", type=float, default=5.0, help="batching window after first request")
     p.add_argument("--attention", action="store_true", help="compute attention scores on every request")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument(
+        "--bf16_transfer", action="store_true",
+        help="bfloat16 host->device feature transfer (halves H2D bytes, the serving bottleneck)",
+    )
     p.add_argument("--pallas", action="store_true", help="fused Pallas pooling kernel")
     p.add_argument(
         "--data_shards", type=int, default=None,
@@ -60,7 +64,10 @@ def main(argv=None) -> None:
         use_pallas=args.pallas,
     )
     serve_cfg = ServeConfig(
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, need_attention=args.attention
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        need_attention=args.attention,
+        transfer_dtype="bfloat16" if args.bf16_transfer else "float32",
     )
     mesh = None
     if args.data_shards is not None or args.bag_shards is not None:

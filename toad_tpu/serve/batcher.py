@@ -50,6 +50,10 @@ class ServeConfig:
     # default for requests that don't say: attention costs an extra [B,T,N]
     # HBM tensor, so it's opt-in per request (submit(..., attention=True))
     need_attention: bool = False
+    # host->device feature dtype: 'bfloat16' halves transfer bytes — the
+    # serving bottleneck whenever requests carry host-resident features
+    # (the model computes in bf16 anyway when compute_dtype is bf16)
+    transfer_dtype: str = "float32"
 
 
 class _Request(NamedTuple):
@@ -235,7 +239,13 @@ class DynamicBatcher:
         if b_pad % self._data_n:  # mesh data axis needs even batch slices
             b_pad = ((b_pad + self._data_n - 1) // self._data_n) * self._data_n
         dim = self.model.config.in_dim
-        feats = np.zeros((b_pad, bucket, dim), np.float32)
+        if self.cfg.transfer_dtype == "bfloat16":
+            import ml_dtypes
+
+            feat_dt = np.dtype(ml_dtypes.bfloat16)
+        else:
+            feat_dt = np.dtype(np.float32)
+        feats = np.zeros((b_pad, bucket, dim), feat_dt)
         mask = np.zeros((b_pad, bucket), np.float32)
         sex = np.zeros((b_pad,), np.int32)
         for i, r in enumerate(group):
