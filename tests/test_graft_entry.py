@@ -25,3 +25,38 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # raises on any sharding/compile failure
+
+
+def test_dryrun_multichip_with_foreign_default_platform():
+    """Round-1 regression: the driver runs dryrun_multichip WITHOUT this
+    suite's jax_platforms=cpu override, so the default backend is the axon
+    TPU plugin (1 device, possibly version-skewed libtpu) and the dryrun
+    falls back to virtual CPU devices. Eager ops (model.init, jnp.asarray)
+    must be pinned to those CPU devices — in round 1 they dispatched to the
+    TPU and crashed (MULTICHIP_r01.json). Reproduce the driver env in a
+    subprocess: no jax_platforms override, sitecustomize free to pick the
+    TPU plugin as default."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the default platform be whatever the env picks
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+            cwd=str(Path(__file__).parent.parent),
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=240,
+            start_new_session=True,
+        )
+    except subprocess.TimeoutExpired:
+        import pytest
+
+        pytest.skip("subprocess JAX init timed out (contended TPU tunnel)")
+    assert proc.returncode == 0, f"dryrun failed under foreign default platform:\n{proc.stdout}\n{proc.stderr}"
+    assert "dryrun_multichip(8)" in proc.stdout
