@@ -401,3 +401,124 @@ def test_bf16_transfer_mode_close_to_f32(model_and_params):
             pbf = bbf.predict(f, s)
             np.testing.assert_allclose(pbf.y_prob, p32.y_prob, atol=5e-3)
             assert pbf.site_hat == p32.site_hat
+
+
+def test_close_serves_queued_requests_instead_of_failing(model_and_params):
+    """ADVICE r1: requests already enqueued when close() lands must be SERVED
+    (graceful drain), not failed with 'batcher closed'. Hold the dispatch
+    thread in a slow forward while more requests queue behind it."""
+    import time as _t
+
+    cfg, params = model_and_params
+    b = DynamicBatcher(params, cfg, ServeConfig(max_batch=4, max_wait_ms=1, bucket_sizes=BUCKETS))
+    b.predict(np.zeros((10, DIM), np.float32), 0)  # warm the compile cache
+
+    orig = b._dispatch
+    first_started = threading.Event()
+
+    def slow_dispatch(bucket, want_attn, group):
+        first_started.set()
+        _t.sleep(0.4)  # requests pile up in the queue meanwhile
+        return orig(bucket, want_attn, group)
+
+    b._dispatch = slow_dispatch
+    rng = np.random.default_rng(7)
+    f_first = b.submit(rng.standard_normal((20, DIM)).astype(np.float32), 0)
+    assert first_started.wait(timeout=10)
+    queued = [b.submit(rng.standard_normal((20, DIM)).astype(np.float32), 1) for _ in range(5)]
+    assert b.close(timeout=60) is True
+    # every pre-close submission resolves to a real prediction
+    for f in [f_first, *queued]:
+        pred = f.result(timeout=10)
+        assert pred.y_prob.shape[0] == cfg.n_classes
+
+
+def test_warmup_precompiles_serving_shapes(model_and_params):
+    """VERDICT r1 #7: after warmup, requests at configured shapes hit the
+    jit cache — first-request latency is steady-state latency. Asserted
+    structurally via the jit cache size (deterministic, unlike wall time)."""
+    cfg, params = model_and_params
+    single = SlideInference(params, cfg, bucket_sizes=BUCKETS)
+    with DynamicBatcher(params, cfg, ServeConfig(max_batch=8, max_wait_ms=1, bucket_sizes=BUCKETS)) as b:
+        n = b.warmup()
+        assert n == len(BUCKETS) * 2  # batch 1 and batch max per bucket
+        cache0 = b._fwd._cache_size()
+        assert cache0 >= len(BUCKETS)
+        rng = np.random.default_rng(11)
+        for lo in (5, 40, 100):  # one request per bucket rung
+            feats = rng.standard_normal((lo, DIM)).astype(np.float32)
+            pred = b.predict(feats, 0)
+            ref = single.predict(feats, 0)
+            np.testing.assert_allclose(pred.y_prob, ref.y_prob, atol=1e-5)
+        assert b._fwd._cache_size() == cache0, "request at a warmed shape recompiled"
+        with pytest.raises(ValueError):
+            b.warmup(buckets=(999,))
+
+
+def test_params_committed_to_device_without_mesh(model_and_params):
+    """ADVICE r1: host-numpy params would re-upload the whole tree every
+    batch; the batcher must commit them to device once at construction."""
+    cfg, params = model_and_params
+    host_params = jax.tree.map(np.asarray, params)  # what restore_params returns
+    with DynamicBatcher(host_params, cfg, ServeConfig(bucket_sizes=BUCKETS)) as b:
+        leaves = jax.tree.leaves(b.params)
+        assert all(isinstance(x, jax.Array) for x in leaves)
+
+
+@pytest.fixture(scope="module")
+def rooted_http_service(model_and_params, dummy_env):
+    """Service with bag_root locked to the dummy bag dir."""
+    cfg, params = model_and_params
+    service = InferenceService(
+        params, cfg, ServeConfig(max_batch=4, max_wait_ms=5, bucket_sizes=BUCKETS),
+        task=dummy_env["task"], bag_root=dummy_env["data_dir"],
+    )
+    server, port = serve_in_thread(service)
+    yield service, port, dummy_env
+    server.shutdown()
+    service.close()
+
+
+def test_bag_root_confines_bag_paths(rooted_http_service):
+    """ADVICE r1: bag_path must not be an arbitrary-file read/probe oracle."""
+    service, port, env = rooted_http_service
+    bag = next(iter(env["data_dir"].glob("*.npy")))
+
+    # relative path inside the root works
+    status, out = _post(port, "/predict", {"bag_path": bag.name, "sex": "F"})
+    assert status == 200, out
+    # absolute path inside the root works too
+    status, out = _post(port, "/predict", {"bag_path": str(bag), "sex": "F"})
+    assert status == 200, out
+
+    # escapes are refused without echoing the path
+    for evil in ("../../../etc/passwd", "/etc/passwd", f"{bag.name}/../../../../etc/passwd"):
+        status, out = _post(port, "/predict", {"bag_path": evil, "sex": "F"})
+        assert status == 403, (evil, out)
+        assert "passwd" not in json.dumps(out)
+    # missing file inside the root: 404 with no path echo
+    status, out = _post(port, "/predict", {"bag_path": "nope.npy", "sex": "F"})
+    assert status == 404 and "nope" not in json.dumps(out)
+
+
+def test_nonloopback_bind_requires_bag_root(model_and_params, dummy_env):
+    """A network-exposed server without --bag_root refuses bag_path outright
+    (features_b64 requests still work)."""
+    cfg, params = model_and_params
+    service = InferenceService(
+        params, cfg, ServeConfig(max_batch=4, max_wait_ms=5, bucket_sizes=BUCKETS)
+    )
+    try:
+        server, port = serve_in_thread(service, host="0.0.0.0")
+    except OSError:
+        pytest.skip("cannot bind 0.0.0.0 in this sandbox")
+    try:
+        bag = next(iter(dummy_env["data_dir"].glob("*.npy")))
+        status, out = _post(port, "/predict", {"bag_path": str(bag), "sex": "F"})
+        assert status == 403 and "bag_root" in out["error"]
+        feats = np.zeros((8, DIM), np.float32)
+        status, out = _post(port, "/predict", {"features": feats.tolist(), "sex": "F"})
+        assert status == 200, out
+    finally:
+        server.shutdown()
+        service.close()

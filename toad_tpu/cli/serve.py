@@ -41,6 +41,17 @@ def make_parser() -> argparse.ArgumentParser:
         "--compile_cache", type=str, default=None, metavar="DIR",
         help="persistent XLA compilation cache: restarts skip first-touch compiles",
     )
+    p.add_argument(
+        "--bag_root", type=str, default=None, metavar="DIR",
+        help="restrict request bag_path to this directory (required for bag_path "
+        "when binding beyond loopback); relative bag_paths resolve against it",
+    )
+    p.add_argument(
+        "--warmup", type=str, default=None, nargs="?", const="all", metavar="BUCKETS",
+        help="pre-compile serving shapes before accepting traffic: 'all' (every "
+        "bucket) or comma-separated bucket sizes, each at batch 1 and max_batch; "
+        "composes with --compile_cache (warm once, restart instantly)",
+    )
     return p
 
 
@@ -80,7 +91,16 @@ def main(argv=None) -> None:
         mesh = make_mesh(args.data_shards, args.bag_shards)
         if mesh.devices.size == 1:
             mesh = None  # single device: the mesh adds nothing
-    service = InferenceService.from_checkpoint(args.ckpt, model_cfg, serve_cfg, task=task, mesh=mesh)
+    service = InferenceService.from_checkpoint(
+        args.ckpt, model_cfg, serve_cfg, task=task, mesh=mesh, bag_root=args.bag_root
+    )
+    if args.warmup is not None:
+        import time
+
+        buckets = None if args.warmup == "all" else tuple(int(v) for v in args.warmup.split(","))
+        t0 = time.perf_counter()
+        n = service.batcher.warmup(buckets)
+        print(f"warmup: {n} shape variants compiled in {time.perf_counter() - t0:.1f}s")
     server = make_http_server(service, args.host, args.port)
     mesh_note = f"; mesh {dict(mesh.shape)}" if mesh is not None else ""
     print(

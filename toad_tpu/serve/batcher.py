@@ -115,6 +115,10 @@ class DynamicBatcher:
         else:
             self._data_n = 1
             self._shardings = None
+            # commit params to device up front: restore_params/load_params_any
+            # return host numpy leaves, and leaving them on host would re-upload
+            # the whole tree over the (erratic) H2D link on every batch
+            params = jax.device_put(params)
         self.params = params
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
         self._stop = threading.Event()
@@ -204,40 +208,51 @@ class DynamicBatcher:
             batch.append(req)
         return batch
 
+    def _serve_groups(self, batch: list[_Request]) -> None:
+        groups: dict[tuple[int, bool], list[_Request]] = {}
+        for r in batch:
+            groups.setdefault((r.bucket, r.attention), []).append(r)
+        for (bucket, want_attn), group in groups.items():
+            # the dispatch thread is a singleton: it must survive EVERY
+            # failure (batch-assembly MemoryError included), else all
+            # pending and future requests hang in future.result()
+            try:
+                self._dispatch(bucket, want_attn, group)
+            except BaseException as e:  # noqa: BLE001
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
     def _run(self) -> None:
         while not self._stop.is_set():
             batch = self._collect()
-            if not batch:
-                continue
-            groups: dict[tuple[int, bool], list[_Request]] = {}
-            for r in batch:
-                groups.setdefault((r.bucket, r.attention), []).append(r)
-            for (bucket, want_attn), group in groups.items():
-                # the dispatch thread is a singleton: it must survive EVERY
-                # failure (batch-assembly MemoryError included), else all
-                # pending and future requests hang in future.result()
-                try:
-                    self._dispatch(bucket, want_attn, group)
-                except BaseException as e:  # noqa: BLE001
-                    for r in group:
-                        if not r.future.done():
-                            r.future.set_exception(e)
-        # drain anything left after stop so no future hangs
+            if batch:
+                self._serve_groups(batch)
+        # graceful drain: SERVE everything enqueued before close() instead of
+        # failing it — submit() holds _submit_lock against close(), so every
+        # real request precedes the None sentinel in FIFO order and anything
+        # still queued here was accepted pre-shutdown (DEPLOYMENT.md's
+        # "SIGTERM drains in-flight requests" contract)
+        pending: list[_Request] = []
         while True:
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if req is not None and not req.future.done():
-                req.future.set_exception(RuntimeError("batcher closed"))
+            if req is not None:
+                pending.append(req)
+        for start in range(0, len(pending), self.cfg.max_batch):
+            self._serve_groups(pending[start : start + self.cfg.max_batch])
 
-    def _dispatch(self, bucket: int, want_attn: bool, group: list[_Request]) -> None:
-        import jax
-
-        b = len(group)
-        b_pad = _pow2_at_least(b, self.cfg.max_batch)
+    def _padded_batch(self, b_requests: int) -> int:
+        b_pad = _pow2_at_least(b_requests, self.cfg.max_batch)
         if b_pad % self._data_n:  # mesh data axis needs even batch slices
             b_pad = ((b_pad + self._data_n - 1) // self._data_n) * self._data_n
+        return b_pad
+
+    def _assemble(self, bucket: int, b_pad: int, group: Sequence[_Request]):
+        """Zero-padded [b_pad, bucket, dim] inputs; rows past len(group) are
+        padding (one live zero patch keeps their softmax finite)."""
         dim = self.model.config.in_dim
         if self.cfg.transfer_dtype == "bfloat16":
             import ml_dtypes
@@ -252,7 +267,12 @@ class DynamicBatcher:
             feats[i, : r.n] = r.features
             mask[i, : r.n] = 1.0
             sex[i] = r.sex
-        mask[b:, 0] = 1.0  # padded rows attend to one zero patch: keeps softmax finite
+        mask[len(group) :, 0] = 1.0
+        return feats, mask, sex
+
+    def _device_forward(self, feats, mask, sex, want_attn: bool):
+        import jax
+
         if self._shardings is not None:
             sf, sm, ss = self._shardings
             feats, mask, sex = (
@@ -260,8 +280,53 @@ class DynamicBatcher:
                 jax.device_put(mask, sm),
                 jax.device_put(sex, ss),
             )
+        return self._fwd(self.params, feats, mask, sex, need_attention=want_attn)
+
+    def warmup(
+        self,
+        buckets: Sequence[int] | None = None,
+        batch_sizes: Sequence[int] | None = None,
+        attention: bool | None = None,
+    ) -> int:
+        """Pre-compile the jitted forward for the shapes requests will hit, so
+        first requests don't pay first-touch XLA compiles (which stretch from
+        tens of seconds to minutes under tenant contention — VERDICT r1 #7).
+
+        Defaults: every configured bucket × the two ends of the batch ladder
+        (1 and max_batch — low-load and saturated) × the configured attention
+        mode. Synchronous; returns the number of shape variants compiled.
+        """
+        buckets = tuple(buckets) if buckets else self.buckets
+        bad = [b for b in buckets if b not in self.buckets]
+        if bad:
+            raise ValueError(f"warmup buckets {bad} not in the configured ladder {self.buckets}")
+        if batch_sizes is None:
+            batch_sizes = (1, self.cfg.max_batch)
+        attns = (self.cfg.need_attention,) if attention is None else (bool(attention),)
+        done: set[tuple[int, int, bool]] = set()
+        for bucket in buckets:
+            for bs in batch_sizes:
+                b_pad = self._padded_batch(max(1, min(int(bs), self.cfg.max_batch)))
+                for want_attn in attns:
+                    key = (bucket, b_pad, want_attn)
+                    if key in done:
+                        continue
+                    done.add(key)
+                    feats, mask, sex = self._assemble(bucket, b_pad, ())
+                    out = self._device_forward(feats, mask, sex, want_attn)
+                    import jax
+
+                    jax.block_until_ready(out)
+        return len(done)
+
+    def _dispatch(self, bucket: int, want_attn: bool, group: list[_Request]) -> None:
+        import jax
+
+        b = len(group)
+        b_pad = self._padded_batch(b)
+        feats, mask, sex = self._assemble(bucket, b_pad, group)
         y_prob, site_prob, attn = jax.device_get(
-            self._fwd(self.params, feats, mask, sex, need_attention=want_attn)
+            self._device_forward(feats, mask, sex, want_attn)
         )
         with self._stats_lock:
             self._batches += 1

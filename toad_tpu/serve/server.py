@@ -50,9 +50,16 @@ class InferenceService:
         serve_cfg: ServeConfig = ServeConfig(),
         task: TaskConfig | None = None,
         mesh=None,
+        bag_root: Any = None,
     ):
+        from pathlib import Path
+
         self.model_cfg = model_cfg
         self.batcher = DynamicBatcher(params, model_cfg, serve_cfg, mesh=mesh)
+        # bag_path requests may only read under this directory; None = no
+        # restriction (in-process embedders; HTTP additionally requires a
+        # root when bound beyond loopback — see make_http_server)
+        self.bag_root: Path | None = Path(bag_root).resolve() if bag_root is not None else None
         self.task = task
         self.inv_labels: dict[int, str] | None = None
         self.inv_site: dict[int, str] | None = None
@@ -69,14 +76,33 @@ class InferenceService:
         serve_cfg: ServeConfig = ServeConfig(),
         task: TaskConfig | None = None,
         mesh=None,
+        bag_root: Any = None,
     ) -> "InferenceService":
         """Orbax checkpoint directory or reference torch ``s_k_checkpoint.pt``
         (one shared loading policy: :func:`toad_tpu.train.checkpoint.load_params_any`)."""
         from toad_tpu.train.checkpoint import load_params_any
 
-        return cls(load_params_any(ckpt_path, model_cfg), model_cfg, serve_cfg, task=task, mesh=mesh)
+        return cls(
+            load_params_any(ckpt_path, model_cfg), model_cfg, serve_cfg,
+            task=task, mesh=mesh, bag_root=bag_root,
+        )
 
     # -- prediction --------------------------------------------------------------
+
+    def _resolve_bag_path(self, bag_path):
+        """Resolve a client-supplied bag path against ``bag_root`` and refuse
+        escapes (``..``, absolute paths, symlinks out of the root) — an
+        unrestricted server-side path would let any network client read and
+        probe arbitrary host files."""
+        from pathlib import Path
+
+        p = Path(bag_path)
+        if self.bag_root is None:
+            return p
+        resolved = (p if p.is_absolute() else self.bag_root / p).resolve()
+        if not resolved.is_relative_to(self.bag_root):
+            raise PermissionError("bag_path resolves outside the served bag root")
+        return resolved
 
     def predict_features(
         self, features: np.ndarray, sex: int, top_k: int = 5, attention: bool = False
@@ -85,11 +111,10 @@ class InferenceService:
         return self._to_json(pred, top_k, attention)
 
     def predict_bag(self, bag_path, sex: int, top_k: int = 5, attention: bool = False) -> dict:
-        from pathlib import Path
-
         from toad_tpu.data.bags import load_bag
 
-        if not Path(bag_path).exists():
+        bag_path = self._resolve_bag_path(bag_path)
+        if not bag_path.exists():
             raise FileNotFoundError(f"feature bag not found: {bag_path}")
         feats, _ = load_bag(bag_path, with_coords=True)
         return self.predict_features(np.asarray(feats, np.float32), sex, top_k, attention)
@@ -101,8 +126,6 @@ class InferenceService:
         with a coords sidecar) — the serving analog of ``cli/infer --heatmap``.
         ``task`` picks the attention head: 'origin' or 'site' (the CLI's
         ``--attention_task``)."""
-        from pathlib import Path
-
         from toad_tpu.data.bags import load_bag
         from toad_tpu.pipeline.heatmap import encode_png, render_heatmap
 
@@ -110,7 +133,8 @@ class InferenceService:
             raise ValueError(f"task must be 'origin' or 'site', got {task!r}")
         if patch_size < 1 or downscale < 1:
             raise ValueError(f"patch_size/downscale must be >= 1, got {patch_size}/{downscale}")
-        if not Path(bag_path).exists():
+        bag_path = self._resolve_bag_path(bag_path)
+        if not bag_path.exists():
             raise FileNotFoundError(f"feature bag not found: {bag_path}")
         feats, coords = load_bag(bag_path, with_coords=True)
         if coords is None:
@@ -183,7 +207,12 @@ def _decode_features(body: dict, in_dim: int) -> np.ndarray:
 
 def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
     """Build (not start) a ``ThreadingHTTPServer``; ``port=0`` picks a free
-    port (``server.server_address[1]``). Caller owns serve_forever/shutdown."""
+    port (``server.server_address[1]``). Caller owns serve_forever/shutdown.
+
+    Server-side ``bag_path`` requests are only honored when the service has a
+    ``bag_root`` OR the server is bound to loopback: a network-exposed server
+    with unrestricted paths would be an arbitrary-file read oracle."""
+    bag_paths_ok = service.bag_root is not None or host in ("127.0.0.1", "localhost", "::1")
 
     class Handler(BaseHTTPRequestHandler):
         # socket timeout: a client that stalls mid-body (or lies about
@@ -234,6 +263,12 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
                 from toad_tpu.cli.common import parse_sex
 
                 sex = parse_sex(body.get("sex", ""))
+                if "bag_path" in body and not bag_paths_ok:
+                    self._send(
+                        403,
+                        {"error": "server-side bag_path disabled: start with --bag_root to serve bags on a network-exposed host"},
+                    )
+                    return
                 if self.path == "/heatmap":
                     if "bag_path" not in body:
                         raise ValueError("heatmap requires 'bag_path' (needs patch coordinates)")
@@ -256,8 +291,13 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
                 return
-            except FileNotFoundError as e:
-                self._send(404, {"error": str(e)})
+            except PermissionError:
+                self._send(403, {"error": "bag_path outside the served bag root"})
+                return
+            except FileNotFoundError:
+                # no raw-path echo: existence probing outside bag_root must
+                # not leak host filesystem structure
+                self._send(404, {"error": "feature bag not found"})
                 return
             except Exception as e:  # device/runtime failure
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
