@@ -23,14 +23,14 @@ sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root
 REF = Path("/root/reference")
 
 
-def build_data(dim: int, seed: int = 0, tmp: Path = Path("/tmp/acc_parity")):
+def build_data(dim: int, seed: int = 0, tmp: Path = Path("/tmp/acc_parity"), n_patients: int = 80):
     from toad_tpu.data.splits import generate_splits
     from toad_tpu.data.synthetic import dummy_task, write_dummy_bags, write_dummy_csv
     from toad_tpu.data.wsi_dataset import WSIBagDataset
 
     tmp.mkdir(parents=True, exist_ok=True)
     csv = tmp / "m.csv"
-    manifest = write_dummy_csv(csv, n_patients=80, max_slides_per_patient=2, seed=seed)
+    manifest = write_dummy_csv(csv, n_patients=n_patients, max_slides_per_patient=2, seed=seed)
     task = dummy_task(str(csv))
     write_dummy_bags(tmp / "bags", manifest, task, n_patches_range=(32, 160), dim=dim, fmt="npy", seed=seed)
     ds = WSIBagDataset(task, data_dir=str(tmp / "bags"), print_info=False)
@@ -104,18 +104,18 @@ def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1):
     return np.asarray(probs), np.asarray(labels)
 
 
-def train_ours(ds, spec, dim: int, epochs: int, lr: float, batch_size: int = 8, tmp: Path = Path("/tmp/acc_parity")):
+def train_ours(ds, spec, dim: int, epochs: int, lr: float, batch_size: int = 8, tmp: Path = Path("/tmp/acc_parity"), seed: int = 1):
     from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
     from toad_tpu.train.loop import FoldTrainer
 
     cfg = TrainConfig(
         max_epochs=epochs,
-        seed=1,
+        seed=seed,
         model=ModelConfig(in_dim=dim, n_classes=18),
         optim=OptimConfig(lr=lr),
         data=DataConfig(batch_size=batch_size, bucket_sizes=(64, 128, 256)),
     )
-    trainer = FoldTrainer(cfg, fold=0, results_dir=tmp / "results")
+    trainer = FoldTrainer(cfg, fold=0, results_dir=tmp / f"results_s{seed}")
     r = trainer.train(
         ds.subset(spec.train), ds.subset(spec.val), ds.subset(spec.test), log_fn=lambda s: None
     )
@@ -129,34 +129,75 @@ def main():
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--batch_size", type=int, default=8, help="1 = the reference's exact one-bag-one-step semantics")
+    ap.add_argument("--n_patients", type=int, default=80, help="~1.5 slides/patient; 1200 -> ~1800-slide dataset")
+    ap.add_argument("--seeds", type=str, default="1", help="comma-separated training seeds, run per side")
+    ap.add_argument("--out", type=str, default=None, help="append per-seed JSON lines here (crash-resumable)")
     args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
 
     from toad_tpu.evaluate.metrics import macro_ovr_auc, topk_accuracy
 
-    ds, spec = build_data(args.dim)
+    ds, spec = build_data(args.dim, n_patients=args.n_patients)
+    print(
+        json.dumps({"dataset": {"slides": int(ds.n_slides), "train": len(spec.train), "val": len(spec.val), "test": len(spec.test)}}),
+        flush=True,
+    )
+    out_path = Path(args.out) if args.out else None
+    done: dict[tuple[str, int], dict] = {}
+    if out_path and out_path.exists():  # resume a crashed sweep
+        for line in out_path.read_text().splitlines():
+            r = json.loads(line)
+            if "side" in r:
+                done[(r["side"], r["seed"])] = r
 
-    t0 = time.perf_counter()
-    ours_probs, ours_labels, _ = train_ours(ds, spec, args.dim, args.epochs, args.lr, args.batch_size)
-    t_ours = time.perf_counter() - t0
+    def record(side: str, seed: int, probs, labels, secs: float) -> dict:
+        r = {
+            "side": side,
+            "seed": seed,
+            "dim": args.dim,
+            "epochs": args.epochs,
+            "auc": round(macro_ovr_auc(labels, probs, 18), 4),
+            "top1": round(topk_accuracy(probs, labels, (1,))[1], 4),
+            "top3": round(topk_accuracy(probs, labels, (1, 3))[3], 4),
+            "train_s": round(secs, 1),
+        }
+        print(json.dumps(r), flush=True)
+        if out_path:
+            with out_path.open("a") as f:
+                f.write(json.dumps(r) + "\n")
+        return r
 
-    t0 = time.perf_counter()
-    ref_probs, ref_labels = train_reference(ds, spec, args.dim, args.epochs, args.lr)
-    t_ref = time.perf_counter() - t0
+    results = []
+    for seed in seeds:
+        for side in ("ours", "ref"):
+            if (side, seed) in done:
+                results.append(done[(side, seed)])
+                continue
+            t0 = time.perf_counter()
+            if side == "ours":
+                probs, labels, _ = train_ours(ds, spec, args.dim, args.epochs, args.lr, args.batch_size, seed=seed)
+            else:
+                probs, labels = train_reference(ds, spec, args.dim, args.epochs, args.lr, seed=seed)
+            results.append(record(side, seed, probs, labels, time.perf_counter() - t0))
 
-    # bucketed eval reorders rows; same test membership is what matters
-    np.testing.assert_array_equal(np.sort(ours_labels), np.sort(ref_labels))
-    result = {
-        "dim": args.dim,
-        "batch_size": args.batch_size,
-        "epochs": args.epochs,
-        "ours_auc": round(macro_ovr_auc(ours_labels, ours_probs, 18), 4),
-        "ref_auc": round(macro_ovr_auc(ref_labels, ref_probs, 18), 4),
-        "ours_top1": round(topk_accuracy(ours_probs, ours_labels, (1,))[1], 4),
-        "ref_top1": round(topk_accuracy(ref_probs, ref_labels, (1,))[1], 4),
-        "ours_train_s": round(t_ours, 1),
-        "ref_train_s": round(t_ref, 1),
-    }
-    print(json.dumps(result))
+    if len(seeds) > 1:
+        agg = {"dim": args.dim, "epochs": args.epochs, "n_seeds": len(seeds), "slides": int(ds.n_slides)}
+        for side in ("ours", "ref"):
+            rows = [r for r in results if r["side"] == side]
+            for m in ("auc", "top1", "top3"):
+                vals = np.asarray([r[m] for r in rows])
+                agg[f"{side}_{m}_mean"] = round(float(vals.mean()), 4)
+                agg[f"{side}_{m}_std"] = round(float(vals.std(ddof=1)), 4)
+        # overlap check: |mean gap| within the combined 2-sigma interval
+        for m in ("auc", "top1"):
+            gap = abs(agg[f"ours_{m}_mean"] - agg[f"ref_{m}_mean"])
+            spread = 2 * (agg[f"ours_{m}_std"] ** 2 / len(seeds) + agg[f"ref_{m}_std"] ** 2 / len(seeds)) ** 0.5
+            agg[f"{m}_gap"] = round(gap, 4)
+            agg[f"{m}_overlap"] = bool(gap <= max(spread, 1e-9))
+        print(json.dumps(agg), flush=True)
+        if out_path:
+            with out_path.open("a") as f:
+                f.write(json.dumps(agg) + "\n")
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@ patch embeddings per task. Here the same math is batched ``[B, N, ...]``
 with a padding mask, which is *exact*: masked patches get -inf score and
 therefore zero weight. This file is the jnp reference implementation; the
 fused Pallas kernel (:mod:`toad_tpu.ops.fused_pool`) must match it bitwise
-within tolerance (tested in ``tests/test_pallas_parity.py``).
+within tolerance (tested in ``tests/test_pallas.py``).
 """
 
 from __future__ import annotations
