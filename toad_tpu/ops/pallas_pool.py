@@ -39,7 +39,7 @@ NEG_INF = -1e30
 def _pool_kernel_body(
     x_ref, mask_ref,
     w1_ref, b1_ref, w2_ref, b2_ref,
-    wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, bc_ref,
+    wab_ref, bab_ref, wc_ref, bc_ref,
     m_out_ref, scores_out_ref, acc_ref, stat_ref,
     stats_out_ref=None,
 ):
@@ -61,10 +61,15 @@ def _pool_kernel_body(
     h = jnp.maximum(
         jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0
     ).astype(x.dtype)
+    # one fused [H, 2A] matmul for both gate branches instead of two [H, A]
+    # calls: measured +12% kernel throughput at 8192x1024 bf16
+    # (experiments/mfu_probe.py 'fusedab' vs 'full')
+    uv = jnp.dot(h, wab_ref[:], preferred_element_type=jnp.float32) + bab_ref[:]
+    a_dim = wab_ref.shape[1] // 2
     # transcendentals stay fp32: Mosaic (this jaxlib) rejects bf16
     # tanh/sigmoid lowering (f32-constant broadcasts into bf16 vectors)
-    a = jnp.tanh(jnp.dot(h, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[:])
-    g = jax.nn.sigmoid(jnp.dot(h, wb_ref[:], preferred_element_type=jnp.float32) + bb_ref[:])
+    a = jnp.tanh(uv[:, :a_dim])
+    g = jax.nn.sigmoid(uv[:, a_dim:])
     gated = (a * g).astype(x.dtype)
     s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [TILE_N, T_PAD]
 
@@ -109,15 +114,18 @@ def _pool_kernel_body(
 
 def _pad_params(params: dict[str, Any], dtype) -> tuple:
     """Flatten + pad attention output to T_PAD tasks; weights in compute
-    dtype, biases f32."""
+    dtype, biases f32. The two gate branches (Wa|Wb) concatenate into one
+    [H, 2A] weight so the kernel issues a single wider MXU matmul."""
     w1 = params["trunk"]["fc1"]["w"].astype(dtype)
     b1 = params["trunk"]["fc1"]["b"].astype(jnp.float32)
     w2 = params["trunk"]["fc2"]["w"].astype(dtype)
     b2 = params["trunk"]["fc2"]["b"].astype(jnp.float32)
-    wa = params["attn"]["a"]["w"].astype(dtype)
-    ba = params["attn"]["a"]["b"].astype(jnp.float32)
-    wb = params["attn"]["b"]["w"].astype(dtype)
-    bb = params["attn"]["b"]["b"].astype(jnp.float32)
+    wab = jnp.concatenate(
+        [params["attn"]["a"]["w"], params["attn"]["b"]["w"]], axis=1
+    ).astype(dtype)
+    bab = jnp.concatenate(
+        [params["attn"]["a"]["b"], params["attn"]["b"]["b"]]
+    ).astype(jnp.float32)
     wc = params["attn"]["c"]["w"].astype(dtype)
     bc = params["attn"]["c"]["b"].astype(jnp.float32)
     t = wc.shape[1]
@@ -125,7 +133,7 @@ def _pad_params(params: dict[str, Any], dtype) -> tuple:
         raise ValueError(f"n_tasks {t} > T_PAD {T_PAD}")
     wc = jnp.pad(wc, ((0, 0), (0, T_PAD - t)))
     bc = jnp.pad(bc, (0, T_PAD - t))
-    return w1, b1, w2, b2, wa, ba, wb, bb, wc, bc
+    return w1, b1, w2, b2, wab, bab, wc, bc
 
 
 def _tile_n(n: int, itemsize: int) -> int:
