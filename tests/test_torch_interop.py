@@ -186,3 +186,24 @@ def test_eval_engine_accepts_reference_checkpoint_file(tmp_path, dummy_env):
         r1.df[[f"p_{c}" for c in range(18)]].to_numpy(),
         r2.df[[f"p_{c}" for c in range(18)]].to_numpy(),
     )
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """`python -m toad_tpu export` converts an Orbax checkpoint into the
+    reference state_dict layout; re-importing yields identical params."""
+    from toad_tpu.cli import export as export_cli
+    from toad_tpu.train.checkpoint import load_params_any, save_checkpoint
+
+    cfg = ModelConfig(in_dim=32, n_classes=18)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    ckpt_dir = tmp_path / "s_0_checkpoint"
+    save_checkpoint(ckpt_dir, params)
+
+    out = tmp_path / "exported" / "s_0_checkpoint.pt"
+    export_cli.main(
+        ["--ckpt", str(ckpt_dir), "--out", str(out), "--encoding_size", "32", "--n_classes", "18"]
+    )
+    back = load_params_any(out, cfg, template=model.init(jax.random.PRNGKey(0)))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)

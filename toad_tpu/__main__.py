@@ -19,6 +19,7 @@ COMMANDS = {
     "predict": ("toad_tpu.cli.predict", "bulk prediction over unlabeled bags"),
     "heatmap": ("toad_tpu.cli.heatmap", "render heatmap PNG from saved attention"),
     "serve": ("toad_tpu.cli.serve", "online prediction HTTP server (dynamic batching)"),
+    "export": ("toad_tpu.cli.export", "checkpoint -> reference torch state_dict layout"),
     "make-dummy": ("toad_tpu.cli.make_dummy", "synthetic dataset fixtures"),
 }
 
