@@ -303,10 +303,15 @@ class DynamicBatcher:
         if batch_sizes is None:
             batch_sizes = (1, self.cfg.max_batch)
         attns = (self.cfg.need_attention,) if attention is None else (bool(attention),)
+        # cap batch x bucket so giant rungs don't assemble multi-GB zero
+        # batches (262144-patch bucket x batch 32 would be ~34 GB); a burst
+        # of long bags compiles its larger batch shape on first hit instead
+        max_slots = 1 << 20  # ~4 GB of f32 feature payload at dim 1024
         done: set[tuple[int, int, bool]] = set()
         for bucket in buckets:
             for bs in batch_sizes:
-                b_pad = self._padded_batch(max(1, min(int(bs), self.cfg.max_batch)))
+                bs = max(1, min(int(bs), self.cfg.max_batch, max_slots // bucket))
+                b_pad = self._padded_batch(bs)
                 for want_attn in attns:
                     key = (bucket, b_pad, want_attn)
                     if key in done:
