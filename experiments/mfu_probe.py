@@ -154,14 +154,45 @@ def run_chain(params, key, variant: str, b: int, n: int, tile: int, k: int):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("b", "n", "k"))
+def run_chain_xla(params, key, b: int, n: int, k: int):
+    """Same math scheduled by XLA instead of the Pallas kernel — separates
+    Mosaic-specific overhead from what the chip gives this shape at all."""
+    w1, b1, w2, b2, wab, bab, wc, bc = params
+    A_ = wab.shape[1] // 2
+
+    def pool(x, mask):
+        h = jnp.maximum(jnp.einsum("bnd,dh->bnh", x, w1, preferred_element_type=jnp.float32) + b1, 0.0).astype(x.dtype)
+        h = jnp.maximum(jnp.einsum("bnh,hk->bnk", h, w2, preferred_element_type=jnp.float32) + b2, 0.0).astype(x.dtype)
+        uv = jnp.einsum("bnh,ha->bna", h, wab, preferred_element_type=jnp.float32) + bab
+        gated = (jnp.tanh(uv[:, :, :A_]) * jax.nn.sigmoid(uv[:, :, A_:])).astype(x.dtype)
+        s = jnp.einsum("bna,at->bnt", gated, wc, preferred_element_type=jnp.float32) + bc
+        s = jnp.where(mask[:, :, None] > 0, s, NEG_INF)
+        w = jax.nn.softmax(s, axis=1)  # [B, N, T]
+        return jnp.einsum("bnt,bnh->bth", w.astype(x.dtype), h, preferred_element_type=jnp.float32)
+
+    x = jax.random.normal(key, (b, n, D), jnp.float32).astype(jnp.bfloat16)
+    mask = jnp.ones((b, n), jnp.float32)
+
+    def bodyf(_, carry):
+        xx, acc = carry
+        m = pool(xx, mask)
+        bump = (m.sum() * 1e-12).astype(jnp.bfloat16)
+        return (xx + bump, acc + m.sum())
+
+    _, acc = jax.lax.fori_loop(0, k, bodyf, (x, jnp.float32(0)))
+    return acc
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--tile", type=int, default=1024)
     ap.add_argument("--k", type=int, default=24)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--variants", type=str,
-                    default="full,fusedab,exp2,nogate,nosoftmax,trunkonly")
+                    default="full,fusedab,exp2,nogate,nosoftmax,trunkonly,xla")
     args = ap.parse_args()
 
     rng = np.random.RandomState(0)
@@ -181,11 +212,15 @@ def main():
     peak = 197.0  # v5e bf16 TFLOP/s (public spec ~197)
 
     for variant in args.variants.split(","):
-        f = lambda i: float(run_chain(params, jax.random.PRNGKey(7 + i), variant,
-                                      args.batch, args.n, args.tile, args.k))
+        if variant == "xla":
+            f = lambda i: float(run_chain_xla(params, jax.random.PRNGKey(7 + i),
+                                              args.batch, args.n, args.k))
+        else:
+            f = lambda i: float(run_chain(params, jax.random.PRNGKey(7 + i), variant,
+                                          args.batch, args.n, args.tile, args.k))
         f(-1)  # compile
         times = []
-        for i in range(3):
+        for i in range(args.runs):
             t0 = time.perf_counter()
             f(i)
             times.append(time.perf_counter() - t0)
