@@ -14,6 +14,9 @@ the kernel. This probe times ablated kernel variants to attribute it:
              -> softmax-bookkeeping cost
 - trunkonly: just the two trunk matmuls + accumulate -> MXU ceiling for
              this data movement pattern
+- xla:       same math scheduled by XLA (h round-trips HBM) -> Mosaic vs XLA
+- b2:        two bags per grid step, rows merged into one [2*tile, D] matmul
+             chain -> amortizes per-grid-step overhead
 
 Timing uses the bench.py discipline: inputs device-generated, K serially-
 dependent kernel calls in one jitted fori_loop, scalar fetch at the end.
@@ -41,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 T_PAD = 8
+INTERPRET = False  # set by --interpret for CPU correctness checks
 NEG_INF = -1e30
 D, H, A = 1024, 512, 384
 
@@ -139,6 +143,95 @@ def run_chain(params, key, variant: str, b: int, n: int, tile: int, k: int):
             out_specs=[pl.BlockSpec((1, T_PAD, H), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM)],
             out_shape=[jax.ShapeDtypeStruct((b, T_PAD, H), jnp.float32)],
             scratch_shapes=[pltpu.VMEM((T_PAD, H), jnp.float32), pltpu.VMEM((2, T_PAD), jnp.float32)],
+            interpret=INTERPRET,
+        )(x, mask, *params)[0]
+
+    x = jax.random.normal(key, (b, n, D), jnp.float32).astype(jnp.bfloat16)
+    mask = jnp.ones((b, 1, n), jnp.float32)
+
+    def bodyf(_, carry):
+        xx, acc = carry
+        m = pool(xx, mask)
+        bump = (m.sum() * 1e-12).astype(jnp.bfloat16)
+        return (xx + bump, acc + m.sum())
+
+    _, acc = jax.lax.fori_loop(0, k, bodyf, (x, jnp.float32(0)))
+    return acc
+
+
+def make_kernel_b2():
+    """Two bags per grid step: merge both bags' rows into one [2*tile, D]
+    matmul chain (amortizes per-grid-step Mosaic overhead and doubles MXU
+    M-dim), then split back for per-bag online-softmax bookkeeping."""
+
+    def body(x_ref, mask_ref, w1_ref, b1_ref, w2_ref, b2_ref, wab_ref, bab_ref,
+             wc_ref, bc_ref, m_out_ref, acc_ref, stat_ref):
+        i = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+
+        @pl.when(i == 0)
+        def _reset():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            stat_ref[:, 0, :] = jnp.full((2, T_PAD), NEG_INF, jnp.float32)
+            stat_ref[:, 1, :] = jnp.zeros((2, T_PAD), jnp.float32)
+
+        x2 = x_ref[:]  # [2, tile, D]
+        tile = x2.shape[1]
+        xm = x2.reshape(2 * tile, D)
+        mask = mask_ref[:, 0, :]  # [2, tile]
+
+        h = jnp.maximum(jnp.dot(xm, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0).astype(xm.dtype)
+        h = jnp.maximum(jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0).astype(xm.dtype)
+        uv = jnp.dot(h, wab_ref[:], preferred_element_type=jnp.float32) + bab_ref[:]
+        a = jnp.tanh(uv[:, :A])
+        g = jax.nn.sigmoid(uv[:, A:])
+        gated = (a * g).astype(xm.dtype)
+        s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [2*tile, T_PAD]
+
+        s3 = s.reshape(2, tile, T_PAD)
+        h3 = h.reshape(2, tile, -1)
+        s_masked = jnp.where(mask[:, :, None] > 0, s3, NEG_INF)  # [2, tile, T_PAD]
+
+        m_prev = stat_ref[:, 0, :]  # [2, T_PAD]
+        d_prev = stat_ref[:, 1, :]
+        tile_max = jnp.max(s_masked, axis=1)  # [2, T_PAD]
+        m_new = jnp.maximum(m_prev, tile_max)
+        m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+        e = jnp.exp(s_masked - m_safe[:, None, :]) * (mask[:, :, None] > 0)
+        corr = jnp.exp(jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev) - m_safe)  # [2, T_PAD]
+        d_new = d_prev * corr + jnp.sum(e, axis=1)
+        contrib = jax.lax.dot_general(
+            e.astype(xm.dtype), h3, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [2, T_PAD, H]
+        acc_ref[:] = acc_ref[:] * corr[:, :, None] + contrib
+        stat_ref[:, 0, :] = m_new
+        stat_ref[:, 1, :] = d_new
+
+        @pl.when(i == n_tiles - 1)
+        def _fin():
+            m_out_ref[:] = acc_ref[:] / jnp.maximum(stat_ref[:, 1, :], 1e-30)[:, :, None]
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("b", "n", "tile", "k"))
+def run_chain_b2(params, key, b: int, n: int, tile: int, k: int):
+    kernel = make_kernel_b2()
+    grid = (b // 2, n // tile)
+
+    def pool(x, mask):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((2, tile, D), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 1, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM),
+                *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(8)],
+            ],
+            out_specs=[pl.BlockSpec((2, T_PAD, H), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((b, T_PAD, H), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((2, T_PAD, H), jnp.float32), pltpu.VMEM((2, 2, T_PAD), jnp.float32)],
+            interpret=INTERPRET,
         )(x, mask, *params)[0]
 
     x = jax.random.normal(key, (b, n, D), jnp.float32).astype(jnp.bfloat16)
@@ -191,9 +284,12 @@ def main():
     ap.add_argument("--tile", type=int, default=1024)
     ap.add_argument("--k", type=int, default=24)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--interpret", action="store_true", help="Pallas interpret mode (CPU correctness check)")
     ap.add_argument("--variants", type=str,
-                    default="full,fusedab,exp2,nogate,nosoftmax,trunkonly,xla")
+                    default="full,fusedab,exp2,nogate,nosoftmax,trunkonly,xla,b2")
     args = ap.parse_args()
+    global INTERPRET
+    INTERPRET = args.interpret
 
     rng = np.random.RandomState(0)
     dt = jnp.bfloat16
@@ -215,6 +311,9 @@ def main():
         if variant == "xla":
             f = lambda i: float(run_chain_xla(params, jax.random.PRNGKey(7 + i),
                                               args.batch, args.n, args.k))
+        elif variant == "b2":
+            f = lambda i: float(run_chain_b2(params, jax.random.PRNGKey(7 + i),
+                                             args.batch, args.n, args.tile, args.k))
         else:
             f = lambda i: float(run_chain(params, jax.random.PRNGKey(7 + i), variant,
                                           args.batch, args.n, args.tile, args.k))
