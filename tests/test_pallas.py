@@ -90,3 +90,37 @@ def test_model_apply_pallas_flag(setup):
     cfg_ref = ModelConfig(in_dim=256, n_classes=6, use_pallas=False)
     out_ref = ToadMIL(cfg_ref).apply(params, x, mask, jnp.array([0, 1]))
     np.testing.assert_allclose(np.asarray(out.logits), np.asarray(out_ref.logits), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("b", [2, 4])
+def test_bag_pair_fast_path_parity(setup, b):
+    """Even-batch classification uses the bag-pair kernel (two bags merged
+    per grid step); must match both the XLA reference and the 1-bag kernel
+    path (odd batch) bag-for-bag, including ragged masks."""
+    _, _, params = setup
+    x, mask = _data(b + 1, 768, seed=3)
+    m_ref, _ = fused_trunk_attention_pool(params, x, mask, compute_dtype=jnp.float32)
+    # even slice -> pair path; full odd batch -> 1-bag path
+    m_even, a = pallas_trunk_attention_pool(
+        params, x[:b], mask[:b], compute_dtype=jnp.float32, with_attention=False, interpret=True
+    )
+    assert a is None
+    m_odd, _ = pallas_trunk_attention_pool(
+        params, x, mask, compute_dtype=jnp.float32, with_attention=False, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(m_even), np.asarray(m_ref[:b]), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(m_odd), np.asarray(m_ref), rtol=2e-3, atol=2e-3)
+
+
+def test_bag_pair_one_bag_fully_masked(setup):
+    """A fully-masked bag paired with a live one must not contaminate it."""
+    _, _, params = setup
+    x, mask_np = _data(2, 512, seed=5)
+    mask = np.asarray(mask_np).copy()
+    mask[1, :] = 0.0
+    m, _ = pallas_trunk_attention_pool(
+        params, x, jnp.asarray(mask), compute_dtype=jnp.float32, with_attention=False, interpret=True
+    )
+    m_ref, _ = fused_trunk_attention_pool(params, x[:1], jnp.asarray(mask[:1]), compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(m[:1]), np.asarray(m_ref), rtol=2e-3, atol=2e-3)
+    assert np.all(np.isfinite(np.asarray(m[1])))

@@ -123,7 +123,14 @@ class WSIBagDataset:
 
         path = Path(csv_path if csv_path is not None else task.csv_path)
         if not path.exists():
-            raise FileNotFoundError(f"dataset csv not found: {path}")
+            hint = ""
+            if not path.is_absolute():
+                hint = (
+                    f" (relative paths resolve against the current directory,"
+                    f" {Path.cwd()}; pass an absolute --csv_path, or generate"
+                    f" fixtures with `python -m toad_tpu.cli.make_dummy`)"
+                )
+            raise FileNotFoundError(f"dataset csv not found: {path}{hint}")
         df = pd.read_csv(path)
 
         required = {"slide_id", "case_id", *self.label_cols}

@@ -16,7 +16,10 @@ The online (flash-style) rescaling makes the masked softmax exact while the
 
 Grid is (B, N/TILE): TPU Pallas iterates the grid sequentially with the last
 axis fastest, so VMEM scratch accumulators carry state across a bag's tiles
-and reset at tile 0.
+and reset at tile 0. On the classification fast path (no score output) with
+an even batch, the grid is (B/2, N/TILE) and two bags' rows merge into one
+[2*TILE, D] matmul chain per step (+3.3% measured — the MXU M-dim doubles
+and per-step overhead halves; see ``_pool_kernel_body_pair``).
 
 Forward-only: training uses the XLA path (autodiff-friendly); this kernel
 serves inference, where the reference's throughput story lives.
@@ -112,6 +115,72 @@ def _pool_kernel_body(
             stats_out_ref[0] = stat_ref[:]
 
 
+def _pool_kernel_body_pair(
+    x_ref, mask_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    wab_ref, bab_ref, wc_ref, bc_ref,
+    m_out_ref, acc_ref, stat_ref,
+):
+    """Bag-pair fast path: two bags per grid step, their rows merged into one
+    [2*TILE_N, D] matmul chain (doubles the MXU M-dim and halves per-step
+    overhead; measured +3.3% at 8192x1024 bf16 — experiments/mfu_probe.py
+    'b2' vs 'full'), then split back for per-bag online-softmax bookkeeping.
+    Classification-only (no score output); used when B is even."""
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        stat_ref[:, 0, :] = jnp.full((2, T_PAD), NEG_INF, jnp.float32)
+        stat_ref[:, 1, :] = jnp.zeros((2, T_PAD), jnp.float32)
+
+    x2 = x_ref[:]  # [2, TILE_N, D]
+    tile = x2.shape[1]
+    xm = x2.reshape(2 * tile, x2.shape[2])
+    mask = mask_ref[:, 0, :]  # [2, TILE_N]
+
+    h = jnp.maximum(
+        jnp.dot(xm, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
+    ).astype(xm.dtype)
+    h = jnp.maximum(
+        jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0
+    ).astype(xm.dtype)
+    uv = jnp.dot(h, wab_ref[:], preferred_element_type=jnp.float32) + bab_ref[:]
+    a_dim = wab_ref.shape[1] // 2
+    a = jnp.tanh(uv[:, :a_dim])
+    g = jax.nn.sigmoid(uv[:, a_dim:])
+    gated = (a * g).astype(xm.dtype)
+    s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [2*TILE_N, T_PAD]
+
+    s3 = s.reshape(2, tile, T_PAD)
+    h3 = h.reshape(2, tile, h.shape[1])
+    s_masked = jnp.where(mask[:, :, None] > 0, s3, NEG_INF)  # [2, TILE_N, T_PAD]
+
+    m_prev = stat_ref[:, 0, :]  # [2, T_PAD]
+    d_prev = stat_ref[:, 1, :]
+    tile_max = jnp.max(s_masked, axis=1)  # [2, T_PAD]
+    m_new = jnp.maximum(m_prev, tile_max)
+    m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+
+    e = jnp.exp(s_masked - m_safe[:, None, :]) * (mask[:, :, None] > 0)
+    corr = jnp.exp(jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev) - m_safe)  # [2, T_PAD]
+    d_new = d_prev * corr + jnp.sum(e, axis=1)
+    # batched per-bag e^T @ h: [2, T_PAD, H]
+    contrib = jax.lax.dot_general(
+        e.astype(xm.dtype), h3, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * corr[:, :, None] + contrib
+    stat_ref[:, 0, :] = m_new
+    stat_ref[:, 1, :] = d_new
+
+    @pl.when(i == n_tiles - 1)
+    def _finalize():
+        denom = jnp.maximum(stat_ref[:, 1, :], 1e-30)
+        m_out_ref[:] = acc_ref[:] / denom[:, :, None]
+
+
 def _pad_params(params: dict[str, Any], dtype) -> tuple:
     """Flatten + pad attention output to T_PAD tasks; weights in compute
     dtype, biases f32. The two gate branches (Wa|Wb) concatenate into one
@@ -155,8 +224,36 @@ def _pallas_pool_call(params, x, mask, compute_dtype=jnp.bfloat16, interpret=Fal
     x = x.astype(compute_dtype)
     mask = mask.astype(jnp.float32)[:, None, :]  # [B, 1, N] for TPU tiling
 
-    grid = (b, n // tile)
     param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+
+    # bag-pair fast path: classification-only, even batch. The merged
+    # [2, tile, D] input block is 4 MB for both dtypes (bf16 tile=1024,
+    # fp32 tile=512), same VMEM budget as before relative to _tile_n.
+    if not with_scores and not partial and b % 2 == 0:
+        grid2 = (b // 2, n // tile)
+        outs = pl.pallas_call(
+            _pool_kernel_body_pair,
+            grid=grid2,
+            in_specs=[
+                pl.BlockSpec((2, tile, d), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 1, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM),
+                *param_specs,
+            ],
+            out_specs=[pl.BlockSpec((2, T_PAD, h_dim), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((b, T_PAD, h_dim), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((2, T_PAD, h_dim), jnp.float32),
+                pltpu.VMEM((2, 2, T_PAD), jnp.float32),
+            ],
+            # the merged 2-bag block plus f32 intermediates sits ~1% over the
+            # 16 MB default scoped-VMEM budget; v5e physical VMEM is far
+            # larger, so raise the cap for this kernel only
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
+            interpret=interpret,
+        )(x, mask, *flat)
+        return outs[0], None
+
+    grid = (b, n // tile)
 
     out_specs = [pl.BlockSpec((1, T_PAD, h_dim), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, T_PAD, h_dim), jnp.float32)]
