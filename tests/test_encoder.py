@@ -176,3 +176,37 @@ def test_fold_bn_is_idempotent():
     twice = fold_bn(once, cfg)
     for a, b in zip(jax.tree.leaves(once), jax.tree.leaves(twice)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stem_s2d_exact_parity():
+    """The space-to-depth stem rewrite is the SAME math as the 7x7/2 conv
+    (weights scattered by parity into a 4x4/1 kernel over 2x2-packed
+    pixels) — outputs must match to float tolerance, and the full encoder
+    must be flag-invariant."""
+    import jax
+    import jax.numpy as jnp
+
+    from toad_tpu.config import EncoderConfig
+    from toad_tpu.models.resnet_encoder import (
+        ResNetEncoder,
+        _conv,
+        _stem_conv_s2d,
+        apply_folded,
+        fold_bn,
+    )
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(7, 7, 3, 64).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    direct = _conv(x, w, stride=2, padding=3, dt=jnp.float32, bias=bias)
+    s2d = _stem_conv_s2d(x, w, jnp.float32, bias=bias)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(direct), rtol=1e-5, atol=1e-5)
+
+    cfg_on = EncoderConfig(blocks=(1, 1), stem_width=8, compute_dtype="float32", stem_s2d=True)
+    cfg_off = EncoderConfig(blocks=(1, 1), stem_width=8, compute_dtype="float32", stem_s2d=False)
+    params = ResNetEncoder(cfg_on).init(jax.random.PRNGKey(0))
+    folded = fold_bn(params, cfg_on)
+    a = apply_folded(cfg_on, folded, x)
+    b = apply_folded(cfg_off, folded, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

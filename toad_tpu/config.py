@@ -99,6 +99,12 @@ class EncoderConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"  # MXU-native for conv throughput
     fold_bn: bool = True  # fold inference BN into conv weights
+    # Rewrite the 7x7/2 stem conv as space-to-depth + 4x4/1 conv (exact same
+    # math, MLPerf-style): the 3-channel input is the classic TPU conv weak
+    # spot (measured 13.8 TFLOP/s vs ~125 achievable; experiments/
+    # encoder_stages.py) — packing 2x2 pixels into 12 channels feeds the MXU
+    # a 192-deep reduction instead of 147 mostly-padding lanes.
+    stem_s2d: bool = True
 
     @property
     def stage_widths(self) -> tuple[int, ...]:

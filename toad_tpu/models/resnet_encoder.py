@@ -114,7 +114,10 @@ class ResNetEncoder:
         dt = jnp.dtype(c.compute_dtype)
         x = x.astype(dt)
 
-        x = _conv(x, params["stem"]["conv"], stride=2, padding=3, dt=dt)
+        if c.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = _stem_conv_s2d(x, params["stem"]["conv"], dt)
+        else:
+            x = _conv(x, params["stem"]["conv"], stride=2, padding=3, dt=dt)
         x = _bn_relu(x, params["stem"]["bn"], c.bn_eps)
         x = _max_pool_3x3_s2(x)
 
@@ -153,6 +156,47 @@ def _conv(x, w, stride=1, padding=0, dt=jnp.bfloat16, bias=None):
         w.astype(dt),
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dt,
+    )
+    if bias is not None:
+        out = out + bias.astype(dt)
+    return out
+
+
+def _space_to_depth2(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C]; channel order (dy, dx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _stem_s2d_weights(w):
+    """Rearrange a [7,7,Cin,Cout] stride-2 stem kernel into the equivalent
+    [4,4,4*Cin,Cout] stride-1 kernel over space-to-depth(2) input.
+
+    Derivation: output (i,j) of the stride-2 pad-3 conv reads input rows
+    u = 2i+p-3 (p in 0..6). Writing u = 2a+dy over 2x2 blocks gives block
+    offsets t = a-i+2 in 0..3 with tap p = 2t+dy-1 — i.e. a 4x4 conv with
+    padding (2,1), whose weights are the original taps scattered by parity
+    (the p=-1 slot is zero). Exact, not an approximation."""
+    kh, kw, cin, cout = w.shape
+    if (kh, kw) != (7, 7):
+        raise ValueError(f"s2d stem expects a 7x7 kernel, got {(kh, kw)}")
+    wpad = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # tap index p+1 = 2t+dy
+    wr = wpad.reshape(4, 2, 4, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    return wr.reshape(4, 4, 4 * cin, cout)
+
+
+def _stem_conv_s2d(x, w, dt, bias=None):
+    """Space-to-depth stem: exact replacement for conv7x7/2 pad 3."""
+    x2 = _space_to_depth2(x.astype(dt))
+    out = jax.lax.conv_general_dilated(
+        x2,
+        _stem_s2d_weights(w).astype(dt),
+        window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=dt,
     )
@@ -248,7 +292,10 @@ def fold_bn(params: Params, config: EncoderConfig = EncoderConfig()) -> Params:
 def apply_folded(config: EncoderConfig, params: Params, x: jax.Array) -> jax.Array:
     """Forward through BN-folded params (normalized tiles -> features)."""
     dt = jnp.dtype(config.compute_dtype)
-    x = _conv(x.astype(dt), params["stem"]["conv"], stride=2, padding=3, dt=dt, bias=params["stem"]["bias"])
+    if config.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = _stem_conv_s2d(x, params["stem"]["conv"], dt, bias=params["stem"]["bias"])
+    else:
+        x = _conv(x.astype(dt), params["stem"]["conv"], stride=2, padding=3, dt=dt, bias=params["stem"]["bias"])
     x = jax.nn.relu(x)
     x = _max_pool_3x3_s2(x)
     for s, n_blocks in enumerate(config.blocks):
