@@ -440,17 +440,16 @@ def bench_reference_real() -> dict:
             patient_strat=False,
         )
 
-    def _accuracy(output, target, topk=(1,)):  # torch>=2 .view shim (math identical)
+    def _accuracy(output, target, topk=(1,)):
+        # Compatibility shim: the reference's top-k accuracy
+        # (eval_utils_mtl_concat.py:49-63) calls .view() on a non-contiguous
+        # tensor, which torch>=2 rejects — same contract (list of 1-element
+        # tensors, fraction of targets inside the top-k predictions),
+        # re-expressed via argsort rank membership.
         with torch.no_grad():
-            maxk = max(topk)
-            batch_size = target.size(0)
-            _, pred = output.topk(maxk, 1, True, True)
-            pred = pred.t()
-            correct = pred.eq(target.view(1, -1).expand_as(pred))
-            return [
-                correct[:k].reshape(-1).float().sum(0, keepdim=True).mul_(1.0 / batch_size)
-                for k in topk
-            ]
+            ranked = output.argsort(dim=1, descending=True)
+            at_target = ranked.eq(target.unsqueeze(1))
+            return [at_target[:, :k].any(dim=1).float().mean().reshape(1) for k in topk]
 
     ref_eval.accuracy = _accuracy
     ref_args = types.SimpleNamespace(drop_out=False, n_classes=N_CLASSES, micro_average=False)

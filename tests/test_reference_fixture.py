@@ -108,3 +108,18 @@ def test_cli_train_and_eval_on_shipped_artifacts(ref_env, monkeypatch):
     fold_df = pd.read_csv(root / "eval_results" / "EVAL_refinterop_s1_eval" / "fold_0.csv")
     assert len(fold_df) == 342  # the shipped split's test membership, exactly
     assert list(fold_df.columns[:6]) == ["slide_id", "sex", "Y", "Y_hat", "site", "site_hat"]
+
+
+def test_alias_inversion_prefers_canonical_name():
+    """The shipped task maps both 'Esophagogastric' (canonical) and the
+    fixture CSV's 'Esophagogogastric' misspelling to class 10; every
+    index->name inversion must display the canonical spelling."""
+    from toad_tpu.registry import load_task
+    from toad_tpu.utils import invert_labels
+
+    task = load_task("dummy_mtl_concat")
+    assert task.label_dicts[0]["Esophagogastric"] == 10
+    assert task.label_dicts[0]["Esophagogogastric"] == 10
+    inv = invert_labels(task.label_dicts[0])
+    assert inv[10] == "Esophagogastric"
+    assert len(inv) == 18

@@ -78,9 +78,10 @@ def main(argv=None):
     inv = None
     if args.task:
         from toad_tpu.registry import load_task
+        from toad_tpu.utils import invert_labels
 
         task = load_task(args.task)
-        inv = {v: k for k, v in task.label_dicts[0].items()}
+        inv = invert_labels(task.label_dicts[0])
 
     rows = []
     for slide_id, sex in zip(slides, sexes):

@@ -123,11 +123,15 @@ def main(argv=None) -> None:
     finally:
         server.server_close()
         drained = service.close()
-        print(
-            "server stopped; in-flight requests drained"
-            if drained
-            else "server stopped; WARNING: dispatch thread still busy after timeout"
-        )
+        # the batcher drain resolved the futures; now let the daemon handler
+        # threads finish writing those responses before the process exits
+        handlers_done = server.drain_requests(30.0)
+        if drained and handlers_done:
+            print("server stopped; in-flight requests drained")
+        elif drained:
+            print("server stopped; in-flight requests drained (WARNING: a handler was still writing its response at exit)")
+        else:
+            print("server stopped; WARNING: dispatch thread still busy after timeout")
 
 
 if __name__ == "__main__":

@@ -28,6 +28,8 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 
+from toad_tpu.utils import invert_labels
+
 
 @dataclass(frozen=True)
 class SplitSpec:
@@ -154,7 +156,7 @@ def split_descriptor(
     spec.validate_disjoint()
     dfs = []
     for task in range(len(label_dicts)):
-        inv = {v: k for k, v in label_dicts[task].items()}
+        inv = invert_labels(label_dicts[task])
         index = [inv[i] for i in range(num_classes[task])]
         df = pd.DataFrame(0, index=index, columns=["train", "val", "test"], dtype=np.int64)
         for split_name, ids in (("train", spec.train), ("val", spec.val), ("test", spec.test)):

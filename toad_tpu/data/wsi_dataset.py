@@ -28,6 +28,7 @@ import pandas as pd
 
 from toad_tpu.config import TaskConfig
 from toad_tpu.data.bags import bag_path, load_bag
+from toad_tpu.utils import invert_labels
 
 
 @dataclass(frozen=True)
@@ -268,7 +269,7 @@ class WSIBagDataset:
         print(f"task: {self.task.name} | {self.n_slides} slides, {len(self.patient_ids)} patients")
         for t, (col, ldict) in enumerate(zip(self.label_cols, self.task.label_dicts)):
             print(f"task {t}: column={col!r} classes={self.num_classes[t]}")
-            inv = {v: k for k, v in ldict.items()}
+            inv = invert_labels(ldict)
             arr = [self.labels, self.sites, self.sexes][t]
             binc = np.bincount(arr, minlength=self.num_classes[t])
             for c, n in enumerate(binc):

@@ -64,9 +64,11 @@ class InferenceService:
         self.inv_labels: dict[int, str] | None = None
         self.inv_site: dict[int, str] | None = None
         if task is not None:
-            self.inv_labels = {v: k for k, v in task.label_dicts[0].items()}
+            from toad_tpu.utils import invert_labels
+
+            self.inv_labels = invert_labels(task.label_dicts[0])
             if len(task.label_dicts) > 1:
-                self.inv_site = {v: k for k, v in task.label_dicts[1].items()}
+                self.inv_site = invert_labels(task.label_dicts[1])
 
     @classmethod
     def from_checkpoint(
@@ -205,6 +207,44 @@ def _decode_features(body: dict, in_dim: int) -> np.ndarray:
     raise ValueError("body needs one of: features_b64, features, bag_path")
 
 
+class DrainableHTTPServer(ThreadingHTTPServer):
+    """``ThreadingHTTPServer`` that can wait for in-request handler threads.
+
+    Handler threads are daemons, so after the batcher drain completes the
+    interpreter could exit while a handler is still waking from its Future
+    and writing the response body — the client would see a reset instead of
+    the drained result. Handlers report request begin/end here and shutdown
+    calls :meth:`drain_requests` to close that window (bounded, so a stalled
+    client socket can't wedge shutdown past its own 120s timeout)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
+
+    def request_began(self) -> None:
+        with self._inflight_cv:
+            self._inflight += 1
+
+    def request_done(self) -> None:
+        with self._inflight_cv:
+            self._inflight -= 1
+            self._inflight_cv.notify_all()
+
+    def drain_requests(self, timeout: float = 10.0) -> bool:
+        """Wait until no handler is mid-request; True if fully drained."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        with self._inflight_cv:
+            while self._inflight > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._inflight_cv.wait(remaining)
+        return True
+
+
 def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
     """Build (not start) a ``ThreadingHTTPServer``; ``port=0`` picks a free
     port (``server.server_address[1]``). Caller owns serve_forever/shutdown.
@@ -244,6 +284,20 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
                 pass
 
         def do_GET(self):
+            self.server.request_began()
+            try:
+                self._handle_get()
+            finally:
+                self.server.request_done()
+
+        def do_POST(self):
+            self.server.request_began()
+            try:
+                self._handle_post()
+            finally:
+                self.server.request_done()
+
+        def _handle_get(self):
             if self.path == "/healthz":
                 import jax
 
@@ -253,7 +307,7 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
-        def do_POST(self):
+        def _handle_post(self):
             if self.path not in ("/predict", "/heatmap"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
@@ -304,7 +358,7 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
                 return
             self._send(200, out)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return DrainableHTTPServer((host, port), Handler)
 
 
 def serve_in_thread(service: InferenceService, host: str = "127.0.0.1", port: int = 0):
