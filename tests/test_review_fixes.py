@@ -135,3 +135,41 @@ def test_y_hat_matches_argmax_on_ties():
     pred = inf.predict(feats, 0)
     assert pred.y_hat == int(np.asarray(pred.y_prob).argmax())
     assert pred.topk[0][0] == pred.y_hat or pred.y_prob[pred.topk[0][0]] == pred.y_prob[pred.y_hat]
+
+
+def test_patient_bags_fall_back_under_native_on(dummy_env):
+    """PatientBagSplit has no per-bag file (one bag spans several files), so
+    the documented automatic numpy fallback must apply even under
+    native='on' — not a RuntimeError from the prefetch worker."""
+    from toad_tpu.data.wsi_dataset import PatientBagSplit
+
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    pb = PatientBagSplit(ds.subset(np.arange(20)))
+    b = BagBatcher(pb, batch_size=2, bucket_sizes=(256, 512, 1024), native="on")
+    batches = list(b)
+    assert batches and b.native_active is False
+
+
+def test_bucket_none_with_batching_warns(dummy_env):
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    split = ds.subset(np.arange(8))
+    with pytest.warns(UserWarning, match="exact length"):
+        BagBatcher(split, batch_size=4, bucket_sizes=None)
+
+
+def test_restore_params_template_is_enforced(tmp_path):
+    """load-time failure with the parameter path named, not a late opaque
+    shape error inside model.apply."""
+    from toad_tpu.train.checkpoint import restore_params, save_checkpoint
+
+    params = {"trunk": {"w": np.ones((4, 3), np.float32), "b": np.zeros((3,), np.float32)}}
+    path = tmp_path / "ckpt"
+    save_checkpoint(path, {"params": params, "epoch": np.int64(0)})
+
+    ok = restore_params(path, {"trunk": {"w": np.zeros((4, 3), np.float32)}})
+    assert "b" not in ok["trunk"]  # projection keeps only template keys
+
+    with pytest.raises(ValueError, match=r"shape mismatch at params/trunk/w"):
+        restore_params(path, {"trunk": {"w": np.zeros((5, 3), np.float32)}})
+    with pytest.raises(KeyError, match="missing parameter params/trunk/nope"):
+        restore_params(path, {"trunk": {"nope": np.zeros((1,), np.float32)}})

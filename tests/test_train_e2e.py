@@ -113,3 +113,34 @@ def test_batch_size_one_equivalence(trained):
         r4.df[[f"p_{c}" for c in range(18)]].to_numpy(),
         atol=2e-3,
     )
+
+
+def test_val_per_class_tpr_logged(dummy_env, tmp_path):
+    """The reference writes val/class_{i}_tpr + val site TPRs every epoch
+    (core_utils_mtl_concat.py:345-356); our val scalar pass must too."""
+
+    class RecordingWriter:
+        def __init__(self):
+            self.keys = set()
+
+        def add_scalar(self, key, value, step):
+            self.keys.add(key)
+
+        def close(self):
+            pass
+
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    tiny = ds.subset(np.arange(24))
+    cfg = TrainConfig(
+        max_epochs=1,
+        seed=0,
+        model=ModelConfig(in_dim=dummy_env["dim"], n_classes=18),
+        data=DataConfig(batch_size=4, bucket_sizes=(64, 128, 256)),
+        log_data=True,
+    )
+    w = RecordingWriter()
+    FoldTrainer(cfg, fold=0, results_dir=tmp_path, writer=w).train(
+        tiny, tiny, tiny, log_fn=lambda s: None
+    )
+    assert any(k.startswith("val/class_") and k.endswith("_tpr") for k in w.keys), sorted(w.keys)
+    assert {"val/site_0_tpr", "train/class_0_tpr"} & w.keys, sorted(w.keys)

@@ -85,7 +85,10 @@ class BagBatcher:
     batch_size:
         bags per batch. 1 reproduces reference semantics exactly.
     bucket_sizes:
-        padding ladder; None → single bucket = max bag length (per batch).
+        padding ladder; None → bags pool by EXACT length (reference-parity
+        mode, meant for ``batch_size=1``; at ``batch_size>1`` real-world
+        bags rarely share a length, so batches stay mostly padding — pass a
+        ladder instead; a warning is emitted).
     mode:
         'sequential' | 'shuffle' | 'weighted'.
     """
@@ -117,6 +120,15 @@ class BagBatcher:
         self.feature_dim = feature_dim
         self.native = native  # 'auto' | 'on' | 'off'
         self.transfer_dtype = transfer_dtype
+        if self.bucket_sizes is None and self.batch_size > 1:
+            import warnings
+
+            warnings.warn(
+                "bucket_sizes=None pools bags by exact length; at batch_size"
+                f"={self.batch_size} batches only fill when bags share a length"
+                " (rare for real WSIs) — pass a bucket ladder for throughput",
+                stacklevel=2,
+            )
         self._payloads: list | None = None  # lazy PayloadInfo cache
         self._lengths: list | None | bool = False  # False = not yet probed
         self.native_active: bool | None = None
@@ -232,7 +244,13 @@ class BagBatcher:
         from toad_tpu import native as native_lib
         from toad_tpu.data.native_bags import resolve_payload
 
-        ok = hasattr(self.split, "bag_file") and native_lib.available()
+        # Splits without per-bag files (PatientBagSplit: one bag spans several
+        # files) are structurally ineligible — documented automatic fallback,
+        # even under native='on' (which forces native only where it CAN apply).
+        if not hasattr(self.split, "bag_file"):
+            self.native_active = False
+            return False
+        ok = native_lib.available()
         eligible = "unchecked"
         if ok:
             payloads = self._resolve_payloads()
@@ -282,8 +300,7 @@ class BagBatcher:
         return BagBatch(feats, pmask, bmask, label, site, sex, idxs)
 
     def _batches_native(self) -> Iterator[BagBatch]:
-        rng = np.random.RandomState((self.seed * 1_000_003 + self._epoch) % (2**31 - 1))
-        order = self._order(rng)
+        order = self._order(self._epoch_rng())
         cap = self.max_bag_size
         pools: dict[int, list[int]] = {}
         for i in order:

@@ -17,7 +17,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
-from toad_tpu.config import DEFAULT_BUCKETS, EvalConfig, ModelConfig
+from toad_tpu.config import DEFAULT_BUCKETS, ModelConfig
 from toad_tpu.data.batching import BagBatcher
 from toad_tpu.evaluate.metrics import AccuracyLogger, binary_auc, micro_ovr_auc, ovr_aucs, topk_accuracy
 from toad_tpu.evaluate.runner import make_eval_step, run_eval_pass

@@ -85,19 +85,46 @@ def restore_checkpoint(path: str | os.PathLike, template: dict[str, Any] | None 
 
 def restore_params(path: str | os.PathLike, params_template: Any | None = None) -> Any:
     """Partial restore of just the model params — tolerant of checkpoints that
-    carry extra state (optimizer, epoch), like torch's ``strict=False``."""
+    carry extra state (optimizer, epoch), like torch's ``strict=False``.
+
+    The restore itself is unconstrained (the checkpoint may hold more than
+    params, so a params-only template can't pin the Orbax structure); the
+    template is enforced afterwards: missing keys and shape mismatches fail
+    HERE with the parameter path named, not later inside ``model.apply``."""
     state = restore_checkpoint(path)
     params = state["params"] if isinstance(state, dict) and "params" in state else state
     if params_template is not None:
-        # keep only keys the template knows; fail on missing ones
         params = _project_like(params, params_template)
+        _check_shapes_like(params, params_template)
     return jax.tree.map(np.asarray, params)
 
 
-def _project_like(src: Any, template: Any) -> Any:
+def _project_like(src: Any, template: Any, where: str = "params") -> Any:
     if isinstance(template, dict):
-        return {k: _project_like(src[k], v) for k, v in template.items()}
+        out = {}
+        for k, v in template.items():
+            if not isinstance(src, dict) or k not in src:
+                have = sorted(src.keys()) if isinstance(src, dict) else type(src).__name__
+                raise KeyError(
+                    f"checkpoint missing parameter {where}/{k} required by the model (has: {have})"
+                )
+            out[k] = _project_like(src[k], v, f"{where}/{k}")
+        return out
     return src
+
+
+def _check_shapes_like(params: Any, template: Any, where: str = "params") -> None:
+    if isinstance(template, dict):
+        for k, v in template.items():
+            _check_shapes_like(params[k], v, f"{where}/{k}")
+        return
+    got = tuple(getattr(params, "shape", np.shape(params)))
+    want = tuple(getattr(template, "shape", np.shape(template)))
+    if got != want:
+        raise ValueError(
+            f"checkpoint/model shape mismatch at {where}: checkpoint {got} vs model {want} "
+            "(was this checkpoint trained with a different model_size/n_classes?)"
+        )
 
 
 def load_params_any(ckpt_path: str | os.PathLike, model_cfg=None, template: Any | None = None):

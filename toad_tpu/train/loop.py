@@ -331,6 +331,12 @@ class FoldTrainer:
                 f"[fold {self.fold}] epoch {epoch}: val cls_loss {val['cls_loss']:.4f} "
                 f"err {val['cls_error']:.4f} auc {val['cls_auc']:.4f} site auc {val['site_auc']:.4f}"
             )
+            # per-class TPR tallies for the val tag schema the reference
+            # emits every epoch (core_utils_mtl_concat.py:345-356)
+            val_cls_logger = AccuracyLogger(n_classes)
+            val_cls_logger.log_batch(val["y_hat"], val["label"])
+            val_site_logger = AccuracyLogger(2)
+            val_site_logger.log_batch(val["site_hat"], val["site"])
             self._write_scalars(
                 "val",
                 epoch,
@@ -342,6 +348,8 @@ class FoldTrainer:
                     "site_auc": val["site_auc"],
                     "site_error": val["site_error"],
                 },
+                val_cls_logger,
+                val_site_logger,
             )
 
             if stopper is not None:
@@ -354,11 +362,6 @@ class FoldTrainer:
 
             if cfg.resume and (epoch + 1) % cfg.resume_every == 0:
                 self._save_resume(params, opt_state, rng, epoch, stopper, best_saved)
-
-        if cfg.resume and recover_checkpoint(self.resume_path) is not None:
-            import shutil
-
-            shutil.rmtree(self.resume_path)  # fold finished; snapshot obsolete
 
         if stopper is not None and best_saved:
             state = restore_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(0)})
@@ -399,6 +402,14 @@ class FoldTrainer:
                 ("final/site_test_auc", test["site_auc"]),
             ):
                 self.writer.add_scalar(key, v, 0)
+
+        # Only now is the snapshot obsolete: the final restore + val/test
+        # sweeps above can take minutes under contended first-touch compiles,
+        # and a preemption in that window must still resume, not retrain.
+        if cfg.resume and recover_checkpoint(self.resume_path) is not None:
+            import shutil
+
+            shutil.rmtree(self.resume_path)
 
         return {
             "results": patient_results,
