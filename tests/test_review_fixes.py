@@ -173,3 +173,78 @@ def test_restore_params_template_is_enforced(tmp_path):
         restore_params(path, {"trunk": {"w": np.zeros((5, 3), np.float32)}})
     with pytest.raises(KeyError, match="missing parameter params/trunk/nope"):
         restore_params(path, {"trunk": {"nope": np.zeros((1,), np.float32)}})
+
+
+def test_render_heatmap_matches_naive_loop():
+    """The difference-array + cumsum painter must reproduce the per-patch
+    rectangle loop exactly (overlaps, edge clamps, off-canvas drops)."""
+    from toad_tpu.pipeline.heatmap import render_heatmap
+
+    rng = np.random.RandomState(7)
+    ps, ds = 256, 32
+    coords = rng.randint(-200, 4000, (300, 2)).astype(np.int64)
+    scores = rng.rand(300).astype(np.float32)
+
+    img = render_heatmap(coords, scores, patch_size=ps, downscale=ds, percentile=False)
+
+    # naive oracle
+    H = (int(coords[:, 1].max()) + ps) // ds
+    W = (int(coords[:, 0].max()) + ps) // ds
+    p = max(1, ps // ds)
+    acc = np.zeros((H, W), np.float64)
+    cnt = np.zeros((H, W), np.float64)
+    for (x, y), s in zip(coords // ds, scores):
+        if y >= H or x >= W or y < 0 or x < 0:
+            continue
+        acc[y : y + p, x : x + p] += s
+        cnt[y : y + p, x : x + p] += 1.0
+    heat = np.zeros((H, W), np.float32)
+    heat[cnt > 0] = (acc[cnt > 0] / cnt[cnt > 0]).astype(np.float32)
+    from toad_tpu.pipeline.heatmap import colorize
+
+    expect = colorize(heat)
+    expect[cnt == 0] = 255
+    np.testing.assert_array_equal(img, expect)
+
+
+def test_zero_tile_slide_writes_empty_patch_file(tmp_path):
+    """Background-only or too-small slides must write an empty patch h5,
+    not crash on an impossible chunk shape."""
+    import h5py
+
+    from toad_tpu.pipeline.tiling import tile_image, write_patch_h5
+
+    img = np.full((100, 100, 3), 255, np.uint8)  # smaller than patch_size
+    imgs, coords = tile_image(img, patch_size=256)
+    assert imgs.shape == (0, 256, 256, 3)
+    write_patch_h5(tmp_path / "empty.h5", imgs, coords)
+    with h5py.File(tmp_path / "empty.h5", "r") as f:
+        assert f["imgs"].shape == (0, 256, 256, 3)
+        assert f["coords"].shape == (0, 2)
+
+
+def test_pack_bags_rejects_oversized_nrows(tmp_path):
+    from toad_tpu import native as native_lib
+
+    if not native_lib.available():
+        pytest.skip("native lib unavailable")
+    payload = np.arange(32 * 4, dtype=np.float32)
+    p = tmp_path / "bag.npy"
+    payload.tofile(p)
+    out = np.zeros((1, 16, 4), np.float32)
+    mask = np.zeros((1, 16), np.float32)
+    with pytest.raises(ValueError, match="overrun"):
+        native_lib.pack_bags([str(p)], np.zeros(1, np.int64), np.array([32], np.int64), 4, 16, out, mask)
+    with pytest.raises(ValueError, match="length 1"):
+        native_lib.pack_bags([str(p)], np.zeros(2, np.int64), np.array([8, 8], np.int64), 4, 16, out, mask)
+
+
+def test_bad_colormap_name_raises():
+    from toad_tpu.pipeline.heatmap import colorize
+
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        pytest.skip("matplotlib not installed")
+    with pytest.raises(ValueError, match="virids"):
+        colorize(np.linspace(0, 1, 5), cmap="virids")

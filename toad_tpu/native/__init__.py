@@ -132,6 +132,15 @@ def pack_bags(
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     offsets = np.ascontiguousarray(offsets, np.int64)
     nrows = np.ascontiguousarray(nrows, np.int64)
+    if offsets.shape != (n,) or nrows.shape != (n,):
+        raise ValueError(f"offsets/nrows must be length {n}, got {offsets.shape}/{nrows.shape}")
+    if n and (int(nrows.min()) < 0 or int(nrows.max()) > bucket):
+        raise ValueError(
+            f"nrows must lie in [0, bucket={bucket}] (row {int(np.argmax(nrows))} has "
+            f"{int(nrows.max())}): an oversized row count would overrun the next bag's slice"
+        )
+    if n and int(offsets.min()) < 0:
+        raise ValueError("offsets must be non-negative file positions")
     rc = lib.toad_pack_bags(
         c_paths,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -50,14 +50,17 @@ def colorize(values: np.ndarray, cmap: str = "jet") -> np.ndarray:
     values = np.clip(np.asarray(values, np.float32), 0.0, 1.0)
     try:
         from matplotlib import colormaps
-
-        rgba = colormaps[cmap](values)
-        return (rgba[..., :3] * 255).astype(np.uint8)
-    except Exception:
+    except ImportError:
+        if cmap != "jet":
+            raise ValueError(f"cmap {cmap!r} needs matplotlib (not installed); only the built-in 'jet' works without it")
         xs = np.array([s[0] for s in _JET_STOPS], np.float32)
         cs = np.array([s[1] for s in _JET_STOPS], np.float32)
         out = np.stack([np.interp(values, xs, cs[:, i]) for i in range(3)], axis=-1)
         return out.astype(np.uint8)
+    if cmap not in colormaps:
+        raise ValueError(f"unknown colormap {cmap!r}; see matplotlib.colormaps for choices")
+    rgba = colormaps[cmap](values)
+    return (rgba[..., :3] * 255).astype(np.uint8)
 
 
 def canvas_shape(coords: np.ndarray, patch_size: int, downscale: int) -> tuple[int, int]:
@@ -109,16 +112,26 @@ def render_heatmap(
         W, H = max(1, w0 // downscale), max(1, h0 // downscale)
     ps = max(1, patch_size // downscale)
 
-    acc = np.zeros((H, W), np.float32)
-    cnt = np.zeros((H, W), np.float32)
+    # Vectorized rectangle painting (10^4-10^5 patches on a 1-core host — a
+    # per-patch Python loop costs seconds per /heatmap request): scatter each
+    # patch's four difference-array corners, then a 2-D cumsum paints every
+    # ps x ps extent at once. Exact same sums as the naive loop.
     xy = coords // downscale
-    for (x, y), s in zip(xy, scores):
-        if y >= H or x >= W or y < 0 or x < 0:  # off-canvas (incl. negative wrap)
-            continue
-        y2, x2 = min(y + ps, H), min(x + ps, W)
-        acc[y:y2, x:x2] += s
-        cnt[y:y2, x:x2] += 1.0
-    covered = cnt > 0
+    keep = (xy[:, 0] >= 0) & (xy[:, 1] >= 0) & (xy[:, 0] < W) & (xy[:, 1] < H)
+    xs, ys = xy[keep, 0], xy[keep, 1]
+    x2, y2 = np.minimum(xs + ps, W), np.minimum(ys + ps, H)
+
+    def _paint(vals: np.ndarray) -> np.ndarray:
+        diff = np.zeros((H + 1, W + 1), np.float64)
+        np.add.at(diff, (ys, xs), vals)
+        np.add.at(diff, (ys, x2), -vals)
+        np.add.at(diff, (y2, xs), -vals)
+        np.add.at(diff, (y2, x2), vals)
+        return diff.cumsum(axis=0).cumsum(axis=1)[:H, :W].astype(np.float32)
+
+    acc = _paint(scores[keep].astype(np.float64))
+    cnt = _paint(np.ones(int(keep.sum()), np.float64))
+    covered = cnt > 0.5  # counts are integers up to fp noise
     heat = np.zeros((H, W), np.float32)
     heat[covered] = acc[covered] / cnt[covered]
 

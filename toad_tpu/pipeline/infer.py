@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from toad_tpu.config import DataConfig, ModelConfig
-from toad_tpu.data.batching import bucket_for
+from toad_tpu.config import ModelConfig
+from toad_tpu.data.batching import _pad_bag, bucket_for
 from toad_tpu.models.toad_mil import ToadMIL
 
 
@@ -77,15 +77,11 @@ class SlideInference:
         """One bag [N, D] -> prediction. N is padded up to the nearest bucket;
         bags longer than the largest bucket are head-truncated to it (same
         policy as the training batcher)."""
-        n = int(features.shape[0])
-        bucket = bucket_for(n, self.buckets)
-        if n > bucket:
-            features = features[:bucket]
-            n = bucket
-        feats = np.zeros((1, bucket, features.shape[1]), np.float32)
-        feats[0, :n] = features
-        mask = np.zeros((1, bucket), np.float32)
-        mask[0, :n] = 1.0
+        bucket = bucket_for(int(features.shape[0]), self.buckets)
+        # the SAME pad/truncate policy as the training batcher, by construction
+        bag, bag_mask = _pad_bag(np.asarray(features, np.float32), bucket)
+        feats, mask = bag[None], bag_mask[None]
+        n = min(int(features.shape[0]), bucket)  # real rows (attention slice)
         logits, site_logits, attention = self._fwd(
             self.params, jnp.asarray(feats), jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
         )

@@ -18,14 +18,22 @@ from pathlib import Path
 import numpy as np
 
 
-def saturation(tiles: np.ndarray) -> np.ndarray:
-    """Mean HSV saturation per tile, computed vectorized from RGB uint8.
-    tiles: [N, H, W, 3] -> [N] floats in [0, 1]."""
-    t = tiles.astype(np.float32) / 255.0
-    mx = t.max(axis=-1)
-    mn = t.min(axis=-1)
-    sat = np.where(mx > 0, (mx - mn) / np.maximum(mx, 1e-6), 0.0)
-    return sat.mean(axis=(1, 2))
+def saturation(tiles: np.ndarray, chunk: int = 1024) -> np.ndarray:
+    """Mean HSV saturation per tile, vectorized from RGB uint8.
+    tiles: [N, H, W, 3] -> [N] floats in [0, 1].
+
+    Computed in chunks: the float32 HSV temporaries are ~5x the uint8 stack,
+    and a 40k-tile slide already holds ~8 GB of uint8 — one-shot conversion
+    would OOM the host (single-core, modest RAM per CLAUDE.md)."""
+    out = np.empty(len(tiles), np.float32)
+    for i in range(0, len(tiles), chunk):
+        # uint8 min/max first: the only float tensor is [n, H, W], not [n, H, W, 3]
+        mx8 = tiles[i : i + chunk].max(axis=-1)
+        mn8 = tiles[i : i + chunk].min(axis=-1)
+        mx = mx8.astype(np.float32)
+        sat = np.where(mx8 > 0, (mx - mn8.astype(np.float32)) / np.maximum(mx, 1e-6), 0.0)
+        out[i : i + chunk] = sat.mean(axis=(1, 2))
+    return out
 
 
 def tile_image(
@@ -68,7 +76,10 @@ def write_patch_h5(path: str | os.PathLike, imgs: np.ndarray, coords: np.ndarray
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with h5py.File(path, "w") as f:
-        f.create_dataset("imgs", data=imgs, chunks=(min(64, max(1, len(imgs))), *imgs.shape[1:]))
+        # h5py rejects chunk shapes larger than the data shape, so an empty
+        # stack (tiny or background-only slide) must write contiguous
+        chunks = (min(64, len(imgs)), *imgs.shape[1:]) if len(imgs) else None
+        f.create_dataset("imgs", data=imgs, chunks=chunks)
         f.create_dataset("coords", data=coords)
 
 
