@@ -112,6 +112,43 @@ def bench_ours() -> dict:
     }
 
 
+def bench_int8() -> dict:
+    """Quantized-inference extra: the int8 pooling fast path on
+    device-resident pre-quantized bags (the serving shape: bags arrive int8
+    from the loader, halving H2D bytes — ops/quantize.py). Same chained
+    harness; heads stay f32 so this is end-to-end slide prediction."""
+    import jax
+    import jax.numpy as jnp
+
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.models.toad_mil import ToadMIL
+    from toad_tpu.ops.quantize import quantize_pool_params, quantize_rows
+
+    cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, use_pallas=True)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    qp = quantize_pool_params(params)
+
+    @jax.jit
+    def fn(params, qp, key):
+        x = jax.random.normal(key, (BATCH, BAG_N, DIM), jnp.float32)
+        xq, sx = quantize_rows(x)  # outside the timed chain's serial deps? no — inside jit, once
+        mask = jnp.ones((BATCH, BAG_N), jnp.float32)
+        sex = jnp.zeros((BATCH,), jnp.int32)
+
+        def body(_, carry):
+            xq_c, acc = carry
+            out = model.apply_int8(params, qp, xq_c, sx, mask, sex, need_attention=False)
+            bump = ((out.y_prob.sum() * 1e-12) >= 1e30).astype(jnp.int8)  # always 0: serial dep
+            return (xq_c + bump, acc + out.y_prob.sum())
+
+        _, acc = jax.lax.fori_loop(0, CHAIN, body, (xq, jnp.float32(0)))
+        return acc
+
+    t = _time_best(lambda i: float(fn(params, qp, jax.random.PRNGKey(2 + i))))
+    return {"int8_slides_per_sec": BATCH * CHAIN / t}
+
+
 def bench_long_bag() -> dict:
     """Foundation-model bag scale: single 131072-patch bag latency (same
     serial-dependency chain harness as bench_ours)."""
@@ -475,7 +512,7 @@ def main() -> None:
         retry = bench_ours()
         if retry["slides_per_sec"] > ours["slides_per_sec"]:
             ours = retry
-    for extra in (bench_encoder, bench_train, bench_long_bag, bench_patient_bag, bench_vit, bench_e2e_wsi, bench_reference_real):
+    for extra in (bench_int8, bench_encoder, bench_train, bench_long_bag, bench_patient_bag, bench_vit, bench_e2e_wsi, bench_reference_real):
         try:
             ours.update(extra())
         except Exception as e:  # extras are best-effort
@@ -495,6 +532,9 @@ def main() -> None:
         "baseline_note": "both baselines: torch on this host's 1 CPU core (no GPU available); pattern=compute-only, ref_code=reference eval code verbatim incl. .pt IO",
         "latency_p50_ms": round(ours["latency_p50_ms"], 3),
         "pool_tflops": round(ours["tflops"], 2),
+        # int8 quantized-inference fast path (ops/quantize.py): pre-quantized
+        # device-resident bags, dynamic per-row scales, heads f32
+        "int8_slides_per_sec": round(ours.get("int8_slides_per_sec", 0.0), 1),
         "encoder_patches_per_sec": round(ours.get("patches_per_sec", 0.0), 1),
         "vit_tiles_per_sec": round(ours.get("vit_tiles_per_sec", 0.0), 1),
         "train_slides_per_sec": round(ours.get("train_slides_per_sec", 0.0), 1),

@@ -1,0 +1,165 @@
+"""int8 quantized-inference path: quantizers, kernel/oracle parity, accuracy
+vs the f32 path, and the SlideInference / eval-step integrations.
+
+The scheme (ops/quantize.py): dynamic per-row activation scales + per-column
+weight scales, int8 x int8 -> int32 GEMMs for the three big pooling matmuls,
+everything else f32. No reference analog (torch f32 throughout,
+``models/model_toad.py:90-99``) — accuracy is judged against OUR f32 path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from toad_tpu.config import ModelConfig
+from toad_tpu.models.toad_mil import ToadMIL
+from toad_tpu.ops.quantize import (
+    quantize_pool_params,
+    quantize_rows,
+    quantize_rows_np,
+    xla_int8_pool,
+)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = ModelConfig(in_dim=256, n_classes=6)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _bag(rng, b=2, n=256, d=256):
+    x = rng.randn(b, n, d).astype(np.float32)
+    mask = (rng.rand(b, n) > 0.25).astype(np.float32)
+    mask[:, 0] = 1.0
+    return jnp.asarray(x), jnp.asarray(mask)
+
+
+def test_quantize_rows_roundtrip_and_twins():
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 128).astype(np.float32) * rng.rand(64, 1) * 10
+    x[7] = 0.0  # padding row
+    qn, sn = quantize_rows_np(x)
+    qj, sj = jax.device_get(quantize_rows(jnp.asarray(x)))
+    # numpy and jnp twins agree exactly (same round-half-even)
+    np.testing.assert_array_equal(qn, qj)
+    np.testing.assert_allclose(sn, sj, rtol=1e-6)
+    # dequantized error bounded by half an LSB per element
+    err = np.abs(qn.astype(np.float32) * sn[:, None] - x)
+    assert float(err.max()) <= float(sn.max()) * 0.5 + 1e-6
+    assert np.all(qn[7] == 0)
+
+
+def test_quantize_pool_params_ungated_raises(small_model):
+    cfg = ModelConfig(in_dim=256, n_classes=6, gate=False)
+    params = ToadMIL(cfg).init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="gated"):
+        quantize_pool_params(params)
+
+
+def test_int8_kernel_matches_oracle(small_model):
+    """Pallas int8 kernel (interpret mode) vs the jnp oracle: identical
+    integer GEMMs, so only the bf16 score/contrib dots differ."""
+    from toad_tpu.ops.pallas_pool import pallas_pool_int8
+
+    model, params = small_model
+    qp = quantize_pool_params(params)
+    rng = np.random.RandomState(1)
+    x, mask = _bag(rng)
+    xq, sx = quantize_rows(x)
+    m0, s0 = xla_int8_pool(qp, xq, sx, mask)
+    m1, attn, s1 = pallas_pool_int8(qp, xq, sx, mask, return_scores=True, interpret=True)
+    m_rel = float(jnp.max(jnp.abs(m1 - m0)) / (jnp.max(jnp.abs(m0)) + 1e-9))
+    assert m_rel < 5e-3, m_rel
+    assert float(jnp.max(jnp.abs(s1 - s0))) < 5e-3
+    # softmax weights normalized over real patches
+    np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, atol=1e-5)
+    # classification-only variant agrees with the scored one
+    m2, none = pallas_pool_int8(qp, xq, sx, mask, with_attention=False, interpret=True)
+    assert none is None
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6, atol=1e-6)
+
+
+def test_int8_close_to_f32_forward(small_model):
+    """End output (logits) of apply_int8 stays close to the f32 apply —
+    the quantization-noise budget for the whole pipeline."""
+    model, params = small_model
+    qp = quantize_pool_params(params)
+    rng = np.random.RandomState(2)
+    x, mask = _bag(rng, b=4)
+    sex = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    out_f = model.apply(params, x, mask, sex, train=False)
+    xq, sx = quantize_rows(x)
+    out_q = model.apply_int8(params, qp, xq, sx, mask, sex)
+    scale = float(jnp.max(jnp.abs(out_f.logits)))
+    rel = float(jnp.max(jnp.abs(out_q.logits - out_f.logits))) / (scale + 1e-9)
+    assert rel < 0.03, rel  # logits within 3% of the f32 dynamic range
+    # pooled features even closer (pre-head)
+    mrel = float(jnp.max(jnp.abs(out_q.features - out_f.features))) / (
+        float(jnp.max(jnp.abs(out_f.features))) + 1e-9)
+    assert mrel < 0.02, mrel
+
+
+def test_slide_inference_int8_agrees_with_f32(small_model):
+    from toad_tpu.pipeline.infer import SlideInference
+
+    _, params = small_model
+    cfg = ModelConfig(in_dim=256, n_classes=6)
+    rng = np.random.RandomState(3)
+    feats = rng.randn(200, 256).astype(np.float32)
+    si_f = SlideInference(params, cfg, bucket_sizes=(256, 512))
+    si_q = SlideInference(params, cfg, bucket_sizes=(256, 512), int8=True)
+    pf = si_f.predict(feats, sex=1)
+    pq = si_q.predict(feats, sex=1)
+    np.testing.assert_allclose(pq.y_prob, pf.y_prob, atol=0.02)
+    np.testing.assert_allclose(pq.site_prob, pf.site_prob, atol=0.02)
+    assert pq.attention.shape == pf.attention.shape == (200,)
+    # attention ranking is what heatmaps consume: top-10 sets mostly agree
+    top_f = set(np.argsort(-pf.attention)[:10].tolist())
+    top_q = set(np.argsort(-pq.attention)[:10].tolist())
+    assert len(top_f & top_q) >= 7, (top_f, top_q)
+
+
+def test_serve_batcher_int8(small_model):
+    """DynamicBatcher(int8=True): handler-thread quantization, int8 queue
+    payloads, predictions agree with the f32 batcher; attention requests
+    still work (scored kernel variant)."""
+    from toad_tpu.serve.batcher import DynamicBatcher, ServeConfig
+
+    _, params = small_model
+    cfg = ModelConfig(in_dim=256, n_classes=6)
+    rng = np.random.RandomState(5)
+    bags = [rng.randn(rng.randint(40, 200), 256).astype(np.float32) for _ in range(6)]
+    scfg = dict(max_batch=4, max_wait_ms=2.0, bucket_sizes=(256, 512))
+    with DynamicBatcher(params, cfg, ServeConfig(**scfg)) as bf, \
+         DynamicBatcher(params, cfg, ServeConfig(**scfg, int8=True)) as bq:
+        for bag in bags:
+            pf = bf.predict(bag, sex=1)
+            pq = bq.predict(bag, sex=1)
+            np.testing.assert_allclose(pq.y_prob, pf.y_prob, atol=0.02)
+            assert pq.attention.shape == (0,)  # need_attention off by default
+        pa = bq.predict(bags[0], sex=0, attention=True)
+        assert pa.attention.shape == (len(bags[0]),)
+        assert np.all(np.isfinite(pa.attention))
+
+
+def test_eval_step_int8_close(small_model):
+    from toad_tpu.evaluate.runner import make_eval_step
+
+    model, params = small_model
+    rng = np.random.RandomState(4)
+    x, mask = _bag(rng, b=4)
+    batch = {
+        "features": x,
+        "patch_mask": mask,
+        "bag_mask": jnp.ones((4,), jnp.float32),
+        "label": jnp.asarray([0, 1, 2, 3], jnp.int32),
+        "site": jnp.asarray([0, 1, 0, 1], jnp.int32),
+        "sex": jnp.asarray([0, 1, 0, 1], jnp.int32),
+    }
+    out_f = make_eval_step(model)(params, batch)
+    out_q = make_eval_step(model, int8=True)(params, batch)
+    np.testing.assert_allclose(np.asarray(out_q["y_prob"]), np.asarray(out_f["y_prob"]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(out_q["site_prob"]), np.asarray(out_f["site_prob"]), atol=0.02)

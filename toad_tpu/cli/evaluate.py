@@ -38,6 +38,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_bag_size", type=int, default=None)
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--pallas", action="store_true", default=False)
+    p.add_argument("--int8", action="store_true", default=False,
+                   help="quantized pooling fast path (int8 MXU GEMMs; heads/metrics stay f32)")
     p.add_argument("--patient_bags", action="store_true", default=False, help="concat each patient's slides into one bag")
     return p
 
@@ -106,6 +108,7 @@ def main(argv=None):
             micro_average=args.micro_average,
             batch_size=args.batch_size,
             max_bag_size=args.max_bag_size,
+            int8=args.int8,
         )
         for ci, auc in enumerate(res.cls_aucs):
             print(f"class {ci} auc: {auc}")

@@ -36,6 +36,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--downscale", type=int, default=32)
     p.add_argument("--batch_size", type=int, default=64, help="tile batch for --patches")
     p.add_argument("--pallas", action="store_true", default=False)
+    p.add_argument("--int8", action="store_true", default=False,
+                   help="quantized pooling fast path (int8 MXU GEMMs; heads stay f32)")
     return p
 
 
@@ -48,7 +50,7 @@ def main(argv=None):
     model_cfg = ModelConfig(in_dim=args.encoding_size, n_classes=args.n_classes, use_pallas=args.pallas)
     from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag, infer_patch_file
 
-    inference = SlideInference.from_checkpoint(args.ckpt, model_cfg)
+    inference = SlideInference.from_checkpoint(args.ckpt, model_cfg, int8=args.int8)
 
     if args.bag:
         pred, coords = infer_feature_bag(inference, args.bag, sex)

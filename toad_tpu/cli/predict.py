@@ -31,6 +31,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--topk", type=int, default=3)
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--pallas", action="store_true", default=False)
+    p.add_argument("--int8", action="store_true", default=False,
+                   help="quantized pooling fast path (int8 MXU GEMMs; heads stay f32)")
     return p
 
 
@@ -73,7 +75,7 @@ def main(argv=None):
     from toad_tpu.data.bags import bag_path
     from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag
 
-    inference = SlideInference.from_checkpoint(args.ckpt, model_cfg)
+    inference = SlideInference.from_checkpoint(args.ckpt, model_cfg, int8=args.int8)
 
     inv = None
     if args.task:

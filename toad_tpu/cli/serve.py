@@ -30,6 +30,12 @@ def make_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--pallas", action="store_true", help="fused Pallas pooling kernel")
     p.add_argument(
+        "--int8", action="store_true",
+        help="quantized inference: bags quantized per-row in the handler thread, "
+        "int8 H2D transfer (4x fewer bytes than f32) and int8 MXU pooling GEMMs "
+        "(measured 1.45x the bf16 kernel); heads stay f32",
+    )
+    p.add_argument(
         "--data_shards", type=int, default=None,
         help="mesh data axis (data-parallel serving); the other axis is inferred when omitted",
     )
@@ -79,6 +85,7 @@ def main(argv=None) -> None:
         max_wait_ms=args.max_wait_ms,
         need_attention=args.attention,
         transfer_dtype="bfloat16" if args.bf16_transfer else "float32",
+        int8=args.int8,
     )
     mesh = None
     if args.data_shards is not None or args.bag_shards is not None:

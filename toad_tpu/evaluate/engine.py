@@ -55,11 +55,12 @@ def evaluate_split(
     bucket_sizes=None,
     max_bag_size: int | None = None,
     eval_step=None,
+    int8: bool = False,
 ) -> EvalResult:
     """Run a full no-grad pass over `split` and assemble reference-schema outputs."""
     n_classes = n_classes if n_classes is not None else model.config.n_classes
     if eval_step is None:
-        eval_step = make_eval_step(model)
+        eval_step = make_eval_step(model, int8=int8)
     batcher = BagBatcher(
         split,
         batch_size=batch_size,
@@ -125,6 +126,7 @@ def evaluate_checkpoint(
     micro_average: bool = False,
     batch_size: int = 1,
     max_bag_size: int | None = None,
+    int8: bool = False,
 ) -> EvalResult:
     """Load a checkpoint (params-only, tolerant of extra state) and evaluate.
 
@@ -144,4 +146,5 @@ def evaluate_checkpoint(
         micro_average=micro_average,
         batch_size=batch_size,
         max_bag_size=max_bag_size,
+        int8=int8,
     )

@@ -27,13 +27,26 @@ def batch_to_dict(b: BagBatch) -> dict[str, np.ndarray]:
     }
 
 
-def make_eval_step(model: ToadMIL):
+def make_eval_step(model: ToadMIL, int8: bool = False):
+    """``int8=True`` runs the quantized pooling fast path (``ops/quantize.py``):
+    weights+rows quantized on device inside the step — the trunk GEMMs hit
+    the MXU's int8 rate; heads/metrics stay f32."""
+
     @jax.jit
     def step(params, batch):
-        out = model.apply(
-            params, batch["features"], batch["patch_mask"], batch["sex"],
-            train=False, need_attention=False,  # eval discards attention; lets Pallas skip the [B,T,N] HBM write
-        )
+        if int8:
+            from toad_tpu.ops.quantize import quantize_pool_params, quantize_rows
+
+            qp = quantize_pool_params(params)
+            xq, sx = quantize_rows(batch["features"])
+            out = model.apply_int8(
+                params, qp, xq, sx, batch["patch_mask"], batch["sex"], need_attention=False
+            )
+        else:
+            out = model.apply(
+                params, batch["features"], batch["patch_mask"], batch["sex"],
+                train=False, need_attention=False,  # eval discards attention; lets Pallas skip the [B,T,N] HBM write
+            )
         cls_ce = optax.softmax_cross_entropy_with_integer_labels(out.logits, batch["label"])
         site_ce = optax.softmax_cross_entropy_with_integer_labels(out.site_logits, batch["site"])
         return {

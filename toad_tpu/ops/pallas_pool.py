@@ -181,6 +181,171 @@ def _pool_kernel_body_pair(
         m_out_ref[:] = acc_ref[:] / denom[:, :, None]
 
 
+def _pool_kernel_body_int8(
+    xq_ref, sx_ref, mask_ref,
+    w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
+    wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
+    m_out_ref, scores_out_ref, acc_ref, stat_ref,
+):
+    """int8 variant of :func:`_pool_kernel_body`: the three big GEMMs run
+    int8 x int8 -> int32 on the MXU (measured 5.42 ms vs 7.24 ms bf16 at
+    [32, 8192, 1024] — experiments/int8_probe.py). Input rows arrive
+    pre-quantized with per-row scales (``ops/quantize.py``); the h/h2
+    activations are re-quantized per row in-kernel (f32 round — Mosaic
+    rejects bf16 round lowering). Softmax bookkeeping is unchanged f32."""
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        stat_ref[0, :] = jnp.full((T_PAD,), NEG_INF, jnp.float32)
+        stat_ref[1, :] = jnp.zeros((T_PAD,), jnp.float32)
+
+    xq = xq_ref[0]  # [TILE_N, D] int8
+    sx = sx_ref[0, 0]  # [TILE_N] f32
+    mask = mask_ref[0, 0]
+
+    def requant(y):  # f32 [rows, c] -> (int8, per-row scale)
+        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-6) / 127.0
+        q = jnp.clip(jax.lax.round(y / scale, jax.lax.RoundingMethod.TO_NEAREST_EVEN), -127.0, 127.0)
+        return q.astype(jnp.int8), scale[:, 0]
+
+    y1 = jnp.dot(xq, w1q_ref[:], preferred_element_type=jnp.int32)
+    h = jnp.maximum(y1.astype(jnp.float32) * (sx[:, None] * sw1_ref[:][None, :]) + b1_ref[:], 0.0)
+    hq, sh = requant(h)
+    y2 = jnp.dot(hq, w2q_ref[:], preferred_element_type=jnp.int32)
+    h2 = jnp.maximum(y2.astype(jnp.float32) * (sh[:, None] * sw2_ref[:][None, :]) + b2_ref[:], 0.0)
+    h2q, sh2 = requant(h2)
+    uv = jnp.dot(h2q, wabq_ref[:], preferred_element_type=jnp.int32).astype(jnp.float32)
+    uv = uv * (sh2[:, None] * swab_ref[:][None, :]) + bab_ref[:]
+    a_dim = wabq_ref.shape[1] // 2
+    a = jnp.tanh(uv[:, :a_dim])
+    g = jax.nn.sigmoid(uv[:, a_dim:])
+    gated = (a * g).astype(jnp.bfloat16)
+    s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [TILE_N, T_PAD]
+
+    if scores_out_ref is not None:
+        scores_out_ref[0] = s.T
+
+    s_masked = jnp.where(mask[:, None] > 0, s, NEG_INF)
+    m_prev = stat_ref[0, :]
+    d_prev = stat_ref[1, :]
+    tile_max = jnp.max(s_masked, axis=0)
+    m_new = jnp.maximum(m_prev, tile_max)
+    m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+    e = jnp.exp(s_masked - m_safe[None, :]) * (mask[:, None] > 0)
+    corr = jnp.exp(jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev) - m_safe)
+    d_new = d_prev * corr + jnp.sum(e, axis=0)
+    contrib = jax.lax.dot_general(
+        e.astype(jnp.bfloat16), h2.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * corr[:, None] + contrib
+    stat_ref[0, :] = m_new
+    stat_ref[1, :] = d_new
+
+    @pl.when(i == n_tiles - 1)
+    def _finalize():
+        denom = jnp.maximum(stat_ref[1, :], 1e-30)
+        m_out_ref[0] = acc_ref[:] / denom[:, None]
+
+
+def _flat_qparams(qparams: dict[str, Any]) -> tuple:
+    """quantize_pool_params dict -> the kernel's flat operand tuple, with the
+    score head padded to T_PAD columns (zero-padded like ``_pad_params``)."""
+    wc = jnp.asarray(qparams["wc"], jnp.bfloat16)
+    bc = jnp.asarray(qparams["bc"], jnp.float32)
+    t = wc.shape[1]
+    if t > T_PAD:
+        raise ValueError(f"n_tasks {t} > T_PAD {T_PAD}")
+    wc = jnp.pad(wc, ((0, 0), (0, T_PAD - t)))
+    bc = jnp.pad(bc, (0, T_PAD - t))
+    return (qparams["w1q"], qparams["sw1"], qparams["b1"],
+            qparams["w2q"], qparams["sw2"], qparams["b2"],
+            qparams["wabq"], qparams["swab"], qparams["bab"], wc, bc)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "with_scores"))
+def _pallas_pool_int8_call(qparams, xq, sx, mask, interpret=False, with_scores=True):
+    b, n, d = xq.shape
+    h_dim = qparams["w2q"].shape[1]
+    tile = _tile_n(n, 2)  # keep the bf16 tile ladder: 1024 rows max
+    flat = _flat_qparams(qparams)
+    sx = sx.astype(jnp.float32)[:, None, :]  # [B, 1, N]
+    mask = mask.astype(jnp.float32)[:, None, :]
+
+    param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+    grid = (b, n // tile)
+    out_specs = [pl.BlockSpec((1, T_PAD, h_dim), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, T_PAD, h_dim), jnp.float32)]
+    if with_scores:
+        out_specs.append(pl.BlockSpec((1, T_PAD, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, T_PAD, n), jnp.float32))
+
+        def kernel(xq_r, sx_r, m_r, *rest):
+            *ps, m_out, s_out, acc, stat = rest
+            _pool_kernel_body_int8(xq_r, sx_r, m_r, *ps, m_out, s_out, acc, stat)
+
+    else:
+
+        def kernel(xq_r, sx_r, m_r, *rest):
+            *ps, m_out, acc, stat = rest
+            _pool_kernel_body_int8(xq_r, sx_r, m_r, *ps, m_out, None, acc, stat)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM),
+            *param_specs,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((T_PAD, h_dim), jnp.float32),
+            pltpu.VMEM((2, T_PAD), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xq, sx, mask, *flat)
+    if with_scores:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+def pallas_pool_int8(
+    qparams: dict[str, Any],
+    xq: jax.Array,  # [B, N, D] int8 (pre-quantized rows, ops/quantize.py)
+    sx: jax.Array,  # [B, N] f32 per-row scales
+    mask: jax.Array,  # [B, N]
+    *,
+    return_scores: bool = False,
+    with_attention: bool = True,
+    interpret: bool = False,
+):
+    """int8 twin of :func:`pallas_trunk_attention_pool` for pre-quantized
+    bags. Same return contract: (M [B, T, H], A [B, T, N] | None[, scores]).
+    Parity oracle: :func:`toad_tpu.ops.quantize.xla_int8_pool`."""
+    t = qparams["wc"].shape[1]
+    want_scores = with_attention or return_scores
+    m_pad, scores_pad = _pallas_pool_int8_call(
+        qparams, xq, sx, mask, interpret=interpret, with_scores=want_scores
+    )
+    m = m_pad[:, :t, :]
+    if not want_scores:
+        return m, None
+    scores_t = scores_pad[:, :t, :]
+    from toad_tpu.ops.pooling import masked_softmax
+
+    attn = masked_softmax(scores_t, mask[:, None, :], axis=-1)
+    if return_scores:
+        return m, attn, jnp.swapaxes(scores_t, 1, 2)
+    return m, attn
+
+
 def _pad_params(params: dict[str, Any], dtype) -> tuple:
     """Flatten + pad attention output to T_PAD tasks; weights in compute
     dtype, biases f32. The two gate branches (Wa|Wb) concatenate into one

@@ -49,20 +49,38 @@ class SlideInference:
         params: Any,
         model_cfg: ModelConfig,
         bucket_sizes: Sequence[int] | None = None,
+        int8: bool = False,
     ):
         self.model = ToadMIL(model_cfg)
         self.params = params
+        self.int8 = int8
         if bucket_sizes is None:
             from toad_tpu.config import DEFAULT_BUCKETS
 
             bucket_sizes = DEFAULT_BUCKETS
         self.buckets = tuple(sorted(bucket_sizes))
 
-        def fwd(params, feats, mask, sex):
-            out = self.model.apply(params, feats, mask, sex, train=False)
-            return out.logits, out.site_logits, out.attention
+        if int8:
+            # int8 MXU fast path: weights quantized once here, each bag's
+            # rows quantized on host at predict() (halves H2D bytes too).
+            # Heads/softmax stay f32 — see ops/quantize.py for the scheme
+            # and measured +34% kernel gain.
+            from toad_tpu.ops.quantize import quantize_pool_params
 
-        self._fwd = jax.jit(fwd)
+            self.qparams = jax.tree.map(jnp.asarray, quantize_pool_params(params))
+
+            def fwd_q(params, qparams, xq, sx, mask, sex):
+                out = self.model.apply_int8(params, qparams, xq, sx, mask, sex)
+                return out.logits, out.site_logits, out.attention
+
+            self._fwd_int8 = jax.jit(fwd_q)
+        else:
+
+            def fwd(params, feats, mask, sex):
+                out = self.model.apply(params, feats, mask, sex, train=False)
+                return out.logits, out.site_logits, out.attention
+
+            self._fwd = jax.jit(fwd)
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str | os.PathLike, model_cfg: ModelConfig, **kw) -> "SlideInference":
@@ -82,9 +100,18 @@ class SlideInference:
         bag, bag_mask = _pad_bag(np.asarray(features, np.float32), bucket)
         feats, mask = bag[None], bag_mask[None]
         n = min(int(features.shape[0]), bucket)  # real rows (attention slice)
-        logits, site_logits, attention = self._fwd(
-            self.params, jnp.asarray(feats), jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
-        )
+        if self.int8:
+            from toad_tpu.ops.quantize import quantize_rows_np
+
+            xq, sx = quantize_rows_np(bag)
+            logits, site_logits, attention = self._fwd_int8(
+                self.params, self.qparams, jnp.asarray(xq[None]), jnp.asarray(sx[None]),
+                jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
+            )
+        else:
+            logits, site_logits, attention = self._fwd(
+                self.params, jnp.asarray(feats), jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
+            )
         y_prob = np.asarray(jax.nn.softmax(logits[0]))
         site_prob = np.asarray(jax.nn.softmax(site_logits[0]))
         # argmax for y_hat (ties -> lowest index, matching the eval engine's
