@@ -160,21 +160,29 @@ def test_unified_dispatcher(capsys):
 
 
 def test_enable_compile_cache_populates_dir(tmp_path):
-    """--compile_cache wiring: compiled programs persist to the given dir
-    (subprocess so the global jax config doesn't leak into other tests)."""
-    import subprocess
-    import sys
+    """--compile_cache wiring: compiled programs persist to the given dir.
+    Runs in-process (a subprocess JAX re-init can hang for minutes against
+    the contended TPU tunnel even with JAX_PLATFORMS=cpu — plugin discovery
+    imports dial out); the global cache config is restored afterwards."""
+    import jax
+    from jax._src import compilation_cache
+
+    from toad_tpu.cli.common import enable_compile_cache
 
     cache = tmp_path / "xla_cache"
-    code = (
-        "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
-        "from toad_tpu.cli.common import enable_compile_cache\n"
-        f"enable_compile_cache({str(cache)!r}, min_compile_secs=0.0)\n"
-        "import jax, jax.numpy as jnp\n"
-        "jax.jit(lambda x: x @ x)(jnp.ones((256, 256))).block_until_ready()\n"
-        f"import pathlib; print(len(list(pathlib.Path({str(cache)!r}).iterdir())))\n"
+    prev = (
+        jax.config.jax_compilation_cache_dir,
+        jax.config.jax_persistent_cache_min_compile_time_secs,
+        jax.config.jax_persistent_cache_min_entry_size_bytes,
     )
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300, env=env)
-    assert out.returncode == 0, out.stderr[-500:]
-    assert int(out.stdout.strip().splitlines()[-1]) >= 1
+    try:
+        enable_compile_cache(cache, min_compile_secs=0.0)
+        # odd unique shape: can't be an earlier test's in-memory cache hit
+        x = jax.numpy.ones((253, 253))
+        jax.jit(lambda v: v @ v + 1.0)(x).block_until_ready()
+        assert len(list(cache.iterdir())) >= 1
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev[0])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev[1])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev[2])
+        compilation_cache.reset_cache()

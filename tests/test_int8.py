@@ -160,6 +160,6 @@ def test_eval_step_int8_close(small_model):
         "sex": jnp.asarray([0, 1, 0, 1], jnp.int32),
     }
     out_f = make_eval_step(model)(params, batch)
-    out_q = make_eval_step(model, int8=True)(params, batch)
+    out_q = make_eval_step(model, int8=True, params=params)(params, batch)
     np.testing.assert_allclose(np.asarray(out_q["y_prob"]), np.asarray(out_f["y_prob"]), atol=0.02)
     np.testing.assert_allclose(np.asarray(out_q["site_prob"]), np.asarray(out_f["site_prob"]), atol=0.02)

@@ -60,7 +60,7 @@ def evaluate_split(
     """Run a full no-grad pass over `split` and assemble reference-schema outputs."""
     n_classes = n_classes if n_classes is not None else model.config.n_classes
     if eval_step is None:
-        eval_step = make_eval_step(model, int8=int8)
+        eval_step = make_eval_step(model, int8=int8, params=params if int8 else None)
     batcher = BagBatcher(
         split,
         batch_size=batch_size,

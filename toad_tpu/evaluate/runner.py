@@ -27,38 +27,53 @@ def batch_to_dict(b: BagBatch) -> dict[str, np.ndarray]:
     }
 
 
-def make_eval_step(model: ToadMIL, int8: bool = False):
+def make_eval_step(model: ToadMIL, int8: bool = False, params=None):
     """``int8=True`` runs the quantized pooling fast path (``ops/quantize.py``):
-    weights+rows quantized on device inside the step — the trunk GEMMs hit
-    the MXU's int8 rate; heads/metrics stay f32."""
+    the pooling weights are quantized ONCE here (pass the restored ``params``),
+    rows on device inside the step — the trunk GEMMs hit the MXU's int8 rate;
+    heads/metrics stay f32. The returned step still takes ``(params, batch)``."""
+    if int8:
+        from toad_tpu.ops.quantize import quantize_pool_params, quantize_rows
 
-    @jax.jit
-    def step(params, batch):
-        if int8:
-            from toad_tpu.ops.quantize import quantize_pool_params, quantize_rows
+        if params is None:
+            raise ValueError("int8 eval needs the restored params at step-build time")
+        # hoisted: re-deriving ~1.3M quantized weight elements per batch inside
+        # the compiled step would be pure waste; this also surfaces the
+        # ungated-model ValueError at setup instead of first-trace time
+        qp = jax.tree.map(jax.numpy.asarray, quantize_pool_params(params))
 
-            qp = quantize_pool_params(params)
+        @jax.jit
+        def step_q(params, qp, batch):
             xq, sx = quantize_rows(batch["features"])
             out = model.apply_int8(
                 params, qp, xq, sx, batch["patch_mask"], batch["sex"], need_attention=False
             )
-        else:
-            out = model.apply(
-                params, batch["features"], batch["patch_mask"], batch["sex"],
-                train=False, need_attention=False,  # eval discards attention; lets Pallas skip the [B,T,N] HBM write
-            )
-        cls_ce = optax.softmax_cross_entropy_with_integer_labels(out.logits, batch["label"])
-        site_ce = optax.softmax_cross_entropy_with_integer_labels(out.site_logits, batch["site"])
-        return {
-            "y_prob": out.y_prob,
-            "y_hat": out.y_hat,
-            "site_prob": out.site_prob,
-            "site_hat": out.site_hat,
-            "cls_ce": cls_ce,
-            "site_ce": site_ce,
-        }
+            return _step_outputs(out, batch)
+
+        return lambda p, b: step_q(p, qp, b)
+
+    @jax.jit
+    def step(params, batch):
+        out = model.apply(
+            params, batch["features"], batch["patch_mask"], batch["sex"],
+            train=False, need_attention=False,  # eval discards attention; lets Pallas skip the [B,T,N] HBM write
+        )
+        return _step_outputs(out, batch)
 
     return step
+
+
+def _step_outputs(out, batch):
+    cls_ce = optax.softmax_cross_entropy_with_integer_labels(out.logits, batch["label"])
+    site_ce = optax.softmax_cross_entropy_with_integer_labels(out.site_logits, batch["site"])
+    return {
+        "y_prob": out.y_prob,
+        "y_hat": out.y_hat,
+        "site_prob": out.site_prob,
+        "site_hat": out.site_hat,
+        "cls_ce": cls_ce,
+        "site_ce": site_ce,
+    }
 
 
 def run_eval_pass(eval_step, params, batcher: BagBatcher, n_classes: int, put=None):

@@ -39,6 +39,48 @@ T_PAD = 8  # task axis padded to one sublane tile (real tasks T=2)
 NEG_INF = -1e30
 
 
+def _online_update(s, h, mask, m_prev, d_prev, acc, compute_dtype):
+    """THE flash-softmax accumulator update, shared by every kernel body
+    (bf16 single-bag, bag-pair, int8) so the masked-max / NEG_INF guards can
+    never diverge between variants.
+
+    Plain-array math (no refs): ``s`` [..., R, T_PAD] raw scores for this
+    tile's R rows, ``h`` [..., R, H] pooled-value rows, ``mask`` [..., R],
+    carried stats ``m_prev``/``d_prev`` [..., T_PAD], ``acc`` [..., T_PAD, H]
+    f32. Returns (m_new, d_new, acc_new). Leading dims (the bag-pair body's
+    [2]) batch through.
+    """
+    s_masked = jnp.where(mask[..., None] > 0, s, NEG_INF)  # [..., R, T_PAD]
+    tile_max = jnp.max(s_masked, axis=-2)  # [..., T_PAD]
+    m_new = jnp.maximum(m_prev, tile_max)
+    # guard fully-masked-so-far: keep exp args finite
+    m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+    e = jnp.exp(s_masked - m_safe[..., None, :]) * (mask[..., None] > 0)
+    corr = jnp.exp(jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev) - m_safe)
+    d_new = d_prev * corr + jnp.sum(e, axis=-2)
+    # acc: [..., T_PAD, H] — rescale then add e^T @ h (batched over leading dims)
+    if e.ndim == 2:
+        contrib = jax.lax.dot_general(
+            e.astype(compute_dtype), h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        contrib = jax.lax.dot_general(
+            e.astype(compute_dtype), h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    return m_new, d_new, acc * corr[..., None] + contrib
+
+
+def _pad_task_head(wc: jax.Array, bc: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Zero-pad the [A, T] score head + [T] bias out to T_PAD task columns
+    (shared by `_pad_params` and `_flat_qparams`)."""
+    t = wc.shape[1]
+    if t > T_PAD:
+        raise ValueError(f"n_tasks {t} > T_PAD {T_PAD}")
+    return jnp.pad(wc, ((0, 0), (0, T_PAD - t))), jnp.pad(bc, (0, T_PAD - t))
+
+
 def _pool_kernel_body(
     x_ref, mask_ref,
     w1_ref, b1_ref, w2_ref, b2_ref,
@@ -81,24 +123,10 @@ def _pool_kernel_body(
     if scores_out_ref is not None:
         scores_out_ref[0] = s.T
 
-    s_masked = jnp.where(mask[:, None] > 0, s, NEG_INF)  # [TILE_N, T_PAD]
-
-    m_prev = stat_ref[0, :]  # [T_PAD]
-    d_prev = stat_ref[1, :]
-    tile_max = jnp.max(s_masked, axis=0)  # [T_PAD]
-    m_new = jnp.maximum(m_prev, tile_max)
-    # guard fully-masked-so-far: keep exp args finite
-    m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
-
-    e = jnp.exp(s_masked - m_safe[None, :]) * (mask[:, None] > 0)  # [TILE_N, T_PAD]
-    corr = jnp.exp(jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev) - m_safe)  # [T_PAD]
-
-    d_new = d_prev * corr + jnp.sum(e, axis=0)
-    # acc: [T_PAD, H] — rescale then add e^T @ h
-    contrib = jax.lax.dot_general(
-        e.astype(x.dtype), h, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    m_new, d_new, acc_new = _online_update(
+        s, h, mask, stat_ref[0, :], stat_ref[1, :], acc_ref[:], x.dtype
     )
-    acc_ref[:] = acc_ref[:] * corr[:, None] + contrib
+    acc_ref[:] = acc_new
     stat_ref[0, :] = m_new
     stat_ref[1, :] = d_new
 
@@ -155,23 +183,10 @@ def _pool_kernel_body_pair(
 
     s3 = s.reshape(2, tile, T_PAD)
     h3 = h.reshape(2, tile, h.shape[1])
-    s_masked = jnp.where(mask[:, :, None] > 0, s3, NEG_INF)  # [2, TILE_N, T_PAD]
-
-    m_prev = stat_ref[:, 0, :]  # [2, T_PAD]
-    d_prev = stat_ref[:, 1, :]
-    tile_max = jnp.max(s_masked, axis=1)  # [2, T_PAD]
-    m_new = jnp.maximum(m_prev, tile_max)
-    m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
-
-    e = jnp.exp(s_masked - m_safe[:, None, :]) * (mask[:, :, None] > 0)
-    corr = jnp.exp(jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev) - m_safe)  # [2, T_PAD]
-    d_new = d_prev * corr + jnp.sum(e, axis=1)
-    # batched per-bag e^T @ h: [2, T_PAD, H]
-    contrib = jax.lax.dot_general(
-        e.astype(xm.dtype), h3, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+    m_new, d_new, acc_new = _online_update(
+        s3, h3, mask, stat_ref[:, 0, :], stat_ref[:, 1, :], acc_ref[:], xm.dtype
     )
-    acc_ref[:] = acc_ref[:] * corr[:, :, None] + contrib
+    acc_ref[:] = acc_new
     stat_ref[:, 0, :] = m_new
     stat_ref[:, 1, :] = d_new
 
@@ -229,20 +244,11 @@ def _pool_kernel_body_int8(
     if scores_out_ref is not None:
         scores_out_ref[0] = s.T
 
-    s_masked = jnp.where(mask[:, None] > 0, s, NEG_INF)
-    m_prev = stat_ref[0, :]
-    d_prev = stat_ref[1, :]
-    tile_max = jnp.max(s_masked, axis=0)
-    m_new = jnp.maximum(m_prev, tile_max)
-    m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
-    e = jnp.exp(s_masked - m_safe[None, :]) * (mask[:, None] > 0)
-    corr = jnp.exp(jnp.where(m_prev <= NEG_INF / 2, NEG_INF, m_prev) - m_safe)
-    d_new = d_prev * corr + jnp.sum(e, axis=0)
-    contrib = jax.lax.dot_general(
-        e.astype(jnp.bfloat16), h2.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    m_new, d_new, acc_new = _online_update(
+        s, h2.astype(jnp.bfloat16), mask, stat_ref[0, :], stat_ref[1, :],
+        acc_ref[:], jnp.bfloat16,
     )
-    acc_ref[:] = acc_ref[:] * corr[:, None] + contrib
+    acc_ref[:] = acc_new
     stat_ref[0, :] = m_new
     stat_ref[1, :] = d_new
 
@@ -255,13 +261,9 @@ def _pool_kernel_body_int8(
 def _flat_qparams(qparams: dict[str, Any]) -> tuple:
     """quantize_pool_params dict -> the kernel's flat operand tuple, with the
     score head padded to T_PAD columns (zero-padded like ``_pad_params``)."""
-    wc = jnp.asarray(qparams["wc"], jnp.bfloat16)
-    bc = jnp.asarray(qparams["bc"], jnp.float32)
-    t = wc.shape[1]
-    if t > T_PAD:
-        raise ValueError(f"n_tasks {t} > T_PAD {T_PAD}")
-    wc = jnp.pad(wc, ((0, 0), (0, T_PAD - t)))
-    bc = jnp.pad(bc, (0, T_PAD - t))
+    wc, bc = _pad_task_head(
+        jnp.asarray(qparams["wc"], jnp.bfloat16), jnp.asarray(qparams["bc"], jnp.float32)
+    )
     return (qparams["w1q"], qparams["sw1"], qparams["b1"],
             qparams["w2q"], qparams["sw2"], qparams["b2"],
             qparams["wabq"], qparams["swab"], qparams["bab"], wc, bc)
@@ -334,16 +336,7 @@ def pallas_pool_int8(
     m_pad, scores_pad = _pallas_pool_int8_call(
         qparams, xq, sx, mask, interpret=interpret, with_scores=want_scores
     )
-    m = m_pad[:, :t, :]
-    if not want_scores:
-        return m, None
-    scores_t = scores_pad[:, :t, :]
-    from toad_tpu.ops.pooling import masked_softmax
-
-    attn = masked_softmax(scores_t, mask[:, None, :], axis=-1)
-    if return_scores:
-        return m, attn, jnp.swapaxes(scores_t, 1, 2)
-    return m, attn
+    return _finish_pool(m_pad, scores_pad, t, mask, want_scores, return_scores)
 
 
 def _pad_params(params: dict[str, Any], dtype) -> tuple:
@@ -360,13 +353,9 @@ def _pad_params(params: dict[str, Any], dtype) -> tuple:
     bab = jnp.concatenate(
         [params["attn"]["a"]["b"], params["attn"]["b"]["b"]]
     ).astype(jnp.float32)
-    wc = params["attn"]["c"]["w"].astype(dtype)
-    bc = params["attn"]["c"]["b"].astype(jnp.float32)
-    t = wc.shape[1]
-    if t > T_PAD:
-        raise ValueError(f"n_tasks {t} > T_PAD {T_PAD}")
-    wc = jnp.pad(wc, ((0, 0), (0, T_PAD - t)))
-    bc = jnp.pad(bc, (0, T_PAD - t))
+    wc, bc = _pad_task_head(
+        params["attn"]["c"]["w"].astype(dtype), params["attn"]["c"]["b"].astype(jnp.float32)
+    )
     return w1, b1, w2, b2, wab, bab, wc, bc
 
 
@@ -494,11 +483,16 @@ def pallas_trunk_attention_pool(
         interpret=interpret,
         with_scores=want_scores,
     )
+    return _finish_pool(m_pad, scores_pad, t, mask, want_scores, return_scores)
+
+
+def _finish_pool(m_pad, scores_pad, t, mask, want_scores, return_scores):
+    """Shared wrapper tail: strip T_PAD padding, derive softmax weights from
+    the raw scores (cheap: [B, T, N] elementwise + reduce), shape returns."""
     m = m_pad[:, :t, :]
     if not want_scores:
         return m, None
     scores_t = scores_pad[:, :t, :]  # [B, T, N]
-    # softmax weights from raw scores (cheap: [B, T, N] elementwise + reduce)
     from toad_tpu.ops.pooling import masked_softmax
 
     attn = masked_softmax(scores_t, mask[:, None, :], axis=-1)

@@ -38,8 +38,11 @@ Params = dict[str, Any]
 def quantize_rows_np(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """[N, D] float -> (int8 [N, D], f32 per-row scales [N]).
 
-    ``x ≈ q * scales[:, None]``. All-zero rows (padding) get scale 1/127 and
-    q=0 — exact. Host-side (numpy) twin of :func:`quantize_rows`.
+    ``x ≈ q * scales[:, None]``. All-zero rows get q=0 with the amax floored
+    at 1e-6 (scale 1e-6/127) — exact regardless of the scale value, so
+    consumers are free to fill padding-slot scales with any positive number
+    (DynamicBatcher._assemble uses 1/127); never rely on a particular scale
+    for q=0 rows. Host-side (numpy) twin of :func:`quantize_rows`.
     """
     x = np.asarray(x, np.float32)
     amax = np.max(np.abs(x), axis=1)

@@ -96,21 +96,32 @@ class SlideInference:
         bags longer than the largest bucket are head-truncated to it (same
         policy as the training batcher)."""
         bucket = bucket_for(int(features.shape[0]), self.buckets)
-        # the SAME pad/truncate policy as the training batcher, by construction
-        bag, bag_mask = _pad_bag(np.asarray(features, np.float32), bucket)
-        feats, mask = bag[None], bag_mask[None]
-        n = min(int(features.shape[0]), bucket)  # real rows (attention slice)
+        feats32 = np.asarray(features, np.float32)
+        n = min(int(feats32.shape[0]), bucket)  # real rows (attention slice)
         if self.int8:
             from toad_tpu.ops.quantize import quantize_rows_np
 
-            xq, sx = quantize_rows_np(bag)
+            # Quantize only the real (head-truncated) rows, THEN pad the int8
+            # array — same policy as DynamicBatcher.submit/_assemble. Running
+            # the host abs/max/rint pass over the zero padding would up to
+            # double the work on this 1-core host for just-over-bucket bags.
+            xq_rows, sx_rows = quantize_rows_np(feats32[:n])
+            xq = np.zeros((bucket, xq_rows.shape[1]), np.int8)
+            xq[:n] = xq_rows
+            sx = np.full((bucket,), 1.0 / 127.0, np.float32)
+            sx[:n] = sx_rows
+            mask = np.zeros((1, bucket), np.float32)
+            mask[0, :n] = 1.0
             logits, site_logits, attention = self._fwd_int8(
                 self.params, self.qparams, jnp.asarray(xq[None]), jnp.asarray(sx[None]),
                 jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
             )
         else:
+            # the SAME pad/truncate policy as the training batcher, by construction
+            bag, bag_mask = _pad_bag(feats32, bucket)
             logits, site_logits, attention = self._fwd(
-                self.params, jnp.asarray(feats), jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
+                self.params, jnp.asarray(bag[None]), jnp.asarray(bag_mask[None]),
+                jnp.asarray([sex], jnp.int32)
             )
         y_prob = np.asarray(jax.nn.softmax(logits[0]))
         site_prob = np.asarray(jax.nn.softmax(site_logits[0]))
