@@ -82,6 +82,28 @@ def test_int8_kernel_matches_oracle(small_model):
     np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6, atol=1e-6)
 
 
+def test_int8_pair_path_matches_single(small_model):
+    """Even-batch classification dispatches to _pool_kernel_body_int8_pair
+    (two bags per grid step). Same math as the single-bag body — per-row
+    results must agree with an odd-batch run that takes the single path."""
+    from toad_tpu.ops.pallas_pool import pallas_pool_int8
+
+    model, params = small_model
+    qp = quantize_pool_params(params)
+    rng = np.random.RandomState(7)
+    x, mask = _bag(rng, b=4, n=512)
+    xq, sx = quantize_rows(x)
+    m_pair, none = pallas_pool_int8(qp, xq, sx, mask, with_attention=False, interpret=True)
+    assert none is None
+    # odd batch (first 3 bags) -> single-bag path; rows must agree
+    m_single, _ = pallas_pool_int8(qp, xq[:3], sx[:3], mask[:3], with_attention=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(m_pair[:3]), np.asarray(m_single), rtol=2e-5, atol=2e-5)
+    # and both against the jnp oracle
+    m0, _ = xla_int8_pool(qp, xq, sx, mask)
+    rel = float(jnp.max(jnp.abs(m_pair - m0)) / (jnp.max(jnp.abs(m0)) + 1e-9))
+    assert rel < 5e-3, rel
+
+
 def test_int8_close_to_f32_forward(small_model):
     """End output (logits) of apply_int8 stays close to the f32 apply —
     the quantization-noise budget for the whole pipeline."""

@@ -196,18 +196,49 @@ def _pool_kernel_body_pair(
         m_out_ref[:] = acc_ref[:] / denom[:, :, None]
 
 
+def _int8_trunk_scores(
+    xq, sx_col,
+    w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
+    wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
+):
+    """The int8 trunk+gate+score chain shared by the single-bag and bag-pair
+    int8 kernel bodies: the three big GEMMs run int8 x int8 -> int32 on the
+    MXU. ``xq`` [R, D] int8 rows with per-row scales ``sx_col`` [R, 1]; the
+    h/h2 activations are re-quantized per row in-kernel (f32 round — Mosaic
+    rejects bf16 round lowering). Returns (h2 f32 [R, H], s f32 [R, T_PAD])."""
+
+    def requant(y):  # f32 [rows, c] -> (int8, per-row scale)
+        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-6) / 127.0
+        q = jnp.clip(jax.lax.round(y / scale, jax.lax.RoundingMethod.TO_NEAREST_EVEN), -127.0, 127.0)
+        return q.astype(jnp.int8), scale[:, 0]
+
+    y1 = jnp.dot(xq, w1q_ref[:], preferred_element_type=jnp.int32)
+    h = jnp.maximum(y1.astype(jnp.float32) * (sx_col * sw1_ref[:][None, :]) + b1_ref[:], 0.0)
+    hq, sh = requant(h)
+    y2 = jnp.dot(hq, w2q_ref[:], preferred_element_type=jnp.int32)
+    h2 = jnp.maximum(y2.astype(jnp.float32) * (sh[:, None] * sw2_ref[:][None, :]) + b2_ref[:], 0.0)
+    h2q, sh2 = requant(h2)
+    uv = jnp.dot(h2q, wabq_ref[:], preferred_element_type=jnp.int32).astype(jnp.float32)
+    uv = uv * (sh2[:, None] * swab_ref[:][None, :]) + bab_ref[:]
+    a_dim = wabq_ref.shape[1] // 2
+    a = jnp.tanh(uv[:, :a_dim])
+    g = jax.nn.sigmoid(uv[:, a_dim:])
+    gated = (a * g).astype(jnp.bfloat16)
+    s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [R, T_PAD]
+    return h2, s
+
+
 def _pool_kernel_body_int8(
     xq_ref, sx_ref, mask_ref,
     w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
     wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
     m_out_ref, scores_out_ref, acc_ref, stat_ref,
 ):
-    """int8 variant of :func:`_pool_kernel_body`: the three big GEMMs run
-    int8 x int8 -> int32 on the MXU (measured 5.42 ms vs 7.24 ms bf16 at
-    [32, 8192, 1024] — experiments/int8_probe.py). Input rows arrive
-    pre-quantized with per-row scales (``ops/quantize.py``); the h/h2
-    activations are re-quantized per row in-kernel (f32 round — Mosaic
-    rejects bf16 round lowering). Softmax bookkeeping is unchanged f32."""
+    """int8 variant of :func:`_pool_kernel_body` (measured 5.42 ms vs
+    7.24 ms bf16 at [32, 8192, 1024] — experiments/int8_probe.py). Input
+    rows arrive pre-quantized with per-row scales (``ops/quantize.py``).
+    Softmax bookkeeping is unchanged f32."""
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -221,25 +252,11 @@ def _pool_kernel_body_int8(
     sx = sx_ref[0, 0]  # [TILE_N] f32
     mask = mask_ref[0, 0]
 
-    def requant(y):  # f32 [rows, c] -> (int8, per-row scale)
-        amax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
-        scale = jnp.maximum(amax, 1e-6) / 127.0
-        q = jnp.clip(jax.lax.round(y / scale, jax.lax.RoundingMethod.TO_NEAREST_EVEN), -127.0, 127.0)
-        return q.astype(jnp.int8), scale[:, 0]
-
-    y1 = jnp.dot(xq, w1q_ref[:], preferred_element_type=jnp.int32)
-    h = jnp.maximum(y1.astype(jnp.float32) * (sx[:, None] * sw1_ref[:][None, :]) + b1_ref[:], 0.0)
-    hq, sh = requant(h)
-    y2 = jnp.dot(hq, w2q_ref[:], preferred_element_type=jnp.int32)
-    h2 = jnp.maximum(y2.astype(jnp.float32) * (sh[:, None] * sw2_ref[:][None, :]) + b2_ref[:], 0.0)
-    h2q, sh2 = requant(h2)
-    uv = jnp.dot(h2q, wabq_ref[:], preferred_element_type=jnp.int32).astype(jnp.float32)
-    uv = uv * (sh2[:, None] * swab_ref[:][None, :]) + bab_ref[:]
-    a_dim = wabq_ref.shape[1] // 2
-    a = jnp.tanh(uv[:, :a_dim])
-    g = jax.nn.sigmoid(uv[:, a_dim:])
-    gated = (a * g).astype(jnp.bfloat16)
-    s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [TILE_N, T_PAD]
+    h2, s = _int8_trunk_scores(
+        xq, sx[:, None],
+        w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
+        wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
+    )
 
     if scores_out_ref is not None:
         scores_out_ref[0] = s.T
@@ -256,6 +273,53 @@ def _pool_kernel_body_int8(
     def _finalize():
         denom = jnp.maximum(stat_ref[1, :], 1e-30)
         m_out_ref[0] = acc_ref[:] / denom[:, None]
+
+
+def _pool_kernel_body_int8_pair(
+    xq_ref, sx_ref, mask_ref,
+    w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
+    wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
+    m_out_ref, acc_ref, stat_ref,
+):
+    """int8 twin of :func:`_pool_kernel_body_pair`: two bags per grid step,
+    rows merged into one [2*TILE_N, D] int8 GEMM chain. The int8 step has a
+    larger fixed-overhead fraction than bf16 (it finishes 1.34x sooner), so
+    halving per-step overhead pays at least the bf16 pair path's +3%.
+    Classification-only (no score output); used when B is even."""
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        stat_ref[:, 0, :] = jnp.full((2, T_PAD), NEG_INF, jnp.float32)
+        stat_ref[:, 1, :] = jnp.zeros((2, T_PAD), jnp.float32)
+
+    xq2 = xq_ref[:]  # [2, TILE_N, D] int8
+    tile = xq2.shape[1]
+    xm = xq2.reshape(2 * tile, xq2.shape[2])
+    sx2 = sx_ref[:, 0, :].reshape(2 * tile, 1)  # merged per-row scales
+    mask = mask_ref[:, 0, :]  # [2, TILE_N]
+
+    h2, s = _int8_trunk_scores(
+        xm, sx2,
+        w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
+        wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
+    )
+
+    s3 = s.reshape(2, tile, T_PAD)
+    h3 = h2.astype(jnp.bfloat16).reshape(2, tile, h2.shape[1])
+    m_new, d_new, acc_new = _online_update(
+        s3, h3, mask, stat_ref[:, 0, :], stat_ref[:, 1, :], acc_ref[:], jnp.bfloat16
+    )
+    acc_ref[:] = acc_new
+    stat_ref[:, 0, :] = m_new
+    stat_ref[:, 1, :] = d_new
+
+    @pl.when(i == n_tiles - 1)
+    def _finalize():
+        denom = jnp.maximum(stat_ref[:, 1, :], 1e-30)
+        m_out_ref[:] = acc_ref[:] / denom[:, :, None]
 
 
 def _flat_qparams(qparams: dict[str, Any]) -> tuple:
@@ -279,6 +343,32 @@ def _pallas_pool_int8_call(qparams, xq, sx, mask, interpret=False, with_scores=T
     mask = mask.astype(jnp.float32)[:, None, :]
 
     param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+
+    # bag-pair fast path, mirroring _pallas_pool_call's: classification-only,
+    # even batch. int8 input blocks are half the bf16 path's bytes, but the
+    # f32 trunk intermediates double with the merged 2*tile rows — raise the
+    # scoped-VMEM cap accordingly (physical v5e VMEM is far larger).
+    if not with_scores and b % 2 == 0:
+        outs = pl.pallas_call(
+            _pool_kernel_body_int8_pair,
+            grid=(b // 2, n // tile),
+            in_specs=[
+                pl.BlockSpec((2, tile, d), lambda bi, ni: (bi, ni, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 1, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 1, tile), lambda bi, ni: (bi, 0, ni), memory_space=pltpu.VMEM),
+                *param_specs,
+            ],
+            out_specs=[pl.BlockSpec((2, T_PAD, h_dim), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM)],
+            out_shape=[jax.ShapeDtypeStruct((b, T_PAD, h_dim), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((2, T_PAD, h_dim), jnp.float32),
+                pltpu.VMEM((2, 2, T_PAD), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+            interpret=interpret,
+        )(xq, sx, mask, *flat)
+        return outs[0], None
+
     grid = (b, n // tile)
     out_specs = [pl.BlockSpec((1, T_PAD, h_dim), lambda bi, ni: (bi, 0, 0), memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, T_PAD, h_dim), jnp.float32)]
