@@ -498,7 +498,32 @@ def bench_reference_real() -> dict:
     return {"baseline_ref_code_slides_per_sec": n_slides / dt}
 
 
+def _await_device() -> None:
+    """Survive a relay outage at bench time: backend-init failures
+    (UNAVAILABLE) poison the JAX process, so retry by re-exec'ing a fresh
+    interpreter. Observed outage mode: jax.devices() hangs up to ~20 min,
+    then raises — each attempt is expensive, so only a few are made.
+    Diagnostics go to stderr; stdout stays reserved for the one JSON line."""
+    import os
+    import sys
+
+    try:
+        import jax
+
+        jax.devices()
+        return
+    except Exception as e:
+        attempt = int(os.environ.get("TOAD_BENCH_ATTEMPT", "0"))
+        print(f"bench: device init failed (attempt {attempt}): {str(e)[:200]}", file=sys.stderr)
+        if attempt >= 4:
+            raise SystemExit("bench: TPU backend unavailable after retries")
+        time.sleep(90)
+        os.environ["TOAD_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main() -> None:
+    _await_device()
     # The TPU behind this relay is occasionally contended by other tenants
     # (observed 10-20x degradation for minutes at a time). The headline is a
     # hardware-capability measurement, so re-measure up to 3 times when the
