@@ -100,7 +100,10 @@ def main() -> None:
         out = model.apply(params, f, mask, sex, train=False, need_attention=False)
         return out.y_prob.sum() + out.site_prob.sum()
 
-    t2 = time_best(lambda i: make_elem_bump(apply_pool)(params, jax.random.PRNGKey(2 + i)))
+    # build the jitted fn ONCE outside the timed lambda — rebuilding it per
+    # run would retrace/recompile every call and time the compiler instead
+    elem_fn = make_elem_bump(apply_pool)
+    t2 = time_best(lambda i: elem_fn(params, jax.random.PRNGKey(2 + i)))
     print(f"2. element-bump chain: {t2 / k * 1e3:8.3f} ms/bag   (harness overhead in (1): {(t1 - t2) / k * 1e3:.3f} ms)")
 
     # ---- 3. tile=2048 single-bag kernel (vmem_limit=32MB), element bump
@@ -136,7 +139,8 @@ def main() -> None:
         return outs[0].sum()
 
     try:
-        t3 = time_best(lambda i: make_elem_bump(pool_tile2048)(params, jax.random.PRNGKey(2 + i)))
+        tile_fn = make_elem_bump(pool_tile2048)
+        t3 = time_best(lambda i: tile_fn(params, jax.random.PRNGKey(2 + i)))
         print(f"3. tile=2048 kernel  : {t3 / k * 1e3:8.3f} ms/bag   (vs (2) pooled-only: {t2 / t3:.3f}x)")
     except Exception as e:  # VMEM exhaustion would land here
         print(f"3. tile=2048 kernel  : FAILED: {type(e).__name__}: {str(e)[:300]}")

@@ -41,6 +41,18 @@ def make_eval_step(model: ToadMIL, int8: bool = False, params=None):
         # the compiled step would be pure waste; this also surfaces the
         # ungated-model ValueError at setup instead of first-trace time
         qp = jax.tree.map(jax.numpy.asarray, quantize_pool_params(params))
+        build_params = params
+
+        def step_int8(p, b):
+            # the quantized trunk weights were frozen from the build-time
+            # params; silently mixing them with different heads would produce
+            # wrong probabilities — enforce the invariant instead
+            if p is not build_params:
+                raise ValueError(
+                    "int8 eval step must be called with the same params object it "
+                    "was built from (build a new step per checkpoint)"
+                )
+            return step_q(p, qp, b)
 
         @jax.jit
         def step_q(params, qp, batch):
@@ -50,7 +62,7 @@ def make_eval_step(model: ToadMIL, int8: bool = False, params=None):
             )
             return _step_outputs(out, batch)
 
-        return lambda p, b: step_q(p, qp, b)
+        return step_int8
 
     @jax.jit
     def step(params, batch):
