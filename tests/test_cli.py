@@ -85,6 +85,24 @@ def test_full_cli_pipeline(cli_env, tmp_path):
         assert "p_17" in fdf.columns and "site_p" in fdf.columns
         # eval on the same split/checkpoint reproduces the training-side AUC
         np.testing.assert_allclose(edf["cls_test_auc"].iloc[0], df["cls_test_auc"].iloc[0], atol=2e-3)
+
+        # --int8 end-to-end through the CLI (engine builds the quantized step
+        # from the restored params; guards the step's params-identity contract)
+        qdf = evaluate.main(
+            [
+                "--task", task_json,
+                "--data_root_dir", str(root / "bags"),
+                "--results_dir", str(root / "results"),
+                "--models_exp_code", "smoke_s1",
+                "--save_exp_code", "smoke_eval_int8",
+                "--k", "2",
+                "--k_end", "1",
+                "--batch_size", "4",
+                "--encoding_size", "64",
+                "--int8",
+            ]
+        )
+        np.testing.assert_allclose(qdf["cls_test_auc"].iloc[0], edf["cls_test_auc"].iloc[0], atol=0.03)
     finally:
         os.chdir(cwd)
 
