@@ -104,6 +104,29 @@ def test_int8_pair_path_matches_single(small_model):
     assert rel < 5e-3, rel
 
 
+def test_int8_pair_fully_masked_slot(small_model):
+    """Eval batches pad with empty slots (all-zero patch_mask). When such a
+    slot shares a pair with a real bag, the real bag's result must be
+    unaffected and the empty slot must stay finite (denom=0 guard)."""
+    from toad_tpu.ops.pallas_pool import pallas_pool_int8
+
+    model, params = small_model
+    qp = quantize_pool_params(params)
+    rng = np.random.RandomState(9)
+    x, mask = _bag(rng, b=2, n=256)
+    mask = np.array(mask)  # writable copy (np.asarray of a jax array is read-only)
+    mask[1, :] = 0.0  # bag 1 is an empty padding slot
+    mask = jnp.asarray(mask)
+    xq, sx = quantize_rows(x)
+    m, none = pallas_pool_int8(qp, xq, sx, mask, with_attention=False, interpret=True)
+    assert none is None
+    m = np.asarray(m)
+    assert np.isfinite(m).all()
+    # the real bag matches a solo run through the single-bag path
+    m_solo, _ = pallas_pool_int8(qp, xq[:1], sx[:1], mask[:1], with_attention=False, interpret=True)
+    np.testing.assert_allclose(m[0], np.asarray(m_solo)[0], rtol=2e-5, atol=2e-5)
+
+
 def test_int8_close_to_f32_forward(small_model):
     """End output (logits) of apply_int8 stays close to the f32 apply —
     the quantization-noise budget for the whole pipeline."""
