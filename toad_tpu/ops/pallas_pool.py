@@ -100,35 +100,48 @@ def _pool_kernel_body(
     x = x_ref[0]  # [TILE_N, D]
     mask = mask_ref[0, 0]  # [TILE_N]
 
-    h = jnp.maximum(
-        jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
-    ).astype(x.dtype)
-    h = jnp.maximum(
-        jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0
-    ).astype(x.dtype)
-    # one fused [H, 2A] matmul for both gate branches instead of two [H, A]
-    # calls: measured +12% kernel throughput at 8192x1024 bf16
-    # (experiments/mfu_probe.py 'fusedab' vs 'full')
-    uv = jnp.dot(h, wab_ref[:], preferred_element_type=jnp.float32) + bab_ref[:]
-    a_dim = wab_ref.shape[1] // 2
-    # transcendentals stay fp32: Mosaic (this jaxlib) rejects bf16
-    # tanh/sigmoid lowering (f32-constant broadcasts into bf16 vectors)
-    a = jnp.tanh(uv[:, :a_dim])
-    g = jax.nn.sigmoid(uv[:, a_dim:])
-    gated = (a * g).astype(x.dtype)
-    s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [TILE_N, T_PAD]
+    def _tile_work():
+        h = jnp.maximum(
+            jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
+        ).astype(x.dtype)
+        h = jnp.maximum(
+            jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0
+        ).astype(x.dtype)
+        # one fused [H, 2A] matmul for both gate branches instead of two [H, A]
+        # calls: measured +12% kernel throughput at 8192x1024 bf16
+        # (experiments/mfu_probe.py 'fusedab' vs 'full')
+        uv = jnp.dot(h, wab_ref[:], preferred_element_type=jnp.float32) + bab_ref[:]
+        a_dim = wab_ref.shape[1] // 2
+        # transcendentals stay fp32: Mosaic (this jaxlib) rejects bf16
+        # tanh/sigmoid lowering (f32-constant broadcasts into bf16 vectors)
+        a = jnp.tanh(uv[:, :a_dim])
+        g = jax.nn.sigmoid(uv[:, a_dim:])
+        gated = (a * g).astype(x.dtype)
+        s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [TILE_N, T_PAD]
 
-    # raw scores out (pre-mask, like the reference's A_raw before softmax);
-    # elided at trace time in the pooled-only fast path
+        # raw scores out (pre-mask, like the reference's A_raw before softmax);
+        # elided at trace time in the pooled-only fast path
+        if scores_out_ref is not None:
+            scores_out_ref[0] = s.T
+
+        m_new, d_new, acc_new = _online_update(
+            s, h, mask, stat_ref[0, :], stat_ref[1, :], acc_ref[:], x.dtype
+        )
+        acc_ref[:] = acc_new
+        stat_ref[0, :] = m_new
+        stat_ref[1, :] = d_new
+
     if scores_out_ref is not None:
-        scores_out_ref[0] = s.T
-
-    m_new, d_new, acc_new = _online_update(
-        s, h, mask, stat_ref[0, :], stat_ref[1, :], acc_ref[:], x.dtype
-    )
-    acc_ref[:] = acc_new
-    stat_ref[0, :] = m_new
-    stat_ref[1, :] = d_new
+        # scored mode: every score block must be written (downstream
+        # masked_softmax would otherwise read uninitialized memory)
+        _tile_work()
+    else:
+        # classification mode: a bag just over a bucket boundary leaves whole
+        # tiles of pure padding (up to ~40% of the grid for a bag at
+        # bucket/2+1); the online update is the identity on an all-masked
+        # tile, so skip its GEMMs entirely (flash-attention's block-skip
+        # trick applied to MIL pooling)
+        pl.when(jnp.sum(mask) > 0)(_tile_work)
 
     @pl.when(i == n_tiles - 1)
     def _finalize():
@@ -168,27 +181,32 @@ def _pool_kernel_body_pair(
     xm = x2.reshape(2 * tile, x2.shape[2])
     mask = mask_ref[:, 0, :]  # [2, TILE_N]
 
-    h = jnp.maximum(
-        jnp.dot(xm, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
-    ).astype(xm.dtype)
-    h = jnp.maximum(
-        jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0
-    ).astype(xm.dtype)
-    uv = jnp.dot(h, wab_ref[:], preferred_element_type=jnp.float32) + bab_ref[:]
-    a_dim = wab_ref.shape[1] // 2
-    a = jnp.tanh(uv[:, :a_dim])
-    g = jax.nn.sigmoid(uv[:, a_dim:])
-    gated = (a * g).astype(xm.dtype)
-    s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [2*TILE_N, T_PAD]
+    def _tile_work():
+        h = jnp.maximum(
+            jnp.dot(xm, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
+        ).astype(xm.dtype)
+        h = jnp.maximum(
+            jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0
+        ).astype(xm.dtype)
+        uv = jnp.dot(h, wab_ref[:], preferred_element_type=jnp.float32) + bab_ref[:]
+        a_dim = wab_ref.shape[1] // 2
+        a = jnp.tanh(uv[:, :a_dim])
+        g = jax.nn.sigmoid(uv[:, a_dim:])
+        gated = (a * g).astype(xm.dtype)
+        s = jnp.dot(gated, wc_ref[:], preferred_element_type=jnp.float32) + bc_ref[:]  # [2*TILE_N, T_PAD]
 
-    s3 = s.reshape(2, tile, T_PAD)
-    h3 = h.reshape(2, tile, h.shape[1])
-    m_new, d_new, acc_new = _online_update(
-        s3, h3, mask, stat_ref[:, 0, :], stat_ref[:, 1, :], acc_ref[:], xm.dtype
-    )
-    acc_ref[:] = acc_new
-    stat_ref[:, 0, :] = m_new
-    stat_ref[:, 1, :] = d_new
+        s3 = s.reshape(2, tile, T_PAD)
+        h3 = h.reshape(2, tile, h.shape[1])
+        m_new, d_new, acc_new = _online_update(
+            s3, h3, mask, stat_ref[:, 0, :], stat_ref[:, 1, :], acc_ref[:], xm.dtype
+        )
+        acc_ref[:] = acc_new
+        stat_ref[:, 0, :] = m_new
+        stat_ref[:, 1, :] = d_new
+
+    # skip tiles where BOTH bags are pure padding (per-bag skip is impossible
+    # in the merged GEMM, but bucketed batches end near each other)
+    pl.when(jnp.sum(mask) > 0)(_tile_work)
 
     @pl.when(i == n_tiles - 1)
     def _finalize():
@@ -252,22 +270,28 @@ def _pool_kernel_body_int8(
     sx = sx_ref[0, 0]  # [TILE_N] f32
     mask = mask_ref[0, 0]
 
-    h2, s = _int8_trunk_scores(
-        xq, sx[:, None],
-        w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
-        wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
-    )
+    def _tile_work():
+        h2, s = _int8_trunk_scores(
+            xq, sx[:, None],
+            w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
+            wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
+        )
+
+        if scores_out_ref is not None:
+            scores_out_ref[0] = s.T
+
+        m_new, d_new, acc_new = _online_update(
+            s, h2.astype(jnp.bfloat16), mask, stat_ref[0, :], stat_ref[1, :],
+            acc_ref[:], jnp.bfloat16,
+        )
+        acc_ref[:] = acc_new
+        stat_ref[0, :] = m_new
+        stat_ref[1, :] = d_new
 
     if scores_out_ref is not None:
-        scores_out_ref[0] = s.T
-
-    m_new, d_new, acc_new = _online_update(
-        s, h2.astype(jnp.bfloat16), mask, stat_ref[0, :], stat_ref[1, :],
-        acc_ref[:], jnp.bfloat16,
-    )
-    acc_ref[:] = acc_new
-    stat_ref[0, :] = m_new
-    stat_ref[1, :] = d_new
+        _tile_work()  # scored mode: every score block must be written
+    else:
+        pl.when(jnp.sum(mask) > 0)(_tile_work)  # skip all-padding tiles
 
     @pl.when(i == n_tiles - 1)
     def _finalize():
@@ -301,20 +325,23 @@ def _pool_kernel_body_int8_pair(
     sx2 = sx_ref[:, 0, :].reshape(2 * tile, 1)  # merged per-row scales
     mask = mask_ref[:, 0, :]  # [2, TILE_N]
 
-    h2, s = _int8_trunk_scores(
-        xm, sx2,
-        w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
-        wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
-    )
+    def _tile_work():
+        h2, s = _int8_trunk_scores(
+            xm, sx2,
+            w1q_ref, sw1_ref, b1_ref, w2q_ref, sw2_ref, b2_ref,
+            wabq_ref, swab_ref, bab_ref, wc_ref, bc_ref,
+        )
 
-    s3 = s.reshape(2, tile, T_PAD)
-    h3 = h2.astype(jnp.bfloat16).reshape(2, tile, h2.shape[1])
-    m_new, d_new, acc_new = _online_update(
-        s3, h3, mask, stat_ref[:, 0, :], stat_ref[:, 1, :], acc_ref[:], jnp.bfloat16
-    )
-    acc_ref[:] = acc_new
-    stat_ref[:, 0, :] = m_new
-    stat_ref[:, 1, :] = d_new
+        s3 = s.reshape(2, tile, T_PAD)
+        h3 = h2.astype(jnp.bfloat16).reshape(2, tile, h2.shape[1])
+        m_new, d_new, acc_new = _online_update(
+            s3, h3, mask, stat_ref[:, 0, :], stat_ref[:, 1, :], acc_ref[:], jnp.bfloat16
+        )
+        acc_ref[:] = acc_new
+        stat_ref[:, 0, :] = m_new
+        stat_ref[:, 1, :] = d_new
+
+    pl.when(jnp.sum(mask) > 0)(_tile_work)  # skip tiles where both bags are padding
 
     @pl.when(i == n_tiles - 1)
     def _finalize():
