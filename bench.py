@@ -149,6 +149,41 @@ def bench_int8() -> dict:
     return {"int8_slides_per_sec": BATCH * CHAIN / t}
 
 
+def bench_ragged() -> dict:
+    """Realistic ragged bags: 4608 real rows padded into the 8192 bucket
+    (bags rarely fill a pow2 bucket; 3 of each bag's 8 grid tiles are pure
+    padding, which the Pallas kernels skip via their block-skip gate).
+    Same chained harness as bench_ours, partial mask."""
+    import jax
+    import jax.numpy as jnp
+
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.models.toad_mil import ToadMIL
+
+    real_rows = 4608
+    cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16", use_pallas=True)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def fn(params, key):
+        feats = jax.random.normal(key, (BATCH, BAG_N, DIM), jnp.float32).astype(jnp.bfloat16)
+        mask = (jnp.arange(BAG_N)[None, :] < real_rows).astype(jnp.float32) * jnp.ones((BATCH, 1))
+        sex = jnp.zeros((BATCH,), jnp.int32)
+
+        def body(_, carry):
+            f, acc = carry
+            out = model.apply(params, f, mask, sex, train=False, need_attention=False)
+            bump = ((out.y_prob.sum() + out.site_prob.sum()) * 1e-12).astype(jnp.bfloat16)
+            return (f + bump, acc + out.y_prob.sum())
+
+        _, acc = jax.lax.fori_loop(0, CHAIN, body, (feats, jnp.float32(0)))
+        return acc
+
+    t = _time_best(lambda i: float(fn(params, jax.random.PRNGKey(2 + i))))
+    return {"ragged_4608_slides_per_sec": BATCH * CHAIN / t}
+
+
 def bench_long_bag() -> dict:
     """Foundation-model bag scale: single 131072-patch bag latency (same
     serial-dependency chain harness as bench_ours)."""
@@ -537,7 +572,7 @@ def main() -> None:
         retry = bench_ours()
         if retry["slides_per_sec"] > ours["slides_per_sec"]:
             ours = retry
-    for extra in (bench_int8, bench_encoder, bench_train, bench_long_bag, bench_patient_bag, bench_vit, bench_e2e_wsi, bench_reference_real):
+    for extra in (bench_int8, bench_ragged, bench_encoder, bench_train, bench_long_bag, bench_patient_bag, bench_vit, bench_e2e_wsi, bench_reference_real):
         try:
             ours.update(extra())
         except Exception as e:  # extras are best-effort
@@ -560,6 +595,9 @@ def main() -> None:
         # int8 quantized-inference fast path (ops/quantize.py): pre-quantized
         # device-resident bags, dynamic per-row scales, heads f32
         "int8_slides_per_sec": round(ours.get("int8_slides_per_sec", 0.0), 1),
+        # ragged bags (4608 real rows in the 8192 bucket): the kernels skip
+        # pure-padding tiles, so this exceeds the full-bag headline
+        "ragged_4608_slides_per_sec": round(ours.get("ragged_4608_slides_per_sec", 0.0), 1),
         "encoder_patches_per_sec": round(ours.get("patches_per_sec", 0.0), 1),
         "vit_tiles_per_sec": round(ours.get("vit_tiles_per_sec", 0.0), 1),
         "train_slides_per_sec": round(ours.get("train_slides_per_sec", 0.0), 1),
