@@ -19,7 +19,16 @@ axis fastest, so VMEM scratch accumulators carry state across a bag's tiles
 and reset at tile 0. On the classification fast path (no score output) with
 an even batch, the grid is (B/2, N/TILE) and two bags' rows merge into one
 [2*TILE, D] matmul chain per step (+3.3% measured — the MXU M-dim doubles
-and per-step overhead halves; see ``_pool_kernel_body_pair``).
+and per-step overhead halves; see ``_pool_kernel_body_pair``). The int8
+variants mirror both shapes (``_pool_kernel_body_int8{,_pair}``) with
+int8 x int8 -> int32 MXU GEMMs and in-kernel per-row requantization.
+
+In classification mode every body also gates its tile work with
+``pl.when(sum(mask) > 0)``: the online update is the identity on an
+all-masked tile, so the pure-padding tiles a pow2 bucket leaves behind
+(up to ~40% of the grid for a bag at bucket/2+1) cost only their DMA —
+flash-attention's block-skip trick applied to MIL pooling. Scored mode
+stays ungated (every score block must be written).
 
 Forward-only: training uses the XLA path (autodiff-friendly); this kernel
 serves inference, where the reference's throughput story lives.
