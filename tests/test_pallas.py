@@ -124,3 +124,38 @@ def test_bag_pair_one_bag_fully_masked(setup):
     m_ref, _ = fused_trunk_attention_pool(params, x[:1], jnp.asarray(mask[:1]), compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(m[:1]), np.asarray(m_ref), rtol=2e-3, atol=2e-3)
     assert np.all(np.isfinite(np.asarray(m[1])))
+
+
+def test_tpu_lowering_all_variants(setup):
+    """AOT-lower every kernel entry path for platform 'tpu' on the CPU host.
+
+    The Pallas->Mosaic MLIR pipeline runs at LOWERING time, so unsupported
+    ops / layout errors (e.g. the documented bf16 round/tanh rejections)
+    surface here without a chip — this guards Mosaic compatibility of the
+    data-dependent pl.when gates, the bag-pair reshapes, and the int8
+    bodies in the plain CPU suite. (Backend machine-code compile — VMEM
+    scoped limits etc. — still needs the real TPU.)
+    """
+    import jax
+
+    from toad_tpu.ops.pallas_pool import pallas_pool_int8, pallas_pool_partial
+    from toad_tpu.ops.quantize import quantize_pool_params, quantize_rows
+
+    _, _, params = setup
+    x2, m2 = _data(2, 256, seed=7)   # even batch -> pair paths
+    x3, m3 = _data(3, 256, seed=8)   # odd batch  -> single paths
+    qp = quantize_pool_params(params)
+    xq2, sx2 = quantize_rows(x2)
+    xq3, sx3 = quantize_rows(x3)
+
+    cases = {
+        "bf16_pair": lambda: pallas_trunk_attention_pool(params, x2, jnp.asarray(m2), with_attention=False),
+        "bf16_single": lambda: pallas_trunk_attention_pool(params, x3, jnp.asarray(m3), with_attention=False),
+        "bf16_scored": lambda: pallas_trunk_attention_pool(params, x2, jnp.asarray(m2)),
+        "partial": lambda: pallas_pool_partial(params, x2, jnp.asarray(m2)),
+        "int8_pair": lambda: pallas_pool_int8(qp, xq2, sx2, jnp.asarray(m2), with_attention=False),
+        "int8_single": lambda: pallas_pool_int8(qp, xq3, sx3, jnp.asarray(m3), with_attention=False),
+        "int8_scored": lambda: pallas_pool_int8(qp, xq2, sx2, jnp.asarray(m2)),
+    }
+    for name, f in cases.items():
+        jax.jit(f).trace().lower(lowering_platforms=("tpu",))  # raises on Mosaic rejection
