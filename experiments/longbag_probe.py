@@ -55,27 +55,38 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # ---- 1. control: full-bag bump (bench harness as-is)
-    @jax.jit
-    def full_bump(params, key):
-        f = jax.random.normal(key, (1, n, DIM), jnp.float32).astype(jnp.bfloat16)
-        mask = jnp.ones((1, n), jnp.float32)
-        sex = jnp.zeros((1,), jnp.int32)
+    # ---- 1. control: full-bag bump (bench harness as-is), at two chain
+    # lengths. The absolute number folds in the one-off 268 MB threefry RNG
+    # (big at k=8); the MARGINAL cost (T(4k) - T(k)) / 3k is the honest
+    # steady-state per-bag latency with setup amortized out.
+    def make_full_bump(kk):
+        @jax.jit
+        def full_bump(params, key):
+            f = jax.random.normal(key, (1, n, DIM), jnp.float32).astype(jnp.bfloat16)
+            mask = jnp.ones((1, n), jnp.float32)
+            sex = jnp.zeros((1,), jnp.int32)
 
-        def body(_, carry):
-            f, acc = carry
-            out = model.apply(params, f, mask, sex, train=False, need_attention=False)
-            bump = ((out.y_prob.sum() + out.site_prob.sum()) * 1e-12).astype(jnp.bfloat16)
-            return (f + bump, acc + out.y_prob.sum())
+            def body(_, carry):
+                f, acc = carry
+                out = model.apply(params, f, mask, sex, train=False, need_attention=False)
+                bump = ((out.y_prob.sum() + out.site_prob.sum()) * 1e-12).astype(jnp.bfloat16)
+                return (f + bump, acc + out.y_prob.sum())
 
-        _, acc = jax.lax.fori_loop(0, k, body, (f, jnp.float32(0)))
-        return acc
+            _, acc = jax.lax.fori_loop(0, kk, body, (f, jnp.float32(0)))
+            return acc
 
-    t1 = time_best(lambda i: full_bump(params, jax.random.PRNGKey(2 + i)))
-    print(f"1. full-bump chain   : {t1 / k * 1e3:8.3f} ms/bag")
+        return full_bump
+
+    fb8, fb32 = make_full_bump(k), make_full_bump(4 * k)
+    t1 = time_best(lambda i: fb8(params, jax.random.PRNGKey(2 + i)))
+    t1b = time_best(lambda i: fb32(params, jax.random.PRNGKey(2 + i)))
+    marginal = (t1b - t1) / (3 * k)
+    print(f"1. full-bump chain   : {t1 / k * 1e3:8.3f} ms/bag at k={k}, "
+          f"{t1b / (4 * k) * 1e3:8.3f} at k={4 * k}; marginal {marginal * 1e3:.3f} ms/bag "
+          f"(setup incl. RNG: {(t1 - marginal * k) * 1e3:.1f} ms)")
 
     # ---- 2. element bump: serial dependency through one scalar
-    def make_elem_bump(pool_fn):
+    def make_elem_bump(pool_fn, kk):
         @jax.jit
         def elem_bump(params, key):
             f = jax.random.normal(key, (1, n, DIM), jnp.float32).astype(jnp.bfloat16)
@@ -91,7 +102,7 @@ def main() -> None:
                 )
                 return (f, acc + out.sum())
 
-            _, acc = jax.lax.fori_loop(0, k, body, (f, jnp.float32(0)))
+            _, acc = jax.lax.fori_loop(0, kk, body, (f, jnp.float32(0)))
             return acc
 
         return elem_bump
@@ -100,11 +111,17 @@ def main() -> None:
         out = model.apply(params, f, mask, sex, train=False, need_attention=False)
         return out.y_prob.sum() + out.site_prob.sum()
 
-    # build the jitted fn ONCE outside the timed lambda — rebuilding it per
-    # run would retrace/recompile every call and time the compiler instead
-    elem_fn = make_elem_bump(apply_pool)
-    t2 = time_best(lambda i: elem_fn(params, jax.random.PRNGKey(2 + i)))
-    print(f"2. element-bump chain: {t2 / k * 1e3:8.3f} ms/bag   (harness overhead in (1): {(t1 - t2) / k * 1e3:.3f} ms)")
+    def marginal_of(make_fn):
+        # build the jitted fns ONCE outside the timed lambda — rebuilding per
+        # run would retrace/recompile every call and time the compiler instead
+        f8, f32_ = make_fn(k), make_fn(4 * k)
+        ta = time_best(lambda i: f8(params, jax.random.PRNGKey(2 + i)))
+        tb = time_best(lambda i: f32_(params, jax.random.PRNGKey(2 + i)))
+        return ta, (tb - ta) / (3 * k)
+
+    t2, m2 = marginal_of(lambda kk: make_elem_bump(apply_pool, kk))
+    print(f"2. element-bump chain: {t2 / k * 1e3:8.3f} ms/bag at k={k}; marginal {m2 * 1e3:.3f} ms/bag "
+          f"(bump savings vs (1): {(marginal - m2) * 1e3:.3f} ms)")
 
     # ---- 3. tile=2048 single-bag kernel (vmem_limit=32MB), element bump
     def pool_tile2048(params, x, mask, sex):
@@ -139,15 +156,15 @@ def main() -> None:
         return outs[0].sum()
 
     try:
-        tile_fn = make_elem_bump(pool_tile2048)
-        t3 = time_best(lambda i: tile_fn(params, jax.random.PRNGKey(2 + i)))
-        print(f"3. tile=2048 kernel  : {t3 / k * 1e3:8.3f} ms/bag   (vs (2) pooled-only: {t2 / t3:.3f}x)")
+        t3, m3 = marginal_of(lambda kk: make_elem_bump(pool_tile2048, kk))
+        print(f"3. tile=2048 kernel  : {t3 / k * 1e3:8.3f} ms/bag at k={k}; marginal {m3 * 1e3:.3f} ms/bag "
+              f"(vs (2) marginal: {m2 / m3:.3f}x)")
     except Exception as e:  # VMEM exhaustion would land here
         print(f"3. tile=2048 kernel  : FAILED: {type(e).__name__}: {str(e)[:300]}")
 
     flops = 2 * n * (DIM * 512 + 512 * 512 + 512 * 768)
-    for name, t in [("full", t1), ("elem", t2)]:
-        print(f"   {name}: {flops / (t / k) / 1e12:.1f} TFLOP/s counted")
+    for name, m in [("full marginal", marginal), ("elem marginal", m2)]:
+        print(f"   {name}: {flops / m / 1e12:.1f} TFLOP/s counted")
 
 
 if __name__ == "__main__":
