@@ -332,6 +332,25 @@ def test_mesh_parallel_serving_matches_single_device(model_and_params):
         assert bm.stats().batched_slides == 9
 
 
+def test_mesh_parallel_int8_serving(model_and_params):
+    """mesh x int8 together: quantized params replicate over the mesh and
+    predictions match single-device int8 serving."""
+    from toad_tpu.parallel.mesh import make_mesh
+
+    cfg, params = model_and_params
+    mesh = make_mesh(4, 2)
+    rng = np.random.default_rng(11)
+    bags = _bags(rng, 6)
+    sc = ServeConfig(max_batch=8, max_wait_ms=20, bucket_sizes=BUCKETS, int8=True)
+    with DynamicBatcher(params, cfg, sc, mesh=mesh) as bm, DynamicBatcher(params, cfg, sc) as b1:
+        fm = [bm.submit(f, s) for f, s in bags]
+        f1 = [b1.submit(f, s) for f, s in bags]
+        for a, b in zip(fm, f1):
+            pa, pb = a.result(timeout=120), b.result(timeout=120)
+            np.testing.assert_allclose(pa.y_prob, pb.y_prob, atol=2e-3)
+            assert pa.y_hat == pb.y_hat
+
+
 def test_mesh_rejects_indivisible_buckets(model_and_params):
     from toad_tpu.parallel.mesh import make_mesh
 
