@@ -60,3 +60,73 @@ def test_bag_path_fallback(tmp_path):
     # asked for .pt, falls back to existing .npy
     p = bag_path(tmp_path, "sl", use_h5=False)
     assert p.suffix == ".npy"
+
+
+def test_int8_bag_roundtrip(tmp_path):
+    """save_int8_bag -> load_bag dequantizes within half an LSB per row;
+    load_bag_quantized returns the exact stored payload + coords."""
+    from toad_tpu.data.bags import load_bag_quantized, save_int8_bag
+
+    rng = np.random.RandomState(0)
+    feats = (rng.randn(60, 32) * rng.rand(60, 1) * 5).astype(np.float32)
+    feats[13] = 0.0  # zero row stays exact
+    coords = rng.randint(0, 10_000, (60, 2))
+    p = tmp_path / "slide.npz"
+    save_int8_bag(p, feats, coords)
+
+    out, c = load_bag(p, with_coords=True)
+    per_row_lsb = np.abs(feats).max(axis=1, keepdims=True) / 127.0
+    assert np.all(np.abs(out - feats) <= per_row_lsb * 0.5 + 1e-7)
+    np.testing.assert_array_equal(c, coords)
+
+    xq, sx, c2 = load_bag_quantized(p)
+    assert xq.dtype == np.int8 and sx.dtype == np.float32
+    np.testing.assert_array_equal(c2, coords)
+    # dequant -> requant is exact (each row's max maps back to ±127)
+    from toad_tpu.ops.quantize import quantize_rows_np
+
+    xq2, sx2 = quantize_rows_np(out)
+    np.testing.assert_array_equal(xq, xq2)
+    np.testing.assert_allclose(sx, sx2, rtol=1e-6)
+
+
+def test_load_bag_quantized_rejects_non_int8(tmp_path):
+    from toad_tpu.data.bags import load_bag_quantized
+
+    np.savez(tmp_path / "plain.npz", features=np.zeros((4, 8), np.float32))
+    assert load_bag_quantized(tmp_path / "plain.npz") is None
+    np.save(tmp_path / "arr.npy", np.zeros((4, 8), np.float32))
+    assert load_bag_quantized(tmp_path / "arr.npy") is None
+
+
+def test_int8_bag_feeds_inference_passthrough(tmp_path):
+    """infer_feature_bag on an int8-stored bag (int8 inference) gives the
+    SAME prediction as the f32-stored bag through the int8 path — the
+    passthrough skips host requantization but not precision."""
+    import jax
+
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.data.bags import save_int8_bag
+    from toad_tpu.models.toad_mil import ToadMIL
+    from toad_tpu.pipeline.featurize import write_bag
+    from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag
+
+    cfg = ModelConfig(in_dim=64, n_classes=4)
+    params = ToadMIL(cfg).init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    feats = rng.randn(150, 64).astype(np.float32)
+    f32_p = tmp_path / "s_f32.npz"
+    i8_p = tmp_path / "s_i8.npz"
+    write_bag(f32_p, feats)
+    write_bag(i8_p, feats, int8=True)
+    assert i8_p.stat().st_size < f32_p.stat().st_size / 3  # ~4x smaller
+
+    inf = SlideInference(params, cfg, bucket_sizes=(256,), int8=True)
+    pred_i8, _ = infer_feature_bag(inf, i8_p, sex=1)
+    pred_f32, _ = infer_feature_bag(inf, f32_p, sex=1)
+    np.testing.assert_allclose(pred_i8.y_prob, pred_f32.y_prob, atol=1e-6)
+    assert pred_i8.y_hat == pred_f32.y_hat
+    # and the f32 engine consumes the int8 store transparently
+    inf_f = SlideInference(params, cfg, bucket_sizes=(256,))
+    pred_t, _ = infer_feature_bag(inf_f, i8_p, sex=1)
+    np.testing.assert_allclose(pred_t.y_prob, pred_f32.y_prob, atol=0.02)

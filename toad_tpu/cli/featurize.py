@@ -26,7 +26,9 @@ def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TOAD-TPU patch featurization")
     p.add_argument("--patch_dir", type=str, required=True, help="dir of {slide_id}.h5 patch files")
     p.add_argument("--feat_dir", type=str, required=True, help="output dir for feature bags")
-    p.add_argument("--format", type=str, choices=["h5", "npy", "npz", "pt"], default="h5")
+    p.add_argument("--format", type=str, choices=["h5", "npy", "npz", "pt", "int8"], default="h5",
+                   help="bag format; 'int8' writes row-quantized .npz bags (4x smaller, "
+                        "loads transparently, feeds --int8 inference without host requantization)")
     p.add_argument("--encoder", type=str, choices=["resnet50", "vit"], default="resnet50",
                    help="patch encoder family: truncated ResNet-50 or UNI-style ViT-L")
     p.add_argument("--weights", type=str, default=None,
@@ -85,12 +87,13 @@ def main(argv=None):
 
 def _run_all(args, files, feat_dir, embedder):
     total_patches, total_s = 0, 0.0
+    int8 = args.format == "int8"
     for i, src in enumerate(files):
-        out = feat_dir / f"{src.stem}.{args.format}"
+        out = feat_dir / f"{src.stem}.{'npz' if int8 else args.format}"
         if args.skip_done and out.exists():
             print(f"[{i + 1}/{len(files)}] {src.stem}: exists, skipped")
             continue
-        stats = featurize_patch_file(embedder, src, out)
+        stats = featurize_patch_file(embedder, src, out, int8=int8)
         total_patches += stats["n_patches"]
         total_s += stats["seconds"]
         print(

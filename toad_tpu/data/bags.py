@@ -85,8 +85,42 @@ def _sidecar_coords(path: Path) -> np.ndarray | None:
     return np.load(p) if p.exists() else None
 
 
+def save_int8_bag(path: str | os.PathLike, features: np.ndarray, coords: np.ndarray | None = None) -> None:
+    """Write a row-quantized int8 bag (.npz with ``features_int8`` [N, D]
+    int8 + ``scales`` [N] f32 [+ ``coords``]) — 4x smaller than f32 on disk,
+    and the int8 inference path consumes it without re-quantizing on the
+    host (``load_bag_quantized``). Beyond-reference capability; quantization
+    scheme: ``ops/quantize.py`` (dynamic per-row scales)."""
+    from toad_tpu.ops.quantize import quantize_rows_np
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if path.suffix.lower() != ".npz":
+        raise ValueError(f"int8 bags are .npz files, got {path}")
+    xq, scales = quantize_rows_np(np.asarray(features, np.float32))
+    payload = {"features_int8": xq, "scales": scales}
+    if coords is not None:
+        payload["coords"] = coords
+    np.savez(path, **payload)
+
+
+def load_bag_quantized(path: str | os.PathLike):
+    """(xq int8 [N, D], scales f32 [N], coords | None) from an int8 bag, or
+    ``None`` if the file isn't one — callers fall back to ``load_bag`` +
+    on-host quantization."""
+    path = Path(path)
+    if path.suffix.lower() != ".npz":
+        return None
+    z = np.load(path)
+    if "features_int8" not in z.files:
+        return None
+    return z["features_int8"], z["scales"], (z["coords"] if "coords" in z.files else None)
+
+
 def load_bag(path: str | os.PathLike, with_coords: bool = False):
-    """Load a feature bag [N, D] float array from any supported format."""
+    """Load a feature bag [N, D] float array from any supported format.
+    int8 bags (``save_int8_bag``) dequantize transparently so every f32
+    consumer keeps working."""
     path = Path(path)
     ext = path.suffix.lower()
     if ext == ".pt":
@@ -99,7 +133,10 @@ def load_bag(path: str | os.PathLike, with_coords: bool = False):
         return (feats, _sidecar_coords(path)) if with_coords else feats
     if ext == ".npz":
         z = np.load(path)
-        feats = z["features"] if "features" in z else z[z.files[0]]
+        if "features_int8" in z.files:
+            feats = z["features_int8"].astype(np.float32) * z["scales"][:, None]
+        else:
+            feats = z["features"] if "features" in z else z[z.files[0]]
         coords = z["coords"] if "coords" in z.files else None
         return (feats, coords) if with_coords else feats
     raise ValueError(f"unsupported bag format: {path}")

@@ -124,13 +124,27 @@ class TileEmbedder:
         return np.concatenate(feats, axis=0) if feats else np.zeros((0, self.config.out_dim), np.float32)
 
 
-def write_bag(path: str | os.PathLike, features: np.ndarray, coords: np.ndarray | None = None) -> None:
+def write_bag(
+    path: str | os.PathLike,
+    features: np.ndarray,
+    coords: np.ndarray | None = None,
+    int8: bool = False,
+) -> None:
     """Write a feature bag in the format implied by the extension
     (.h5 with features[+coords] — the reference's eval contract
-    (``dataset_mtl_concat.py:377-383``) — or .npy/.npz/.pt)."""
+    (``dataset_mtl_concat.py:377-383``) — or .npy/.npz/.pt). With
+    ``int8=True`` (requires .npz) rows are quantized on write
+    (``data/bags.py::save_int8_bag``): 4x smaller, loads transparently."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     ext = path.suffix.lower()
+    if int8:
+        if ext != ".npz":
+            raise ValueError(f"int8 bags are .npz files, got {path}")
+        from toad_tpu.data.bags import save_int8_bag
+
+        save_int8_bag(path, features, coords)
+        return
     if ext == ".h5":
         import h5py
 
@@ -162,6 +176,7 @@ def featurize_patch_file(
     src: str | os.PathLike,
     out: str | os.PathLike,
     progress: Callable[[int, int], None] | None = None,
+    int8: bool = False,
 ) -> dict[str, Any]:
     """One slide: patch h5 -> feature bag on disk. Returns throughput stats."""
     f, imgs, coords = read_patch_file(src)
@@ -170,7 +185,7 @@ def featurize_patch_file(
         with annotate("toad.featurize.slide"):
             feats = embedder.embed_all(imgs, progress=progress)  # numpy: already synced
         dt = time.perf_counter() - t0
-        write_bag(out, feats, coords)
+        write_bag(out, feats, coords, int8=int8)
     finally:
         f.close()
     n = int(feats.shape[0])

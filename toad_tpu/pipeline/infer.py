@@ -106,23 +106,37 @@ class SlideInference:
             # the host abs/max/rint pass over the zero padding would up to
             # double the work on this 1-core host for just-over-bucket bags.
             xq_rows, sx_rows = quantize_rows_np(feats32[:n])
-            xq = np.zeros((bucket, xq_rows.shape[1]), np.int8)
-            xq[:n] = xq_rows
-            sx = np.full((bucket,), 1.0 / 127.0, np.float32)
-            sx[:n] = sx_rows
-            mask = np.zeros((1, bucket), np.float32)
-            mask[0, :n] = 1.0
-            logits, site_logits, attention = self._fwd_int8(
-                self.params, self.qparams, jnp.asarray(xq[None]), jnp.asarray(sx[None]),
-                jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
-            )
-        else:
-            # the SAME pad/truncate policy as the training batcher, by construction
-            bag, bag_mask = _pad_bag(feats32, bucket)
-            logits, site_logits, attention = self._fwd(
-                self.params, jnp.asarray(bag[None]), jnp.asarray(bag_mask[None]),
-                jnp.asarray([sex], jnp.int32)
-            )
+            return self.predict_quantized(xq_rows, sx_rows, sex)
+        # the SAME pad/truncate policy as the training batcher, by construction
+        bag, bag_mask = _pad_bag(feats32, bucket)
+        logits, site_logits, attention = self._fwd(
+            self.params, jnp.asarray(bag[None]), jnp.asarray(bag_mask[None]),
+            jnp.asarray([sex], jnp.int32)
+        )
+        return self._finish(logits, site_logits, attention, n)
+
+    def predict_quantized(self, xq_rows: np.ndarray, sx_rows: np.ndarray, sex: int) -> SlidePrediction:
+        """Pre-quantized rows [n, D] int8 + [n] f32 scales -> prediction,
+        skipping the host quantization pass entirely (bags stored with
+        ``data/bags.py::save_int8_bag`` feed this directly). int8 mode only."""
+        if not self.int8:
+            raise ValueError("predict_quantized requires SlideInference(int8=True)")
+        bucket = bucket_for(int(xq_rows.shape[0]), self.buckets)
+        n = min(int(xq_rows.shape[0]), bucket)
+        xq = np.zeros((bucket, xq_rows.shape[1]), np.int8)
+        xq[:n] = xq_rows[:n]
+        sx = np.full((bucket,), 1.0 / 127.0, np.float32)
+        sx[:n] = np.asarray(sx_rows[:n], np.float32)
+        mask = np.zeros((1, bucket), np.float32)
+        mask[0, :n] = 1.0
+        logits, site_logits, attention = self._fwd_int8(
+            self.params, self.qparams, jnp.asarray(xq[None]), jnp.asarray(sx[None]),
+            jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
+        )
+        return self._finish(logits, site_logits, attention, n)
+
+    @staticmethod
+    def _finish(logits, site_logits, attention, n: int) -> SlidePrediction:
         y_prob = np.asarray(jax.nn.softmax(logits[0]))
         site_prob = np.asarray(jax.nn.softmax(site_logits[0]))
         # argmax for y_hat (ties -> lowest index, matching the eval engine's
@@ -165,9 +179,17 @@ def infer_feature_bag(
     bag_path: str | os.PathLike,
     sex: int,
 ) -> tuple[SlidePrediction, np.ndarray | None]:
-    """Inference straight from a precomputed feature bag (.pt/.h5/.npy)."""
-    from toad_tpu.data.bags import load_bag
+    """Inference straight from a precomputed feature bag (.pt/.h5/.npy).
+    int8-stored bags (``save_int8_bag``) feed the int8 path without a host
+    requantization pass; in f32 mode they dequantize transparently."""
+    from toad_tpu.data.bags import load_bag, load_bag_quantized
 
+    if inference.int8:
+        q = load_bag_quantized(bag_path)
+        if q is not None:
+            xq, sx, coords = q
+            pred = inference.predict_quantized(xq, sx, sex)
+            return pred, _align_coords(coords, pred)
     feats, coords = load_bag(bag_path, with_coords=True)
     pred = inference.predict(np.asarray(feats, np.float32), sex)
     return pred, _align_coords(coords, pred)
