@@ -351,6 +351,29 @@ def test_mesh_parallel_int8_serving(model_and_params):
             assert pa.y_hat == pb.y_hat
 
 
+def test_submit_quantized_matches_submit(model_and_params):
+    """Pre-quantized submission (int8 bag store passthrough) is bitwise the
+    same computation as handler-thread quantization of the same rows."""
+    from toad_tpu.ops.quantize import quantize_rows_np
+
+    cfg, params = model_and_params
+    rng = np.random.default_rng(13)
+    bags = _bags(rng, 4)
+    sc = ServeConfig(max_batch=4, max_wait_ms=5, bucket_sizes=BUCKETS, int8=True)
+    with DynamicBatcher(params, cfg, sc) as b:
+        for feats, sex in bags:
+            xq, sx = quantize_rows_np(np.asarray(feats, np.float32))
+            pa = b.submit_quantized(xq, sx, sex).result(timeout=120)
+            pb = b.submit(feats, sex).result(timeout=120)
+            np.testing.assert_allclose(pa.y_prob, pb.y_prob, atol=1e-6)
+            assert pa.y_hat == pb.y_hat
+        with pytest.raises(ValueError, match="scales"):
+            b.submit_quantized(np.zeros((8, cfg.in_dim), np.int8), np.ones(7, np.float32), 0)
+    with DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=BUCKETS)) as bf:
+        with pytest.raises(ValueError, match="int8"):
+            bf.submit_quantized(np.zeros((8, cfg.in_dim), np.int8), np.ones(8, np.float32), 0)
+
+
 def test_mesh_rejects_indivisible_buckets(model_and_params):
     from toad_tpu.parallel.mesh import make_mesh
 

@@ -212,6 +212,39 @@ class DynamicBatcher:
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(features, sex, attention).result()
 
+    def submit_quantized(
+        self, xq: np.ndarray, scales: np.ndarray, sex: int, attention: bool | None = None
+    ) -> Future:
+        """int8 mode only: enqueue pre-quantized rows ``[n, D]`` int8 +
+        ``[n]`` f32 scales (e.g. from an int8 bag store,
+        ``data/bags.py::load_bag_quantized``), skipping the handler-thread
+        quantization pass."""
+        if not self.cfg.int8:
+            raise ValueError("submit_quantized requires ServeConfig(int8=True)")
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
+        xq = np.asarray(xq, np.int8)
+        scales = np.asarray(scales, np.float32)
+        if xq.ndim != 2 or xq.shape[1] != self.model.config.in_dim:
+            raise ValueError(f"xq must be [n_patches, {self.model.config.in_dim}] int8, got {xq.shape}")
+        if scales.shape != (xq.shape[0],):
+            raise ValueError(f"scales must be [{xq.shape[0]}], got {scales.shape}")
+        n = int(xq.shape[0])
+        if n == 0:
+            raise ValueError("empty bag")
+        bucket = bucket_for(n, self.buckets)
+        if n > bucket:
+            xq, scales, n = xq[:bucket], scales[:bucket], bucket
+        fut: Future = Future()
+        want_attn = self.cfg.need_attention if attention is None else bool(attention)
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("batcher is closed")
+            with self._stats_lock:
+                self._requests += 1
+            self._queue.put(_Request(xq, n, bucket, int(sex), want_attn, fut, scales))
+        return fut
+
     def stats(self) -> BatcherStats:
         with self._stats_lock:
             return BatcherStats(self._requests, self._batches, self._batched, self._padded)

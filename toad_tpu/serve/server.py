@@ -113,11 +113,19 @@ class InferenceService:
         return self._to_json(pred, top_k, attention)
 
     def predict_bag(self, bag_path, sex: int, top_k: int = 5, attention: bool = False) -> dict:
-        from toad_tpu.data.bags import load_bag
+        from toad_tpu.data.bags import load_bag, load_bag_quantized
 
         bag_path = self._resolve_bag_path(bag_path)
         if not bag_path.exists():
             raise FileNotFoundError(f"feature bag not found: {bag_path}")
+        if self.batcher.cfg.int8:
+            # int8-stored bags skip the handler-thread quantization pass
+            # (exact: the stored rows ARE the quantized rows)
+            q = load_bag_quantized(bag_path)
+            if q is not None:
+                xq, sx, _ = q
+                pred = self.batcher.submit_quantized(xq, sx, sex, attention=attention).result()
+                return self._to_json(pred, top_k, attention)
         feats, _ = load_bag(bag_path, with_coords=True)
         return self.predict_features(np.asarray(feats, np.float32), sex, top_k, attention)
 
