@@ -158,6 +158,37 @@ def test_train_missing_splits_errors(cli_env):
         os.chdir(cwd)
 
 
+def test_validate_cli(cli_env, tmp_path, capsys):
+    """validate: clean store passes (rc 0) with sane stats + ladder; a
+    missing bag and a dim-mismatched bag flip it to rc 1 with both listed."""
+    import json as _json
+    import shutil
+
+    from toad_tpu.cli import validate
+
+    root = cli_env
+    # work on a copy so the shared fixture stays intact
+    bags = tmp_path / "bags"
+    shutil.copytree(root / "bags", bags)
+    task_json = str(root / "tasks" / "dummy_mtl_concat.json")
+    argv = ["--task", task_json, "--data_root_dir", str(bags), "--encoding_size", "64"]
+
+    assert validate.main(argv) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["n_missing"] == 0 and rep["n_dim_mismatch"] == 0
+    assert rep["patch_counts"]["min"] >= 32 and rep["patch_counts"]["max"] <= 128
+    assert all(b % 128 == 0 for b in rep["bucket_ladder_suggested"])
+    assert rep["padding_overhead_suggested"] <= rep["padding_overhead_default"] + 1e-9
+
+    victims = sorted(bags.glob("*.npy"))[:2]
+    victims[0].unlink()  # missing bag
+    np.save(victims[1], np.zeros((40, 32), np.float32))  # wrong dim
+    assert validate.main(argv) == 1
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["n_missing"] == 1 and rep["n_dim_mismatch"] == 1
+    assert victims[1].name in rep["dim_mismatch"][0]
+
+
 def test_unified_dispatcher(capsys):
     """python -m toad_tpu <command> routes to the per-command mains."""
     from toad_tpu.__main__ import COMMANDS, main

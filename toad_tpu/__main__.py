@@ -21,6 +21,7 @@ COMMANDS = {
     "serve": ("toad_tpu.cli.serve", "online prediction HTTP server (dynamic batching)"),
     "export": ("toad_tpu.cli.export", "checkpoint -> reference torch state_dict layout"),
     "make-dummy": ("toad_tpu.cli.make_dummy", "synthetic dataset fixtures"),
+    "validate": ("toad_tpu.cli.validate", "pre-flight dataset + bag-store checks"),
 }
 
 
