@@ -51,18 +51,26 @@ def _time_best(call, runs: int = 3) -> float:
     return min(times)
 
 
-def _chained_forward(model, k: int, b: int, n: int):
+def _chained_forward(model, b: int, n: int, k: int | None = None, real_rows: int | None = None):
     """K serially-dependent forwards over device-generated bf16 bags in one
-    jitted fori_loop (see module docstring for why)."""
+    jitted fori_loop (see module docstring for why). This is THE measurement
+    harness — every variant below must route through it so the serial-dep
+    bump trick can't drift between copies.
+
+    ``k=None`` returns ``fn(params, key, k)`` with a *dynamic* chain length
+    (one compile for any k); otherwise ``fn(params, key)`` with k baked in.
+    ``real_rows`` masks a ragged bag padded into the ``n`` bucket."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def fn(params, key):
+    def run(params, key, kk):
         # bf16-resident features: production bags live on device in bf16
         # (half the HBM traffic of f32; the model computes in bf16 anyway)
         feats = jax.random.normal(key, (b, n, DIM), jnp.float32).astype(jnp.bfloat16)
-        mask = jnp.ones((b, n), jnp.float32)
+        if real_rows is None:
+            mask = jnp.ones((b, n), jnp.float32)
+        else:
+            mask = (jnp.arange(n)[None, :] < real_rows).astype(jnp.float32) * jnp.ones((b, 1))
         sex = jnp.zeros((b,), jnp.int32)
 
         def body(_, carry):
@@ -71,10 +79,12 @@ def _chained_forward(model, k: int, b: int, n: int):
             bump = ((out.y_prob.sum() + out.site_prob.sum()) * 1e-12).astype(jnp.bfloat16)
             return (f + bump, acc + out.y_prob.sum())
 
-        _, acc = jax.lax.fori_loop(0, k, body, (feats, jnp.float32(0)))
+        _, acc = jax.lax.fori_loop(0, kk, body, (feats, jnp.float32(0)))
         return acc
 
-    return fn
+    if k is None:
+        return jax.jit(run)
+    return jax.jit(lambda params, key: run(params, key, k))
 
 
 def bench_ours() -> dict:
@@ -88,7 +98,7 @@ def bench_ours() -> dict:
     params = model.init(jax.random.PRNGKey(0))
 
     def chained(k, b):
-        return _chained_forward(model, k=k, b=b, n=BAG_N)
+        return _chained_forward(model, b=b, n=BAG_N, k=k)
 
     # throughput: B bags x CHAIN serial iterations, inputs device-generated
     fn = chained(CHAIN, BATCH)
@@ -155,31 +165,14 @@ def bench_ragged() -> dict:
     padding, which the Pallas kernels skip via their block-skip gate).
     Same chained harness as bench_ours, partial mask."""
     import jax
-    import jax.numpy as jnp
 
     from toad_tpu.config import ModelConfig
     from toad_tpu.models.toad_mil import ToadMIL
 
-    real_rows = 4608
     cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16", use_pallas=True)
     model = ToadMIL(cfg)
     params = model.init(jax.random.PRNGKey(0))
-
-    @jax.jit
-    def fn(params, key):
-        feats = jax.random.normal(key, (BATCH, BAG_N, DIM), jnp.float32).astype(jnp.bfloat16)
-        mask = (jnp.arange(BAG_N)[None, :] < real_rows).astype(jnp.float32) * jnp.ones((BATCH, 1))
-        sex = jnp.zeros((BATCH,), jnp.int32)
-
-        def body(_, carry):
-            f, acc = carry
-            out = model.apply(params, f, mask, sex, train=False, need_attention=False)
-            bump = ((out.y_prob.sum() + out.site_prob.sum()) * 1e-12).astype(jnp.bfloat16)
-            return (f + bump, acc + out.y_prob.sum())
-
-        _, acc = jax.lax.fori_loop(0, CHAIN, body, (feats, jnp.float32(0)))
-        return acc
-
+    fn = _chained_forward(model, b=BATCH, n=BAG_N, k=CHAIN, real_rows=4608)
     t = _time_best(lambda i: float(fn(params, jax.random.PRNGKey(2 + i))))
     return {"ragged_4608_slides_per_sec": BATCH * CHAIN / t}
 
@@ -195,7 +188,6 @@ def _single_bag_latency(n: int, key_prefix: str) -> dict:
       loop actually pays). One compile: the fori_loop bound is dynamic.
     """
     import jax
-    import jax.numpy as jnp
 
     from toad_tpu.config import ModelConfig
     from toad_tpu.models.toad_mil import ToadMIL
@@ -203,21 +195,7 @@ def _single_bag_latency(n: int, key_prefix: str) -> dict:
     cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16", use_pallas=True)
     model = ToadMIL(cfg)
     params = model.init(jax.random.PRNGKey(0))
-
-    @jax.jit
-    def fn(params, key, k):
-        feats = jax.random.normal(key, (1, n, DIM), jnp.float32).astype(jnp.bfloat16)
-        mask = jnp.ones((1, n), jnp.float32)
-        sex = jnp.zeros((1,), jnp.int32)
-
-        def body(_, carry):
-            f, acc = carry
-            out = model.apply(params, f, mask, sex, train=False, need_attention=False)
-            bump = ((out.y_prob.sum() + out.site_prob.sum()) * 1e-12).astype(jnp.bfloat16)
-            return (f + bump, acc + out.y_prob.sum())
-
-        _, acc = jax.lax.fori_loop(0, k, body, (feats, jnp.float32(0)))
-        return acc
+    fn = _chained_forward(model, b=1, n=n)  # k=None: dynamic chain length, one compile
 
     k1, k2 = 8, 32
     t1 = _time_best(lambda i: float(fn(params, jax.random.PRNGKey(2 + i), k1)))

@@ -189,6 +189,26 @@ def test_validate_cli(cli_env, tmp_path, capsys):
     assert victims[1].name in rep["dim_mismatch"][0]
 
 
+def test_validate_bag_shape_npz_header_only(tmp_path, monkeypatch):
+    """bag_shape on .npz (f32 and int8 stores) reads zip member *headers*
+    only — the metadata-only contract; a full np.load would do O(store size)
+    IO during pre-flight."""
+    from toad_tpu.cli.validate import bag_shape
+    from toad_tpu.data.bags import save_int8_bag
+
+    f32 = tmp_path / "a.npz"
+    np.savez(f32, features=np.zeros((7, 64), np.float32))
+    q = tmp_path / "b.npz"
+    save_int8_bag(q, np.random.RandomState(0).randn(9, 64).astype(np.float32))
+
+    def _no_full_load(*a, **k):
+        raise AssertionError("bag_shape must not np.load() an .npz payload")
+
+    monkeypatch.setattr(np, "load", _no_full_load)
+    assert tuple(bag_shape(f32)) == (7, 64)
+    assert tuple(bag_shape(q)) == (9, 64)
+
+
 def test_unified_dispatcher(capsys):
     """python -m toad_tpu <command> routes to the per-command mains."""
     from toad_tpu.__main__ import COMMANDS, main

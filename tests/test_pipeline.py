@@ -185,6 +185,42 @@ def test_featurize_cli(tmp_path, encoder_params, monkeypatch):
         assert feats.shape == (20, 1024)
 
 
+def test_featurize_skip_done_format_aware(tmp_path, monkeypatch, capsys):
+    """--skip_done must not treat an f32 .npz as the int8 output (same
+    extension, different payload), and stale bags in higher-priority formats
+    are reported as shadowing the new store."""
+    import zipfile
+
+    patch_dir = tmp_path / "patches"
+    patch_dir.mkdir()
+    _write_patch_h5(patch_dir / "s.h5", n=12, seed=0)
+    feat_dir = tmp_path / "feats"
+    import toad_tpu.cli.featurize as fcli
+
+    monkeypatch.setattr(
+        fcli, "EncoderConfig", lambda **kw: EncoderConfig(blocks=(1, 1, 1), **kw)
+    )
+    base = ["--patch_dir", str(patch_dir), "--feat_dir", str(feat_dir),
+            "--batch_size", "8", "--no_bf16"]
+    fcli.main(base + ["--format", "npz"])
+    assert "features.npy" in zipfile.ZipFile(feat_dir / "s.npz").namelist()
+
+    # int8 + --skip_done over the f32 store: must re-featurize, not skip
+    fcli.main(base + ["--format", "int8", "--skip_done"])
+    assert "features_int8.npy" in zipfile.ZipFile(feat_dir / "s.npz").namelist()
+    capsys.readouterr()
+
+    # now it really is done: skipped
+    fcli.main(base + ["--format", "int8", "--skip_done"])
+    assert "exists, skipped" in capsys.readouterr().out
+
+    # a stale .npy would shadow the .npz at load time (bag_path preference)
+    np.save(feat_dir / "s.npy", np.zeros((3, 1024), np.float32))
+    fcli.main(base + ["--format", "int8"])
+    out = capsys.readouterr().out
+    assert "WARNING" in out and '"shadowed_stale_bags": 1' in out
+
+
 def test_predict_cli_bulk(tmp_path, capsys):
     """Unlabeled bulk prediction: bags dir + manifest -> predictions CSV."""
     import pandas as pd

@@ -369,6 +369,13 @@ def test_submit_quantized_matches_submit(model_and_params):
             assert pa.y_hat == pb.y_hat
         with pytest.raises(ValueError, match="scales"):
             b.submit_quantized(np.zeros((8, cfg.in_dim), np.int8), np.ones(7, np.float32), 0)
+        # a float bag passed by mistake must be rejected, not truncated to
+        # garbage int8 and served as a confident wrong answer
+        with pytest.raises(TypeError, match="int8"):
+            b.submit_quantized(
+                rng.standard_normal((8, cfg.in_dim)).astype(np.float32),
+                np.ones(8, np.float32), 0,
+            )
     with DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=BUCKETS)) as bf:
         with pytest.raises(ValueError, match="int8"):
             bf.submit_quantized(np.zeros((8, cfg.in_dim), np.int8), np.ones(8, np.float32), 0)

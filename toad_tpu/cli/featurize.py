@@ -85,12 +85,35 @@ def main(argv=None):
         _run_all(args, files, feat_dir, embedder)
 
 
+def _bag_matches_format(path: Path, int8: bool) -> bool:
+    """Does an existing bag file actually hold the requested format?
+    int8 and f32 bags share the .npz extension, so --skip_done must look
+    inside (zip member names only) rather than trust the filename."""
+    if path.suffix != ".npz":
+        return not int8
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(path) as zf:
+            return ("features_int8.npy" in zf.namelist()) == int8
+    except Exception:
+        return False  # corrupt/partial: re-featurize
+
+
 def _run_all(args, files, feat_dir, embedder):
     total_patches, total_s = 0, 0.0
     int8 = args.format == "int8"
+    ext = "npz" if int8 else args.format
+    # data/bags.py::bag_path resolves {stem}.pt before .h5/.npy/.npz — a
+    # stale bag in a higher-priority format would silently shadow the new one
+    shadow_exts = {"pt": [], "h5": ["pt"], "npy": ["pt", "h5"],
+                   "npz": ["pt", "h5", "npy"], "int8": ["pt", "h5", "npy"]}[args.format]
+    shadowed = []
     for i, src in enumerate(files):
-        out = feat_dir / f"{src.stem}.{'npz' if int8 else args.format}"
-        if args.skip_done and out.exists():
+        out = feat_dir / f"{src.stem}.{ext}"
+        stale = [feat_dir / f"{src.stem}.{e}" for e in shadow_exts]
+        shadowed.extend(str(p) for p in stale if p.exists())
+        if args.skip_done and out.exists() and _bag_matches_format(out, int8):
             print(f"[{i + 1}/{len(files)}] {src.stem}: exists, skipped")
             continue
         stats = featurize_patch_file(embedder, src, out, int8=int8)
@@ -100,10 +123,17 @@ def _run_all(args, files, feat_dir, embedder):
             f"[{i + 1}/{len(files)}] {src.stem}: {stats['n_patches']} patches "
             f"in {stats['seconds']:.2f}s ({stats['patches_per_s']:.0f} patches/s) -> {out}"
         )
+    if shadowed:
+        print(
+            f"WARNING: {len(shadowed)} stale bag(s) in other formats shadow the "
+            f".{ext} output at load time (bag_path prefers .pt/.h5/.npy) — delete "
+            f"them to use the new bags: {shadowed[:5]}{' ...' if len(shadowed) > 5 else ''}"
+        )
     print(json.dumps({
         "slides": len(files),
         "patches": total_patches,
         "patches_per_s": total_patches / total_s if total_s else 0.0,
+        "shadowed_stale_bags": len(shadowed),
         "device": str(jax.devices()[0]),
     }))
 

@@ -10,8 +10,9 @@ metadata (labels are already validated loudly at load — LabelVocabularyError):
 - feature dims match ``--encoding_size`` (header/metadata reads only —
   no full-bag IO: .npy via mmap, .h5 via dataset shape, .pt via the native
   resolver's metadata parse, .npz member headers),
-- patch-count distribution + a suggested bucket ladder (pow2-rounded
-  quantiles) with the padding overhead of the current vs suggested ladder.
+- patch-count distribution + a suggested bucket ladder (quantiles rounded
+  up to multiples of 128, the Pallas tile constraint) with the padding
+  overhead of the current vs suggested ladder.
 
 Exit status 1 when anything is missing/mismatched, so it gates pipelines.
 """
@@ -56,10 +57,24 @@ def bag_shape(path: Path):
 
         return load_pt_tensor(path).shape
     if ext == ".npz":
-        z = np.load(path)
-        key = "features_int8" if "features_int8" in z.files else (
-            "features" if "features" in z.files else z.files[0])
-        return z[key].shape
+        # member *header* read only — np.load(path)[key] would pull the whole
+        # array payload through the zip layer, O(store size) for a pre-flight
+        import zipfile
+
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+            member = next(
+                (w for w in ("features_int8.npy", "features.npy") if w in names),
+                names[0],
+            )
+            with zf.open(member) as fp:
+                version = np.lib.format.read_magic(fp)
+                read_header = {
+                    (1, 0): np.lib.format.read_array_header_1_0,
+                    (2, 0): np.lib.format.read_array_header_2_0,
+                }[version]
+                shape, _, _ = read_header(fp)
+        return shape
     raise ValueError(f"unsupported bag format: {path}")
 
 
@@ -102,6 +117,7 @@ def main(argv=None) -> int:
             continue
         if d != args.encoding_size:
             bad_dim.append(f"{p} (dim {d})")
+            continue  # unusable until re-featurized: keep it out of the ladder stats
         counts.append(n)
 
     counts = np.asarray(counts)
@@ -111,7 +127,7 @@ def main(argv=None) -> int:
     suggested = suggest_buckets(counts)
     report = {
         "n_slides": int(ds.n_slides),
-        "n_ok": int(len(counts)) - len(bad_dim),
+        "n_ok": int(len(counts)),
         "n_missing": len(missing),
         "n_dim_mismatch": len(bad_dim),
         "missing": missing[: args.max_report],

@@ -188,9 +188,9 @@ class DynamicBatcher:
         n = int(features.shape[0])
         if n == 0:
             raise ValueError("empty bag")
-        bucket = bucket_for(n, self.buckets)
-        if n > bucket:  # longer than the largest bucket: head-truncate (batcher policy)
-            features, n = features[:bucket], bucket
+        top = self.buckets[-1]
+        if n > top:  # truncate before quantizing so dropped rows aren't quantized
+            features, n = features[:top], top
         scales = None
         if self.cfg.int8:
             # quantize here, on the HANDLER thread: spreads the quant cost
@@ -198,15 +198,7 @@ class DynamicBatcher:
             from toad_tpu.ops.quantize import quantize_rows_np
 
             features, scales = quantize_rows_np(features)
-        fut: Future = Future()
-        want_attn = self.cfg.need_attention if attention is None else bool(attention)
-        with self._submit_lock:
-            if self._stop.is_set():
-                raise RuntimeError("batcher is closed")
-            with self._stats_lock:
-                self._requests += 1
-            self._queue.put(_Request(features, n, bucket, int(sex), want_attn, fut, scales))
-        return fut
+        return self._enqueue(features, scales, n, int(sex), attention)
 
     def predict(self, features: np.ndarray, sex: int, attention: bool | None = None) -> SlidePrediction:
         """Blocking convenience wrapper around :meth:`submit`."""
@@ -223,7 +215,14 @@ class DynamicBatcher:
             raise ValueError("submit_quantized requires ServeConfig(int8=True)")
         if self._stop.is_set():
             raise RuntimeError("batcher is closed")
-        xq = np.asarray(xq, np.int8)
+        xq = np.asarray(xq)
+        if xq.dtype != np.int8:
+            # a float bag passed here by mistake would truncate to garbage
+            # int8 values and be served as a confident wrong answer
+            raise TypeError(
+                f"submit_quantized expects int8 rows (use submit() for float "
+                f"features), got dtype {xq.dtype}"
+            )
         scales = np.asarray(scales, np.float32)
         if xq.ndim != 2 or xq.shape[1] != self.model.config.in_dim:
             raise ValueError(f"xq must be [n_patches, {self.model.config.in_dim}] int8, got {xq.shape}")
@@ -232,9 +231,20 @@ class DynamicBatcher:
         n = int(xq.shape[0])
         if n == 0:
             raise ValueError("empty bag")
+        return self._enqueue(xq, scales, n, int(sex), attention)
+
+    def _enqueue(
+        self, features: np.ndarray, scales: np.ndarray | None, n: int, sex: int,
+        attention: bool | None,
+    ) -> Future:
+        """Shared submit tail: bucket + head-truncate, then the close-race-safe
+        enqueue (the _submit_lock re-check keeps a submit that passed the
+        is_set() check from enqueueing after close()'s final drain)."""
         bucket = bucket_for(n, self.buckets)
-        if n > bucket:
-            xq, scales, n = xq[:bucket], scales[:bucket], bucket
+        if n > bucket:  # longer than the largest bucket: head-truncate (batcher policy)
+            features, n = features[:bucket], bucket
+            if scales is not None:
+                scales = scales[:bucket]
         fut: Future = Future()
         want_attn = self.cfg.need_attention if attention is None else bool(attention)
         with self._submit_lock:
@@ -242,7 +252,7 @@ class DynamicBatcher:
                 raise RuntimeError("batcher is closed")
             with self._stats_lock:
                 self._requests += 1
-            self._queue.put(_Request(xq, n, bucket, int(sex), want_attn, fut, scales))
+            self._queue.put(_Request(features, n, bucket, sex, want_attn, fut, scales))
         return fut
 
     def stats(self) -> BatcherStats:
