@@ -75,11 +75,19 @@ def test_full_cli_pipeline(cli_env, tmp_path):
                 "--k_end", "1",
                 "--batch_size", "4",
                 "--encoding_size", "64",
+                "--bootstrap", "50",
             ]
         )
         assert len(edf) == 1
         fold_csv = root / "eval_results" / "EVAL_smoke_eval" / "fold_0.csv"
         assert fold_csv.exists()
+        import json as _json
+
+        cis = _json.loads((root / "eval_results" / "EVAL_smoke_eval" / "fold_0_ci.json").read_text())
+        assert set(cis) == {"cls_auc", "cls_acc", "cls_top3_acc", "site_auc"}
+        ci = cis["cls_auc"]
+        assert ci["lo"] <= edf["cls_test_auc"].iloc[0] <= ci["hi"]
+        assert ci["n_valid"] == ci["n_boot"] == 50
         fdf = pd.read_csv(fold_csv)
         assert list(fdf.columns[:6]) == ["slide_id", "sex", "Y", "Y_hat", "site", "site_hat"]
         assert "p_17" in fdf.columns and "site_p" in fdf.columns

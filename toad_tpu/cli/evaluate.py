@@ -41,6 +41,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true", default=False,
                    help="quantized pooling fast path (int8 MXU GEMMs; heads/metrics stay f32)")
     p.add_argument("--patient_bags", action="store_true", default=False, help="concat each patient's slides into one bag")
+    p.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                   help="N slide-resampling bootstrap draws -> 95%% CIs for the headline "
+                        "metrics, written to fold_{k}_ci.json (the paper reports CIs; "
+                        "the reference repo computes none)")
     return p
 
 
@@ -114,6 +118,19 @@ def main(argv=None):
             print(f"class {ci} auc: {auc}")
         print(f"fold {fold}: cls_auc {res.cls_auc:.4f} acc {res.cls_acc:.4f} site_auc {res.site_auc:.4f}")
         res.df.to_csv(save_dir / f"fold_{fold}.csv", index=False)
+        if args.bootstrap > 0:
+            import json
+
+            from toad_tpu.evaluate.engine import bootstrap_result_cis
+
+            cis = bootstrap_result_cis(
+                res, task.n_classes[0],
+                n_boot=args.bootstrap, micro_average=args.micro_average,
+            )
+            (save_dir / f"fold_{fold}_ci.json").write_text(json.dumps(cis, indent=2))
+            for m, ci in cis.items():
+                print(f"fold {fold}: {m} 95% CI [{ci['lo']:.4f}, {ci['hi']:.4f}] "
+                      f"(mean {ci['mean']:.4f}, {ci['n_valid']}/{ci['n_boot']} valid draws)")
         rows.append(
             {
                 "folds": fold,

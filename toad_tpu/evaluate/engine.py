@@ -118,6 +118,34 @@ def evaluate_split(
     )
 
 
+def bootstrap_result_cis(
+    res: EvalResult,
+    n_classes: int,
+    *,
+    n_boot: int = 1000,
+    seed: int = 1,
+    alpha: float = 0.05,
+    micro_average: bool = False,
+) -> dict[str, dict[str, float]]:
+    """Percentile-bootstrap CIs for an :class:`EvalResult`, resampling its
+    per-slide dataframe (see :func:`toad_tpu.evaluate.metrics.bootstrap_cis`)."""
+    from toad_tpu.evaluate.metrics import bootstrap_cis
+
+    df = res.df
+    probs = df[[f"p_{c}" for c in range(n_classes)]].to_numpy()
+    return bootstrap_cis(
+        df["Y"].to_numpy(),
+        probs,
+        df["site"].to_numpy(),
+        df["site_p"].to_numpy(),
+        preds=df["Y_hat"].to_numpy(),
+        n_boot=n_boot,
+        seed=seed,
+        alpha=alpha,
+        micro_average=micro_average,
+    )
+
+
 def evaluate_checkpoint(
     ckpt_path: str | Path,
     split,

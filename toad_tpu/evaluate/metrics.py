@@ -86,6 +86,71 @@ def error_rate(preds: np.ndarray, labels: np.ndarray) -> float:
     return float(1.0 - (preds == labels).mean())
 
 
+def bootstrap_cis(
+    labels: np.ndarray,
+    probs: np.ndarray,
+    site_labels: np.ndarray,
+    site_scores: np.ndarray,
+    *,
+    preds: np.ndarray | None = None,
+    n_boot: int = 1000,
+    seed: int = 1,
+    alpha: float = 0.05,
+    micro_average: bool = False,
+) -> dict[str, dict[str, float]]:
+    """Nonparametric percentile-bootstrap confidence intervals over slides
+    for the headline metrics (cls AUC/acc/top-3, site AUC).
+
+    The TOAD paper reports 95% CIs for its AUCs but the reference repo
+    computes none (point estimates only, ``eval_utils_mtl_concat.py:
+    119-160``). Slides are resampled with replacement ``n_boot`` times;
+    resamples where a metric is undefined (a class vanished from the draw)
+    are excluded per-metric via nan-aware percentiles — mirroring the
+    absent-class nan semantics of :func:`ovr_aucs`.
+    """
+    labels = np.asarray(labels).astype(np.int64)
+    probs = np.asarray(probs, np.float64)
+    site_labels = np.asarray(site_labels).astype(np.int64)
+    site_scores = np.asarray(site_scores, np.float64)
+    n, n_classes = probs.shape
+    preds = probs.argmax(1) if preds is None else np.asarray(preds).astype(np.int64)
+
+    if n_classes == 2:
+        def cls_auc_fn(y, p):
+            return binary_auc(y, p[:, 1])
+    elif micro_average:
+        def cls_auc_fn(y, p):
+            return micro_ovr_auc(y, p, n_classes)
+    else:
+        def cls_auc_fn(y, p):
+            return macro_ovr_auc(y, p, n_classes)
+
+    rng = np.random.RandomState(seed)
+    names = ("cls_auc", "cls_acc", "cls_top3_acc", "site_auc")
+    draws = {k: np.empty(n_boot) for k in names}
+    top3_k = min(3, n_classes)
+    for b in range(n_boot):
+        idx = rng.randint(0, n, n)
+        y, p = labels[idx], probs[idx]
+        draws["cls_auc"][b] = cls_auc_fn(y, p)
+        draws["cls_acc"][b] = float((preds[idx] == y).mean())
+        draws["cls_top3_acc"][b] = topk_accuracy(p, y, ks=(top3_k,))[top3_k]
+        draws["site_auc"][b] = binary_auc(site_labels[idx], site_scores[idx])
+
+    lo_q, hi_q = 100 * alpha / 2, 100 * (1 - alpha / 2)
+    out: dict[str, dict[str, float]] = {}
+    for k, v in draws.items():
+        valid = int(np.isfinite(v).sum())
+        out[k] = {
+            "mean": float(np.nanmean(v)) if valid else float("nan"),
+            "lo": float(np.nanpercentile(v, lo_q)) if valid else float("nan"),
+            "hi": float(np.nanpercentile(v, hi_q)) if valid else float("nan"),
+            "n_boot": n_boot,
+            "n_valid": valid,
+        }
+    return out
+
+
 class AccuracyLogger:
     """Per-class correct/count tallies (true-positive rate per class)."""
 
