@@ -88,6 +88,13 @@ def test_full_cli_pipeline(cli_env, tmp_path):
         ci = cis["cls_auc"]
         assert ci["lo"] <= edf["cls_test_auc"].iloc[0] <= ci["hi"]
         assert ci["n_valid"] == ci["n_boot"] == 50
+        # CIs land in the summary row, and the confusion matrix is written
+        assert edf["cls_auc_ci_lo"].iloc[0] == ci["lo"]
+        cm = pd.read_csv(root / "eval_results" / "EVAL_smoke_eval" / "fold_0_confusion.csv", index_col=0)
+        assert cm.shape == (18, 18) and "Esophagogastric" in cm.index
+        fdf0 = pd.read_csv(fold_csv)
+        assert int(cm.to_numpy().sum()) == len(fdf0)
+        assert int(np.diag(cm.to_numpy()).sum()) == int((fdf0["Y"] == fdf0["Y_hat"]).sum())
         fdf = pd.read_csv(fold_csv)
         assert list(fdf.columns[:6]) == ["slide_id", "sex", "Y", "Y_hat", "site", "site_hat"]
         assert "p_17" in fdf.columns and "site_p" in fdf.columns

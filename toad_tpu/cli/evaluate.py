@@ -118,6 +118,20 @@ def main(argv=None):
             print(f"class {ci} auc: {auc}")
         print(f"fold {fold}: cls_auc {res.cls_auc:.4f} acc {res.cls_acc:.4f} site_auc {res.site_auc:.4f}")
         res.df.to_csv(save_dir / f"fold_{fold}.csv", index=False)
+
+        # confusion matrix (true rows x predicted cols, canonical class names)
+        # — the reference only prints per-class TPR (core_utils:242-259)
+        import numpy as np
+
+        from toad_tpu.utils import invert_labels
+
+        n_cls = task.n_classes[0]
+        names = [invert_labels(task.label_dicts[0]).get(c, str(c)) for c in range(n_cls)]
+        cm = np.zeros((n_cls, n_cls), dtype=np.int64)
+        np.add.at(cm, (res.df["Y"].astype(int), res.df["Y_hat"].astype(int)), 1)
+        pd.DataFrame(cm, index=names, columns=names).to_csv(save_dir / f"fold_{fold}_confusion.csv")
+
+        ci_cols = {}
         if args.bootstrap > 0:
             import json
 
@@ -131,6 +145,9 @@ def main(argv=None):
             for m, ci in cis.items():
                 print(f"fold {fold}: {m} 95% CI [{ci['lo']:.4f}, {ci['hi']:.4f}] "
                       f"(mean {ci['mean']:.4f}, {ci['n_valid']}/{ci['n_boot']} valid draws)")
+            ci_cols = {
+                f"{m}_ci_lo": ci["lo"] for m, ci in cis.items()
+            } | {f"{m}_ci_hi": ci["hi"] for m, ci in cis.items()}
         rows.append(
             {
                 "folds": fold,
@@ -140,6 +157,7 @@ def main(argv=None):
                 "cls_top5_acc": res.topk.get(5, float("nan")),
                 "site_test_auc": res.site_auc,
                 "site_test_acc": res.site_acc,
+                **ci_cols,
             }
         )
 
