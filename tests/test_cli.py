@@ -76,6 +76,7 @@ def test_full_cli_pipeline(cli_env, tmp_path):
                 "--batch_size", "4",
                 "--encoding_size", "64",
                 "--bootstrap", "50",
+                "--calibrate",
             ]
         )
         assert len(edf) == 1
@@ -95,6 +96,10 @@ def test_full_cli_pipeline(cli_env, tmp_path):
         fdf0 = pd.read_csv(fold_csv)
         assert int(cm.to_numpy().sum()) == len(fdf0)
         assert int(np.diag(cm.to_numpy()).sum()) == int((fdf0["Y"] == fdf0["Y_hat"]).sum())
+        cal = _json.loads((root / "eval_results" / "EVAL_smoke_eval" / "fold_0_calibration.json").read_text())
+        # T minimizes val NLL (ECE usually improves too, but isn't the objective)
+        assert cal["temperature"] > 0 and cal["val_ece_after"] <= cal["val_ece_before"] + 0.05
+        assert {"ece_before", "ece_after", "nll_before", "nll_after"} <= set(cal)
         fdf = pd.read_csv(fold_csv)
         assert list(fdf.columns[:6]) == ["slide_id", "sex", "Y", "Y_hat", "site", "site_hat"]
         assert "p_17" in fdf.columns and "site_p" in fdf.columns

@@ -45,6 +45,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="N slide-resampling bootstrap draws -> 95%% CIs for the headline "
                         "metrics, written to fold_{k}_ci.json (the paper reports CIs; "
                         "the reference repo computes none)")
+    p.add_argument("--calibrate", action="store_true", default=False,
+                   help="fit temperature scaling on the fold's val split and report "
+                        "ECE/NLL before/after on the evaluated split "
+                        "(fold_{k}_calibration.json); argmax/top-k are unchanged")
     return p
 
 
@@ -130,6 +134,30 @@ def main(argv=None):
         cm = np.zeros((n_cls, n_cls), dtype=np.int64)
         np.add.at(cm, (res.df["Y"].astype(int), res.df["Y_hat"].astype(int)), 1)
         pd.DataFrame(cm, index=names, columns=names).to_csv(save_dir / f"fold_{fold}_confusion.csv")
+
+        if args.calibrate:
+            import json
+
+            from toad_tpu.evaluate.calibration import calibration_report
+
+            val_splits = dataset.return_splits_from_csv(splits_dir / f"splits_{fold}.csv")
+            if val_splits[1] is None:
+                raise ValueError(f"fold {fold}: --calibrate needs a val split in splits_{fold}.csv")
+            val_res = evaluate_checkpoint(
+                models_dir / checkpoint_name(fold), val_splits[1], model_cfg,
+                batch_size=args.batch_size, max_bag_size=args.max_bag_size, int8=args.int8,
+            )
+            pcols = [f"p_{c}" for c in range(n_cls)]
+            rep = calibration_report(
+                val_res.df[pcols].to_numpy(), val_res.df["Y"].to_numpy(),
+                res.df[pcols].to_numpy(), res.df["Y"].to_numpy(),
+            )
+            if args.split == "val":
+                rep["note"] = "evaluated split IS the calibration split (self-calibrated)"
+            (save_dir / f"fold_{fold}_calibration.json").write_text(json.dumps(rep, indent=2))
+            print(f"fold {fold}: temperature {rep['temperature']:.3f}, "
+                  f"ece {rep['ece_before']:.4f} -> {rep['ece_after']:.4f}, "
+                  f"nll {rep['nll_before']:.4f} -> {rep['nll_after']:.4f}")
 
         ci_cols = {}
         if args.bootstrap > 0:

@@ -1,0 +1,124 @@
+"""Probability calibration: top-label ECE + temperature scaling.
+
+TOAD's clinical use ranks a differential by predicted probability
+(top-3/top-5 assisted diagnosis, ``docs/README.md:4-9``), so the
+*probabilities* — not just the argmax — must be trustworthy. The reference
+reports raw softmax outputs with no calibration step anywhere. Here:
+
+- :func:`top_label_ece` — expected calibration error over equal-width
+  confidence bins (the standard reliability-diagram summary).
+- :func:`fit_temperature` — single-parameter temperature scaling (Guo et
+  al. 2017) fitted on a held-out split by NLL. Works from probabilities:
+  ``softmax(logits / T) == softmax(log softmax(logits) / T)``, so saved
+  ``p_*`` columns are enough and no logits need exporting.
+- :func:`apply_temperature` — calibrated probabilities for any T.
+
+Temperature scaling never changes the argmax (monotone per-row transform),
+so accuracy/top-k are invariant; only confidence (and thus ECE/NLL) moves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EPS = 1e-12
+
+
+def top_label_ece(probs: np.ndarray, labels: np.ndarray, n_bins: int = 15) -> float:
+    """Expected calibration error of the top-label confidence.
+
+    ECE = sum_b (|B_b|/N) * |acc(B_b) - conf(B_b)| over ``n_bins``
+    equal-width confidence bins on (0, 1].
+    """
+    probs = np.asarray(probs, np.float64)
+    labels = np.asarray(labels).astype(np.int64)
+    conf = probs.max(axis=1)
+    correct = (probs.argmax(axis=1) == labels).astype(np.float64)
+    # bin (0,1] right-inclusive: confidence 1.0 lands in the last bin
+    idx = np.minimum((conf * n_bins).astype(np.int64), n_bins - 1)
+    ece = 0.0
+    n = len(labels)
+    for b in range(n_bins):
+        in_bin = idx == b
+        m = int(in_bin.sum())
+        if m == 0:
+            continue
+        ece += (m / n) * abs(correct[in_bin].mean() - conf[in_bin].mean())
+    return float(ece)
+
+
+def nll(probs: np.ndarray, labels: np.ndarray) -> float:
+    """Mean negative log-likelihood of the true class."""
+    probs = np.asarray(probs, np.float64)
+    labels = np.asarray(labels).astype(np.int64)
+    p_true = probs[np.arange(len(labels)), labels]
+    return float(-np.log(np.clip(p_true, _EPS, None)).mean())
+
+
+def apply_temperature(probs: np.ndarray, temperature: float) -> np.ndarray:
+    """softmax(log p / T): equivalent to softmax(logits / T) for the logits
+    that produced ``probs`` (shift-invariance of softmax)."""
+    logp = np.log(np.clip(np.asarray(probs, np.float64), _EPS, None)) / float(temperature)
+    logp -= logp.max(axis=1, keepdims=True)
+    e = np.exp(logp)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+def fit_temperature(
+    probs: np.ndarray,
+    labels: np.ndarray,
+    lo: float = 0.05,
+    hi: float = 20.0,
+    tol: float = 1e-4,
+) -> float:
+    """Temperature minimizing held-out NLL, by golden-section search on
+    log T (NLL is smooth and unimodal in T for softmax families)."""
+    probs = np.asarray(probs, np.float64)
+    labels = np.asarray(labels).astype(np.int64)
+
+    def f(log_t: float) -> float:
+        return nll(apply_temperature(probs, float(np.exp(log_t))), labels)
+
+    a, b = float(np.log(lo)), float(np.log(hi))
+    inv_phi = (np.sqrt(5.0) - 1.0) / 2.0
+    c, d = b - inv_phi * (b - a), a + inv_phi * (b - a)
+    fc, fd = f(c), f(d)
+    while (b - a) > tol:
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - inv_phi * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + inv_phi * (b - a)
+            fd = f(d)
+    return float(np.exp((a + b) / 2.0))
+
+
+def calibration_report(
+    val_probs: np.ndarray,
+    val_labels: np.ndarray,
+    eval_probs: np.ndarray,
+    eval_labels: np.ndarray,
+    n_bins: int = 15,
+) -> dict:
+    """Fit T on the val split, report before/after ECE + NLL on both splits."""
+    t = fit_temperature(val_probs, val_labels)
+    cal = apply_temperature(eval_probs, t)
+    report: dict = {}
+    if t >= 20.0 * 0.99 or t <= 0.05 * 1.01:
+        # near-chance models push T to the search bound (max-entropy is
+        # NLL-optimal at chance accuracy) — flag rather than silently clip
+        report["warning"] = (
+            f"fitted temperature {t:.3f} hit the search bound; the val "
+            f"probabilities carry little usable confidence signal"
+        )
+    return report | {
+        "temperature": t,
+        "val_ece_before": top_label_ece(val_probs, val_labels, n_bins),
+        "val_ece_after": top_label_ece(apply_temperature(val_probs, t), val_labels, n_bins),
+        "ece_before": top_label_ece(eval_probs, eval_labels, n_bins),
+        "ece_after": top_label_ece(cal, eval_labels, n_bins),
+        "nll_before": nll(eval_probs, eval_labels),
+        "nll_after": nll(cal, eval_labels),
+    }
