@@ -329,3 +329,28 @@ def test_site_attention_exposed():
     assert pred.site_attention.shape == (40,)
     # the two tasks genuinely attend differently
     assert not np.allclose(pred.attention, pred.site_attention)
+
+
+def test_inference_temperature():
+    """--temperature plumbing: T=1 is the identity; T>1 flattens class probs
+    via logits/T (exactly apply_temperature of the raw probs), preserves the
+    argmax/topk order and attention, and leaves site probs raw."""
+    from toad_tpu.evaluate.calibration import apply_temperature
+
+    mcfg = ModelConfig(in_dim=1024, n_classes=18)
+    params = ToadMIL(mcfg).init(jax.random.PRNGKey(3))
+    feats = np.random.RandomState(7).randn(40, 1024).astype(np.float32)
+
+    p1 = SlideInference(params, mcfg, bucket_sizes=(64,)).predict(feats, 1)
+    p4 = SlideInference(params, mcfg, bucket_sizes=(64,), temperature=4.0).predict(feats, 1)
+    np.testing.assert_allclose(p4.y_prob, apply_temperature(p1.y_prob[None], 4.0)[0], atol=1e-6)
+    assert p4.y_hat == p1.y_hat
+    assert [i for i, _ in p4.topk] == [i for i, _ in p1.topk]
+    np.testing.assert_allclose(p4.site_prob, p1.site_prob, atol=0)
+    np.testing.assert_allclose(p4.attention, p1.attention, atol=0)
+    assert p4.y_prob.max() < p1.y_prob.max()  # flatter
+
+    import pytest
+
+    with pytest.raises(ValueError, match="temperature"):
+        SlideInference(params, mcfg, temperature=0.0)

@@ -571,3 +571,20 @@ def test_nonloopback_bind_requires_bag_root(model_and_params, dummy_env):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_batcher_temperature(model_and_params):
+    """ServeConfig(temperature=T) scales served class probs exactly like
+    apply_temperature on the raw probs; site probs and y_hat unchanged."""
+    from toad_tpu.evaluate.calibration import apply_temperature
+
+    cfg, params = model_and_params
+    rng = np.random.default_rng(21)
+    feats = rng.standard_normal((40, cfg.in_dim)).astype(np.float32)
+    with DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=BUCKETS)) as b1:
+        p1 = b1.submit(feats, 0).result(timeout=120)
+    with DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=BUCKETS, temperature=3.0)) as b3:
+        p3 = b3.submit(feats, 0).result(timeout=120)
+    np.testing.assert_allclose(p3.y_prob, apply_temperature(p1.y_prob[None], 3.0)[0], atol=1e-6)
+    assert p3.y_hat == p1.y_hat
+    np.testing.assert_allclose(p3.site_prob, p1.site_prob, atol=0)

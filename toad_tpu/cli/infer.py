@@ -38,6 +38,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true", default=False)
     p.add_argument("--int8", action="store_true", default=False,
                    help="quantized pooling fast path (int8 MXU GEMMs; heads stay f32)")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="calibrated softmax temperature for class probabilities (fit with evaluate --calibrate)")
     return p
 
 
@@ -50,7 +52,7 @@ def main(argv=None):
     model_cfg = ModelConfig(in_dim=args.encoding_size, n_classes=args.n_classes, use_pallas=args.pallas)
     from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag, infer_patch_file
 
-    inference = SlideInference.from_checkpoint(args.ckpt, model_cfg, int8=args.int8)
+    inference = SlideInference.from_checkpoint(args.ckpt, model_cfg, int8=args.int8, temperature=args.temperature)
 
     if args.bag:
         pred, coords = infer_feature_bag(inference, args.bag, sex)

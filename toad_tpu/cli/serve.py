@@ -36,6 +36,11 @@ def make_parser() -> argparse.ArgumentParser:
         "(measured 1.45x the bf16 kernel); heads stay f32",
     )
     p.add_argument(
+        "--temperature", type=float, default=1.0,
+        help="calibrated softmax temperature for class probabilities "
+        "(fit with evaluate --calibrate)",
+    )
+    p.add_argument(
         "--data_shards", type=int, default=None,
         help="mesh data axis (data-parallel serving); the other axis is inferred when omitted",
     )
@@ -86,6 +91,7 @@ def main(argv=None) -> None:
         need_attention=args.attention,
         transfer_dtype="bfloat16" if args.bf16_transfer else "float32",
         int8=args.int8,
+        temperature=args.temperature,
     )
     mesh = None
     if args.data_shards is not None or args.bag_shards is not None:

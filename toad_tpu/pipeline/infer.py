@@ -50,10 +50,19 @@ class SlideInference:
         model_cfg: ModelConfig,
         bucket_sizes: Sequence[int] | None = None,
         int8: bool = False,
+        temperature: float = 1.0,
     ):
+        """``temperature``: scale class logits by 1/T before softmax —
+        plug in the T fitted by ``evaluate --calibrate``
+        (:mod:`toad_tpu.evaluate.calibration`). Argmax/top-k order are
+        invariant; only the reported confidences change. Site probabilities
+        are left raw (the fitted T is for the origin head)."""
         self.model = ToadMIL(model_cfg)
         self.params = params
         self.int8 = int8
+        if not temperature > 0:
+            raise ValueError(f"temperature must be > 0, got {temperature}")
+        self.temperature = float(temperature)
         if bucket_sizes is None:
             from toad_tpu.config import DEFAULT_BUCKETS
 
@@ -135,9 +144,8 @@ class SlideInference:
         )
         return self._finish(logits, site_logits, attention, n)
 
-    @staticmethod
-    def _finish(logits, site_logits, attention, n: int) -> SlidePrediction:
-        y_prob = np.asarray(jax.nn.softmax(logits[0]))
+    def _finish(self, logits, site_logits, attention, n: int) -> SlidePrediction:
+        y_prob = np.asarray(jax.nn.softmax(np.asarray(logits[0]) / self.temperature))
         site_prob = np.asarray(jax.nn.softmax(site_logits[0]))
         # argmax for y_hat (ties -> lowest index, matching the eval engine's
         # jnp.argmax) + stable sort for the ranking, so predict() and batch

@@ -59,6 +59,10 @@ class ServeConfig:
     # pooling GEMMs run at the MXU's int8 rate (measured 1.45x the bf16
     # kernel). Heads/softmax stay f32. Overrides transfer_dtype.
     int8: bool = False
+    # calibration: scale class probabilities to temperature T (the T fitted
+    # by `evaluate --calibrate`, evaluate/calibration.py). Argmax/topk order
+    # invariant; site probabilities stay raw (T is fitted on the origin head)
+    temperature: float = 1.0
 
 
 class _Request(NamedTuple):
@@ -426,8 +430,13 @@ class DynamicBatcher:
             self._batches += 1
             self._batched += b
             self._padded += b_pad - b
+        y_prob = np.asarray(y_prob)
+        if self.cfg.temperature != 1.0:
+            from toad_tpu.evaluate.calibration import apply_temperature
+
+            y_prob = apply_temperature(y_prob, self.cfg.temperature)
         for i, r in enumerate(group):
-            yp = np.asarray(y_prob[i])
+            yp = y_prob[i]
             sp = np.asarray(site_prob[i])
             # stable sort + argmax y_hat: ties resolve identically to the
             # eval engine and SlideInference (see pipeline/infer.py)
