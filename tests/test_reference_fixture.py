@@ -123,3 +123,17 @@ def test_alias_inversion_prefers_canonical_name():
     inv = invert_labels(task.label_dicts[0])
     assert inv[10] == "Esophagogastric"
     assert len(inv) == 18
+
+
+def test_reference_bool_split_file_loads_identically():
+    """The reference's own prebuilt one-hot split file
+    (splits/dummy_mtl_concat_100/splits_0_bool.csv) resolves to exactly the
+    same membership as its columnar twin — a format the reference writes
+    (dataset_mtl_concat.py:21-26) but cannot read back."""
+    from toad_tpu.data.splits import load_split_csv
+
+    base = REF_SPLITS
+    a = load_split_csv(base / "splits_0.csv")
+    b = load_split_csv(base / "splits_0_bool.csv")
+    assert {k: sorted(v) for k, v in a.items()} == {k: sorted(v) for k, v in b.items()}
+    assert len(b["train"]) == 1532 and len(b["val"]) == 168 and len(b["test"]) == 342

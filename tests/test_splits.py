@@ -103,3 +103,24 @@ def test_return_splits_from_csv(dummy_env, tmp_path):
     train, val, test = ds.return_splits_from_csv(p)
     assert len(train) == 30 and len(val) == 10 and len(test) == 15
     assert sorted(val.slide_ids) == sorted(ids["val"])
+
+
+def test_load_split_csv_reads_bool_format(tmp_path):
+    """The one-hot splits_i_bool.csv round-trips: the reference writes this
+    format (dataset_mtl_concat.py:21-26) but has no reader for it."""
+    from toad_tpu.data.splits import load_split_csv, save_split_boolean, save_split_columnar
+
+    ids = {
+        "train": [f"S{i}" for i in range(6)],
+        "val": ["S6", "S7"],
+        "test": ["S8", "S9", "S10"],
+    }
+    save_split_boolean(ids, tmp_path / "splits_0_bool.csv")
+    got = load_split_csv(tmp_path / "splits_0_bool.csv")
+    assert got == ids
+
+    # columnar file with all-numeric ids still reads as ids, not booleans
+    num = {"train": ["0", "1"], "val": ["1"], "test": ["0"]}
+    save_split_columnar(num, tmp_path / "splits_1.csv")
+    got2 = load_split_csv(tmp_path / "splits_1.csv")
+    assert got2 == num

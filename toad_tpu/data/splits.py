@@ -168,22 +168,32 @@ def split_descriptor(
     return pd.concat(dfs, axis=0)
 
 
+# both bool-format writers (ours and the reference's df.astype(bool).to_csv)
+# emit literal True/False — never 0/1, which could be real numeric slide ids
+_BOOL_TOKENS = {"True", "False", "TRUE", "FALSE", "true", "false"}
+
+
 def load_split_csv(csv_path: str | os.PathLike) -> dict[str, list[str]]:
-    """Read a columnar split file into {split: [slide ids]} dropping the NaN
-    ragged-padding (reference ``get_split_from_df``, ``:221-238``).
+    """Read a split file into {split: [slide ids]} — either the columnar
+    NaN-ragged format (reference ``get_split_from_df``, ``:221-238``) or the
+    one-hot ``splits_i_bool.csv`` membership format (which the reference
+    *writes*, ``dataset_mtl_concat.py:21-26``, but nothing can read back;
+    auto-detected by all-boolean split columns with ids in the index column).
 
     Read with ``dtype=str``: the ragged val/test columns are NaN-padded, so
     pandas would otherwise infer float64 for all-numeric slide ids and
     ``astype(str)`` would yield '201.0' — which matches nothing in the
     manifest and silently produced empty splits."""
     df = pd.read_csv(csv_path, dtype=str)
-    out: dict[str, list[str]] = {}
-    for key in ("train", "val", "test"):
-        if key in df.columns:
-            out[key] = df[key].dropna().tolist()
-    if not out:
+    present = [k for k in ("train", "val", "test") if k in df.columns]
+    if not present:
         raise ValueError(f"{csv_path} has none of train/val/test columns")
-    return out
+    cells = df[present].stack().dropna()
+    if len(cells) and set(cells.unique()) <= _BOOL_TOKENS and len(df.columns) > len(present):
+        ids = df[df.columns[0]].astype(str)  # index column holds the slide ids
+        truthy = {"True", "TRUE", "true"}
+        return {k: ids[df[k].isin(truthy)].tolist() for k in present}
+    return {k: df[k].dropna().tolist() for k in present}
 
 
 def split_file(split_dir: str | os.PathLike, fold: int, kind: str = "") -> Path:
