@@ -89,3 +89,56 @@ def test_eval_engine_over_patient_bags(dummy_env, tmp_path):
     assert len(res.df) == len(pb)
     # per-row ids are case ids, one row per patient
     assert res.df["slide_id"].str.contains("PATIENT").all()
+
+
+def test_evaluate_cli_patient_bags_calibrate(dummy_env, tmp_path):
+    """evaluate --patient_bags --calibrate --bootstrap end-to-end: T is
+    fitted on the PATIENT-granularity val split (same bag semantics as the
+    evaluated split) and all three artifacts land."""
+    import json
+
+    from toad_tpu.cli import evaluate as eval_cli
+
+    ds = _ds(dummy_env)
+    n = ds.n_slides
+    rng = np.random.RandomState(3)
+    ids = rng.permutation(n)
+    tr, va, te = ds.subset(ids[: n - 24]), ds.subset(ids[n - 24 : n - 12]), ds.subset(ids[n - 12 :])
+    results = tmp_path / "pb_s1"
+    results.mkdir()
+    cfg = TrainConfig(
+        max_epochs=1,
+        seed=1,
+        model=ModelConfig(in_dim=dummy_env["dim"], n_classes=18),
+        optim=OptimConfig(lr=3e-4),
+        data=DataConfig(batch_size=4, bucket_sizes=(128, 256, 512, 1024), patient_bags=True),
+    )
+    FoldTrainer(cfg, fold=0, results_dir=results).train(tr, va, te, log_fn=lambda s: None)
+
+    task_json = tmp_path / "task.json"
+    task_json.write_text(dummy_env["task"].to_json())
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # eval_results/ lands under tmp
+    try:
+        edf = eval_cli.main(
+            ["--task", str(task_json), "--data_root_dir", str(dummy_env["data_dir"]),
+             "--results_dir", str(tmp_path), "--models_exp_code", "pb_s1",
+             "--save_exp_code", "pb_eval", "--k", "1", "--batch_size", "4",
+             "--encoding_size", str(dummy_env["dim"]), "--patient_bags",
+             "--calibrate", "--bootstrap", "20"]
+        )
+    finally:
+        os.chdir(cwd)
+    assert len(edf) == 1
+    out = tmp_path / "eval_results" / "EVAL_pb_eval"
+    cal = json.loads((out / "fold_0_calibration.json").read_text())
+    assert cal["temperature"] > 0
+    ci = json.loads((out / "fold_0_ci.json").read_text())
+    assert ci["cls_auc"]["n_boot"] == 20
+    # per-row ids in the fold CSV are patient/case ids (patient granularity)
+    import pandas as pd
+
+    fdf = pd.read_csv(out / "fold_0.csv")
+    assert fdf["slide_id"].str.contains("PATIENT").all()

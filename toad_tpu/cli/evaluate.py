@@ -143,6 +143,10 @@ def main(argv=None):
             val_splits = dataset.return_splits_from_csv(splits_dir / f"splits_{fold}.csv")
             if val_splits[1] is None:
                 raise ValueError(f"fold {fold}: --calibrate needs a val split in splits_{fold}.csv")
+            if args.patient_bags:  # fit T at the same granularity as the eval
+                from toad_tpu.data.wsi_dataset import PatientBagSplit
+
+                val_splits = (val_splits[0], PatientBagSplit(val_splits[1]), val_splits[2])
             val_res = evaluate_checkpoint(
                 models_dir / checkpoint_name(fold), val_splits[1], model_cfg,
                 batch_size=args.batch_size, max_bag_size=args.max_bag_size, int8=args.int8,
