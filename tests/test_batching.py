@@ -165,3 +165,52 @@ def test_bf16_transfer_dtype(tmp_path):
         np.testing.assert_allclose(b.features.astype(np.float32), a.features, rtol=8e-3, atol=1e-2)
         np.testing.assert_array_equal(a.patch_mask, b.patch_mask)
         np.testing.assert_array_equal(a.label, b.label)
+
+
+def test_suggest_and_auto_bucket_ladder(dummy_env):
+    """Data-derived ladder: quantile rungs, multiples enforced, every bag
+    fits the top rung; patient-concat mode sums each case's slides."""
+    from toad_tpu.data.bags import bag_shape
+    from toad_tpu.data.batching import auto_bucket_ladder, suggest_buckets
+    from toad_tpu.data.wsi_dataset import PatientBagSplit, WSIBagDataset
+
+    counts = np.array([100, 130, 140, 600, 610, 2000])
+    lad = suggest_buckets(counts)
+    assert lad == sorted(set(lad)) and all(b % 128 == 0 for b in lad)
+    assert lad[-1] >= 2000
+    assert suggest_buckets(counts, multiple_of=384)[-1] % 384 == 0
+    assert suggest_buckets(np.array([])) == []
+
+    ds = WSIBagDataset(dummy_env["task"], data_dir=dummy_env["data_dir"], print_info=False)
+    split = ds.subset(range(ds.n_slides))
+    lad = auto_bucket_ladder(split)
+    n_max = max(bag_shape(split.bag_file(i))[0] for i in range(len(split)))
+    assert lad[-1] >= n_max and all(b % 128 == 0 for b in lad)
+
+    pb = PatientBagSplit(split)
+    lad_pb = auto_bucket_ladder(pb, multiple_of=256)
+    concat_max = max(
+        sum(bag_shape(split.bag_file(int(i)))[0] for i in g) for g in pb.groups
+    )
+    assert lad_pb[-1] >= concat_max and all(b % 256 == 0 for b in lad_pb)
+
+
+def test_resolve_buckets_flag():
+    """--buckets parsing: explicit list sorted+validated, 'auto' plumbed,
+    invalid multiples rejected."""
+    import argparse
+
+    import pytest
+
+    from toad_tpu.cli.train import resolve_buckets
+
+    ns = argparse.Namespace(buckets="512,256,1024", bag_shards=1, patient_bags=False)
+    assert resolve_buckets(ns, None) == (256, 512, 1024)
+    ns.buckets = None
+    assert resolve_buckets(ns, None) is None
+    ns.buckets = "300"
+    with pytest.raises(SystemExit, match="multiples of 128"):
+        resolve_buckets(ns, None)
+    ns.buckets, ns.bag_shards = "512", 3  # lcm(128,3)=384: 512 invalid
+    with pytest.raises(SystemExit, match="384"):
+        resolve_buckets(ns, None)

@@ -49,6 +49,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoding_size", type=int, default=1024, help="patch feature dimension")
     p.add_argument("--batch_size", type=int, default=8, help="bags per step (1 = reference semantics)")
     p.add_argument("--max_bag_size", type=int, default=None)
+    p.add_argument("--buckets", type=str, default=None, metavar="LIST|auto",
+                   help="bucket ladder: comma-separated sizes, or 'auto' to derive "
+                        "quantile rungs from the dataset's real patch counts "
+                        "(metadata reads only; cuts padding overhead vs the default "
+                        "pow2 ladder — `toad_tpu validate` reports both)")
     p.add_argument("--bf16", action="store_true", default=False, help="bfloat16 compute")
     p.add_argument("--pallas", action="store_true", default=False, help="fused Pallas pooling kernel")
     p.add_argument("--data_shards", type=int, default=1)
@@ -64,7 +69,34 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
-def config_from_args(args, n_classes: int) -> TrainConfig:
+def resolve_buckets(args, dataset) -> tuple[int, ...] | None:
+    """--buckets: explicit comma list, or 'auto' (data-derived quantile
+    ladder over the whole dataset so all folds share one compile set)."""
+    if not args.buckets:
+        return None
+    import math
+
+    multiple = math.lcm(128, max(int(args.bag_shards), 1))
+    if args.buckets.strip().lower() == "auto":
+        from toad_tpu.data.batching import auto_bucket_ladder
+
+        split = dataset.subset(range(dataset.n_slides))
+        if args.patient_bags:
+            from toad_tpu.data.wsi_dataset import PatientBagSplit
+
+            split = PatientBagSplit(split)
+        ladder = auto_bucket_ladder(split, multiple_of=multiple)
+        print(f"auto bucket ladder ({len(split)} bags): {list(ladder)}")
+        return ladder
+    ladder = tuple(int(x) for x in args.buckets.split(","))
+    bad = [b for b in ladder if b <= 0 or b % multiple]
+    if bad:
+        raise SystemExit(f"--buckets {bad} must be positive multiples of {multiple} "
+                         f"(Pallas tile 128 x bag_shards {args.bag_shards})")
+    return tuple(sorted(ladder))
+
+
+def config_from_args(args, n_classes: int, bucket_sizes: tuple[int, ...] | None = None) -> TrainConfig:
     return TrainConfig(
         exp_code=args.exp_code,
         task=args.task,
@@ -92,6 +124,7 @@ def config_from_args(args, n_classes: int) -> TrainConfig:
         data=DataConfig(
             data_dir=args.data_root_dir,
             batch_size=args.batch_size,
+            **({"bucket_sizes": bucket_sizes} if bucket_sizes else {}),
             max_bag_size=args.max_bag_size,
             weighted_sample=args.weighted_sample,
             testing_frac=0.01 if args.testing else None,
@@ -116,7 +149,7 @@ def main(argv=None):
         enable_debug_nans()
     seed_everything(args.seed)
     task, dataset = build_dataset(args, data_dir=args.data_root_dir)
-    cfg = config_from_args(args, n_classes=task.n_classes[0])
+    cfg = config_from_args(args, n_classes=task.n_classes[0], bucket_sizes=resolve_buckets(args, dataset))
 
     results_dir = Path(args.results_dir) / f"{args.exp_code}_s{args.seed}"
     results_dir.mkdir(parents=True, exist_ok=True)

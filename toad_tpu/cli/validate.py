@@ -37,55 +37,8 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
-def bag_shape(path: Path):
-    """(n_patches, dim) from file metadata without reading the payload."""
-    ext = path.suffix.lower()
-    if ext == ".npy":
-        return np.load(path, mmap_mode="r").shape
-    if ext == ".h5":
-        import h5py
-
-        with h5py.File(path, "r") as f:
-            return tuple(f["features"].shape)
-    if ext == ".pt":
-        from toad_tpu.data.native_bags import resolve_payload
-
-        info = resolve_payload(path)
-        if info is not None:
-            return (info.nrows, info.dim)
-        from toad_tpu.data.bags import load_pt_tensor  # exotic layout: full parse
-
-        return load_pt_tensor(path).shape
-    if ext == ".npz":
-        # member *header* read only — np.load(path)[key] would pull the whole
-        # array payload through the zip layer, O(store size) for a pre-flight
-        import zipfile
-
-        with zipfile.ZipFile(path) as zf:
-            names = zf.namelist()
-            member = next(
-                (w for w in ("features_int8.npy", "features.npy") if w in names),
-                names[0],
-            )
-            with zf.open(member) as fp:
-                version = np.lib.format.read_magic(fp)
-                read_header = {
-                    (1, 0): np.lib.format.read_array_header_1_0,
-                    (2, 0): np.lib.format.read_array_header_2_0,
-                }[version]
-                shape, _, _ = read_header(fp)
-        return shape
-    raise ValueError(f"unsupported bag format: {path}")
-
-
-def suggest_buckets(counts: np.ndarray, max_buckets: int = 6) -> list[int]:
-    """Quantile ladder rounded up to multiples of 128 (the Pallas tile
-    constraint), deduplicated, capped at ``max_buckets`` rungs."""
-    if len(counts) == 0:
-        return []
-    qs = np.linspace(0, 1, max_buckets + 1)[1:]
-    rungs = sorted({int(np.ceil(np.quantile(counts, q) / 128) * 128) for q in qs})
-    return [max(r, 128) for r in rungs]
+from toad_tpu.data.bags import bag_shape  # noqa: F401  (re-export: moved to data/bags.py)
+from toad_tpu.data.batching import suggest_buckets  # noqa: F401
 
 
 def padding_overhead(counts: np.ndarray, buckets: list[int]) -> float:

@@ -117,6 +117,50 @@ def load_bag_quantized(path: str | os.PathLike):
     return z["features_int8"], z["scales"], (z["coords"] if "coords" in z.files else None)
 
 
+def bag_shape(path: str | os.PathLike):
+    """(n_patches, dim) from file metadata without reading the payload:
+    .npy via mmap header, .h5 via dataset shape, .pt via the native
+    resolver's metadata parse, .npz via zip member npy headers. Powers
+    pre-flight validation (``cli/validate.py``) and the auto bucket ladder
+    (``data/batching.py::auto_bucket_ladder``) at O(1) IO per bag."""
+    path = Path(path)
+    ext = path.suffix.lower()
+    if ext == ".npy":
+        return np.load(path, mmap_mode="r").shape
+    if ext == ".h5":
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return tuple(f["features"].shape)
+    if ext == ".pt":
+        from toad_tpu.data.native_bags import resolve_payload
+
+        info = resolve_payload(path)
+        if info is not None:
+            return (info.nrows, info.dim)
+        return load_pt_tensor(path).shape  # exotic layout: full parse
+    if ext == ".npz":
+        # member *header* read only — np.load(path)[key] would pull the whole
+        # array payload through the zip layer, O(store size) for a pre-flight
+        import zipfile
+
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+            member = next(
+                (w for w in ("features_int8.npy", "features.npy") if w in names),
+                names[0],
+            )
+            with zf.open(member) as fp:
+                version = np.lib.format.read_magic(fp)
+                read_header = {
+                    (1, 0): np.lib.format.read_array_header_1_0,
+                    (2, 0): np.lib.format.read_array_header_2_0,
+                }[version]
+                shape, _, _ = read_header(fp)
+        return shape
+    raise ValueError(f"unsupported bag format: {path}")
+
+
 def load_bag(path: str | os.PathLike, with_coords: bool = False):
     """Load a feature bag [N, D] float array from any supported format.
     int8 bags (``save_int8_bag``) dequantize transparently so every f32

@@ -62,6 +62,42 @@ def bucket_for(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def suggest_buckets(counts: np.ndarray, max_buckets: int = 6, multiple_of: int = 128) -> list[int]:
+    """Quantile ladder rounded up to multiples of ``multiple_of`` (128 is
+    the Pallas tile constraint), deduplicated, capped at ``max_buckets``
+    rungs. Every bag fits the top rung by construction (q=1.0 is included)."""
+    if len(counts) == 0:
+        return []
+    qs = np.linspace(0, 1, max_buckets + 1)[1:]
+    m = max(int(multiple_of), 1)
+    rungs = sorted({int(np.ceil(np.quantile(counts, q) / m) * m) for q in qs})
+    return [max(r, m) for r in rungs]
+
+
+def auto_bucket_ladder(split, max_buckets: int = 6, multiple_of: int = 128) -> tuple[int, ...]:
+    """Derive a bucket ladder from the split's REAL patch-count distribution
+    using metadata-only reads (``data/bags.py::bag_shape`` — O(1) IO per
+    bag). A data-derived ladder cuts the padding overhead the default
+    pow2 ladder pays on skewed archives (``cli/validate.py`` reports both).
+
+    Works for :class:`~toad_tpu.data.wsi_dataset.WSIBagSplit` (per-slide
+    counts) and :class:`~toad_tpu.data.wsi_dataset.PatientBagSplit`
+    (per-patient concat lengths summed over the group's slides)."""
+    from toad_tpu.data.bags import bag_shape
+
+    groups = getattr(split, "groups", None)
+    if groups is not None:  # patient-concat bags: sum the group's slides
+        parent = split.parent
+        slide_n = np.array([bag_shape(parent.bag_file(i))[0] for i in range(len(parent))])
+        counts = np.array([int(slide_n[g].sum()) for g in groups])
+    else:
+        counts = np.array([bag_shape(split.bag_file(i))[0] for i in range(len(split))])
+    ladder = suggest_buckets(counts, max_buckets=max_buckets, multiple_of=multiple_of)
+    if not ladder:
+        raise ValueError("auto bucket ladder: split has no bags")
+    return tuple(ladder)
+
+
 def _pad_bag(feats: np.ndarray, bucket: int) -> tuple[np.ndarray, np.ndarray]:
     n, d = feats.shape
     if n > bucket:
