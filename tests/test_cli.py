@@ -77,6 +77,7 @@ def test_full_cli_pipeline(cli_env, tmp_path):
                 "--encoding_size", "64",
                 "--bootstrap", "50",
                 "--calibrate",
+                "--buckets", "auto",  # data-derived ladder: results must be identical (padding is exact)
             ]
         )
         assert len(edf) == 1

@@ -41,6 +41,53 @@ def echo_settings(path: str | os.PathLike, settings: dict) -> None:
         print(f"{k}:  {v}")
 
 
+def add_buckets_arg(p: argparse.ArgumentParser, auto: bool = False) -> None:
+    extra = ", or 'auto' to derive quantile rungs from the dataset's real patch counts (metadata reads only)" if auto else ""
+    p.add_argument(
+        "--buckets", type=str, default=None, metavar="LIST" + ("|auto" if auto else ""),
+        help="bucket ladder override: comma-separated bag lengths (multiples of "
+        f"128; `toad_tpu validate` suggests a data-derived ladder){extra}",
+    )
+
+
+def resolve_buckets(
+    value: str | None,
+    dataset=None,
+    *,
+    bag_shards: int = 1,
+    patient_bags: bool = False,
+) -> tuple[int, ...] | None:
+    """--buckets: None (keep defaults), explicit comma list (sorted +
+    validated), or 'auto' — a data-derived quantile ladder over the whole
+    dataset so every fold/split shares one compile set. Rungs must be
+    multiples of lcm(128, bag_shards): the Pallas tile and patch-dim
+    sharding constraints."""
+    if not value:
+        return None
+    import math
+
+    multiple = math.lcm(128, max(int(bag_shards), 1))
+    if value.strip().lower() == "auto":
+        if dataset is None:
+            raise SystemExit("--buckets auto needs a dataset (use an explicit list here)")
+        from toad_tpu.data.batching import auto_bucket_ladder
+
+        split = dataset.subset(range(dataset.n_slides))
+        if patient_bags:
+            from toad_tpu.data.wsi_dataset import PatientBagSplit
+
+            split = PatientBagSplit(split)
+        ladder = auto_bucket_ladder(split, multiple_of=multiple)
+        print(f"auto bucket ladder ({len(split)} bags): {list(ladder)}")
+        return ladder
+    ladder = tuple(int(x) for x in value.split(","))
+    bad = [b for b in ladder if b <= 0 or b % multiple]
+    if bad:
+        raise SystemExit(f"--buckets {bad} must be positive multiples of {multiple} "
+                         f"(Pallas tile 128 x bag_shards {bag_shards})")
+    return tuple(sorted(ladder))
+
+
 def parse_sex(value) -> int:
     """F/M/0/1 (any case, also 'female'/'male', int- or float-coded like the
     '0.0' pandas produces for numeric columns with NaNs) -> 0/1."""

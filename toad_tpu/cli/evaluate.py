@@ -12,7 +12,7 @@ from pathlib import Path
 
 import pandas as pd
 
-from toad_tpu.cli.common import add_task_arg, build_dataset, echo_settings
+from toad_tpu.cli.common import add_buckets_arg, add_task_arg, build_dataset, echo_settings, resolve_buckets
 from toad_tpu.config import ModelConfig, fold_range
 from toad_tpu.evaluate.engine import evaluate_checkpoint
 from toad_tpu.train.checkpoint import checkpoint_name
@@ -36,6 +36,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoding_size", type=int, default=1024, help="patch feature dimension")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_bag_size", type=int, default=None)
+    add_buckets_arg(p, auto=True)
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--pallas", action="store_true", default=False)
     p.add_argument("--int8", action="store_true", default=False,
@@ -60,6 +61,7 @@ def main(argv=None):
             raise SystemExit("one of --save_exp_code / --models_exp_code is required")
         args.save_exp_code = f"{args.models_exp_code}_eval"
     task, dataset = build_dataset(args, data_dir=args.data_root_dir)
+    buckets = resolve_buckets(args.buckets, dataset, patient_bags=args.patient_bags)
 
     save_dir = Path("./eval_results") / f"EVAL_{args.save_exp_code}"
     models_dir = Path(args.results_dir) / str(args.models_exp_code)
@@ -117,6 +119,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             max_bag_size=args.max_bag_size,
             int8=args.int8,
+            bucket_sizes=buckets,
         )
         for ci, auc in enumerate(res.cls_aucs):
             print(f"class {ci} auc: {auc}")
@@ -150,6 +153,7 @@ def main(argv=None):
             val_res = evaluate_checkpoint(
                 models_dir / checkpoint_name(fold), val_splits[1], model_cfg,
                 batch_size=args.batch_size, max_bag_size=args.max_bag_size, int8=args.int8,
+                bucket_sizes=buckets,
             )
             pcols = [f"p_{c}" for c in range(n_cls)]
             rep = calibration_report(

@@ -40,6 +40,8 @@ def make_parser() -> argparse.ArgumentParser:
                    help="quantized pooling fast path (int8 MXU GEMMs; heads stay f32)")
     p.add_argument("--temperature", type=float, default=1.0,
                    help="calibrated softmax temperature for class probabilities (fit with evaluate --calibrate)")
+    from toad_tpu.cli.common import add_buckets_arg
+    add_buckets_arg(p)
     return p
 
 
@@ -52,7 +54,10 @@ def main(argv=None):
     model_cfg = ModelConfig(in_dim=args.encoding_size, n_classes=args.n_classes, use_pallas=args.pallas)
     from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag, infer_patch_file
 
-    inference = SlideInference.from_checkpoint(args.ckpt, model_cfg, int8=args.int8, temperature=args.temperature)
+    from toad_tpu.cli.common import resolve_buckets
+    inference = SlideInference.from_checkpoint(
+        args.ckpt, model_cfg, int8=args.int8, temperature=args.temperature,
+        bucket_sizes=resolve_buckets(args.buckets))
 
     if args.bag:
         pred, coords = infer_feature_bag(inference, args.bag, sex)

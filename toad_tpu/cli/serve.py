@@ -40,6 +40,8 @@ def make_parser() -> argparse.ArgumentParser:
         help="calibrated softmax temperature for class probabilities "
         "(fit with evaluate --calibrate)",
     )
+    from toad_tpu.cli.common import add_buckets_arg
+    add_buckets_arg(p)
     p.add_argument(
         "--data_shards", type=int, default=None,
         help="mesh data axis (data-parallel serving); the other axis is inferred when omitted",
@@ -85,7 +87,11 @@ def main(argv=None) -> None:
         compute_dtype="bfloat16" if args.bf16 else "float32",
         use_pallas=args.pallas,
     )
+    from toad_tpu.cli.common import resolve_buckets
+
+    buckets = resolve_buckets(args.buckets)
     serve_cfg = ServeConfig(
+        **({"bucket_sizes": buckets} if buckets else {}),
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         need_attention=args.attention,

@@ -70,30 +70,10 @@ def make_parser() -> argparse.ArgumentParser:
 
 
 def resolve_buckets(args, dataset) -> tuple[int, ...] | None:
-    """--buckets: explicit comma list, or 'auto' (data-derived quantile
-    ladder over the whole dataset so all folds share one compile set)."""
-    if not args.buckets:
-        return None
-    import math
+    from toad_tpu.cli.common import resolve_buckets as _resolve
 
-    multiple = math.lcm(128, max(int(args.bag_shards), 1))
-    if args.buckets.strip().lower() == "auto":
-        from toad_tpu.data.batching import auto_bucket_ladder
-
-        split = dataset.subset(range(dataset.n_slides))
-        if args.patient_bags:
-            from toad_tpu.data.wsi_dataset import PatientBagSplit
-
-            split = PatientBagSplit(split)
-        ladder = auto_bucket_ladder(split, multiple_of=multiple)
-        print(f"auto bucket ladder ({len(split)} bags): {list(ladder)}")
-        return ladder
-    ladder = tuple(int(x) for x in args.buckets.split(","))
-    bad = [b for b in ladder if b <= 0 or b % multiple]
-    if bad:
-        raise SystemExit(f"--buckets {bad} must be positive multiples of {multiple} "
-                         f"(Pallas tile 128 x bag_shards {args.bag_shards})")
-    return tuple(sorted(ladder))
+    return _resolve(args.buckets, dataset, bag_shards=args.bag_shards,
+                    patient_bags=args.patient_bags)
 
 
 def config_from_args(args, n_classes: int, bucket_sizes: tuple[int, ...] | None = None) -> TrainConfig:

@@ -155,6 +155,7 @@ def evaluate_checkpoint(
     batch_size: int = 1,
     max_bag_size: int | None = None,
     int8: bool = False,
+    bucket_sizes=None,
 ) -> EvalResult:
     """Load a checkpoint (params-only, tolerant of extra state) and evaluate.
 
@@ -175,4 +176,5 @@ def evaluate_checkpoint(
         batch_size=batch_size,
         max_bag_size=max_bag_size,
         int8=int8,
+        bucket_sizes=bucket_sizes,
     )
