@@ -211,6 +211,31 @@ def test_resolve_buckets_flag():
     ns.buckets = "300"
     with pytest.raises(SystemExit, match="multiples of 128"):
         resolve_buckets(ns, None)
-    ns.buckets, ns.bag_shards = "512", 3  # lcm(128,3)=384: 512 invalid
+    ns.buckets, ns.bag_shards = "512", 3  # 128*3=384: 512 invalid
     with pytest.raises(SystemExit, match="384"):
         resolve_buckets(ns, None)
+    # power-of-two shard counts: the constraint is 128*shards, NOT
+    # lcm(128, shards)=128 — each SHARD's local slice needs the 128 tile
+    ns.buckets, ns.bag_shards = "384", 4
+    with pytest.raises(SystemExit, match="512"):
+        resolve_buckets(ns, None)
+    ns.buckets = "1024,512"
+    assert resolve_buckets(ns, None) == (512, 1024)
+
+
+def test_auto_bucket_ladder_skips_missing_bags(dummy_env, tmp_path, capsys):
+    """One unfeaturized slide must not crash the ladder derivation — it may
+    be in no split the run uses (validate is the loud pre-flight)."""
+    import shutil
+
+    from toad_tpu.data.batching import auto_bucket_ladder
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    bags = tmp_path / "bags"
+    shutil.copytree(dummy_env["data_dir"], bags)
+    victim = sorted(bags.glob("*.npy"))[0]
+    victim.unlink()
+    ds = WSIBagDataset(dummy_env["task"], data_dir=bags, print_info=False)
+    lad = auto_bucket_ladder(ds.subset(range(ds.n_slides)))
+    assert lad and all(b % 128 == 0 for b in lad)
+    assert "skipped 1 missing" in capsys.readouterr().out

@@ -157,3 +157,21 @@ def test_bootstrap_cis_binary_and_micro_paths():
     p3 = rng.dirichlet(np.ones(5), n) * 0.4 + 0.6 * np.eye(5)[y3]
     cis3 = bootstrap_cis(y3, p3, y, p1, n_boot=100, seed=5, micro_average=True)
     assert cis3["cls_auc"]["lo"] <= micro_ovr_auc(y3, p3, 5) <= cis3["cls_auc"]["hi"]
+
+
+def test_bootstrap_cis_no_degenerate_top3():
+    """cls_top3_acc is omitted when n_classes <= 3 (it would be the constant
+    1.0 while summary.csv's top-3 column is NaN — contradictory artifacts)."""
+    from toad_tpu.evaluate.metrics import bootstrap_cis
+
+    rng = np.random.RandomState(9)
+    n = 80
+    for c in (2, 3):
+        y = rng.randint(0, c, n)
+        p = rng.dirichlet(np.ones(c), n)
+        cis = bootstrap_cis(y, p, rng.randint(0, 2, n), rng.rand(n), n_boot=20)
+        assert "cls_top3_acc" not in cis
+    y = rng.randint(0, 4, n)
+    p = rng.dirichlet(np.ones(4), n)
+    cis = bootstrap_cis(y, p, rng.randint(0, 2, n), rng.rand(n), n_boot=20)
+    assert "cls_top3_acc" in cis

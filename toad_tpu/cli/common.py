@@ -60,13 +60,16 @@ def resolve_buckets(
     """--buckets: None (keep defaults), explicit comma list (sorted +
     validated), or 'auto' — a data-derived quantile ladder over the whole
     dataset so every fold/split shares one compile set. Rungs must be
-    multiples of lcm(128, bag_shards): the Pallas tile and patch-dim
-    sharding constraints."""
+    multiples of 128 * bag_shards: each shard's local patch-dim slice must
+    itself satisfy the Pallas 128-row tile constraint."""
     if not value:
         return None
-    import math
-
-    multiple = math.lcm(128, max(int(bag_shards), 1))
+    # Each shard's LOCAL slice must satisfy the Pallas 128-row tile
+    # (ops/pallas_pool.py::_tile_n on the shard_map slice), so the bucket
+    # itself must be a multiple of 128 * bag_shards — NOT lcm(128, shards),
+    # which for power-of-two shard counts is just 128 and would pass ladders
+    # that die mid-training after the compile.
+    multiple = 128 * max(int(bag_shards), 1)
     if value.strip().lower() == "auto":
         if dataset is None:
             raise SystemExit("--buckets auto needs a dataset (use an explicit list here)")

@@ -143,18 +143,28 @@ def main(argv=None):
 
             from toad_tpu.evaluate.calibration import calibration_report
 
-            val_splits = dataset.return_splits_from_csv(splits_dir / f"splits_{fold}.csv")
-            if val_splits[1] is None:
-                raise ValueError(f"fold {fold}: --calibrate needs a val split in splits_{fold}.csv")
-            if args.patient_bags:  # fit T at the same granularity as the eval
-                from toad_tpu.data.wsi_dataset import PatientBagSplit
+            if args.split == "val":
+                val_res = res  # the evaluated split IS the val split: no second pass
+            else:
+                split_csv = splits_dir / f"splits_{fold}.csv"
+                if not split_csv.exists():
+                    raise SystemExit(
+                        f"--calibrate fits on fold {fold}'s val split but {split_csv} "
+                        f"does not exist (pass --splits_dir, or evaluate --split val)"
+                    )
+                val_splits = dataset.return_splits_from_csv(split_csv)
+                if val_splits[1] is None:
+                    raise ValueError(f"fold {fold}: --calibrate needs a val split in {split_csv}")
+                val_split = val_splits[1]
+                if args.patient_bags:  # fit T at the same granularity as the eval
+                    from toad_tpu.data.wsi_dataset import PatientBagSplit
 
-                val_splits = (val_splits[0], PatientBagSplit(val_splits[1]), val_splits[2])
-            val_res = evaluate_checkpoint(
-                models_dir / checkpoint_name(fold), val_splits[1], model_cfg,
-                batch_size=args.batch_size, max_bag_size=args.max_bag_size, int8=args.int8,
-                bucket_sizes=buckets,
-            )
+                    val_split = PatientBagSplit(val_split)
+                val_res = evaluate_checkpoint(
+                    models_dir / checkpoint_name(fold), val_split, model_cfg,
+                    batch_size=args.batch_size, max_bag_size=args.max_bag_size, int8=args.int8,
+                    bucket_sizes=buckets,
+                )
             pcols = [f"p_{c}" for c in range(n_cls)]
             rep = calibration_report(
                 val_res.df[pcols].to_numpy(), val_res.df["Y"].to_numpy(),
@@ -162,6 +172,9 @@ def main(argv=None):
             )
             if args.split == "val":
                 rep["note"] = "evaluated split IS the calibration split (self-calibrated)"
+            elif args.split == "all":
+                rep["note"] = ("evaluated split CONTAINS the calibration (val) slides "
+                               "(partially self-calibrated)")
             (save_dir / f"fold_{fold}_calibration.json").write_text(json.dumps(rep, indent=2))
             print(f"fold {fold}: temperature {rep['temperature']:.3f}, "
                   f"ece {rep['ece_before']:.4f} -> {rep['ece_after']:.4f}, "

@@ -87,18 +87,6 @@ def main(argv=None) -> None:
         compute_dtype="bfloat16" if args.bf16 else "float32",
         use_pallas=args.pallas,
     )
-    from toad_tpu.cli.common import resolve_buckets
-
-    buckets = resolve_buckets(args.buckets)
-    serve_cfg = ServeConfig(
-        **({"bucket_sizes": buckets} if buckets else {}),
-        max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms,
-        need_attention=args.attention,
-        transfer_dtype="bfloat16" if args.bf16_transfer else "float32",
-        int8=args.int8,
-        temperature=args.temperature,
-    )
     mesh = None
     if args.data_shards is not None or args.bag_shards is not None:
         for name, v in (("data_shards", args.data_shards), ("bag_shards", args.bag_shards)):
@@ -110,6 +98,20 @@ def main(argv=None) -> None:
         mesh = make_mesh(args.data_shards, args.bag_shards)
         if mesh.devices.size == 1:
             mesh = None  # single device: the mesh adds nothing
+    from toad_tpu.cli.common import resolve_buckets
+
+    # validate the ladder against the ACTUAL bag-shard count (mesh may have
+    # inferred it), so a bad ladder is rejected at startup, not per-request
+    buckets = resolve_buckets(args.buckets, bag_shards=dict(mesh.shape).get("bag", 1) if mesh else 1)
+    serve_cfg = ServeConfig(
+        **({"bucket_sizes": buckets} if buckets else {}),
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        need_attention=args.attention,
+        transfer_dtype="bfloat16" if args.bf16_transfer else "float32",
+        int8=args.int8,
+        temperature=args.temperature,
+    )
     service = InferenceService.from_checkpoint(
         args.ckpt, model_cfg, serve_cfg, task=task, mesh=mesh, bag_root=args.bag_root
     )

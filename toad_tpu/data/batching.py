@@ -85,16 +85,36 @@ def auto_bucket_ladder(split, max_buckets: int = 6, multiple_of: int = 128) -> t
     (per-patient concat lengths summed over the group's slides)."""
     from toad_tpu.data.bags import bag_shape
 
+    def n_or_none(path):
+        try:
+            return bag_shape(path)[0]
+        except Exception:
+            return None  # missing/unreadable: skip from the ladder stats
+
     groups = getattr(split, "groups", None)
+    skipped = 0
     if groups is not None:  # patient-concat bags: sum the group's slides
         parent = split.parent
-        slide_n = np.array([bag_shape(parent.bag_file(i))[0] for i in range(len(parent))])
-        counts = np.array([int(slide_n[g].sum()) for g in groups])
+        slide_n = [n_or_none(parent.bag_file(i)) for i in range(len(parent))]
+        counts, out_counts = slide_n, []
+        for g in groups:
+            ns = [counts[int(i)] for i in g]
+            if any(v is None for v in ns):
+                skipped += 1
+                continue
+            out_counts.append(int(sum(ns)))
+        counts = np.array(out_counts)
     else:
-        counts = np.array([bag_shape(split.bag_file(i))[0] for i in range(len(split))])
+        ns = [n_or_none(split.bag_file(i)) for i in range(len(split))]
+        skipped = sum(v is None for v in ns)
+        counts = np.array([v for v in ns if v is not None])
+    if skipped:
+        # don't fail a run over bags the chosen splits may never touch —
+        # `toad_tpu validate` is the loud pre-flight for missing files
+        print(f"auto bucket ladder: skipped {skipped} missing/unreadable bag(s)")
     ladder = suggest_buckets(counts, max_buckets=max_buckets, multiple_of=multiple_of)
     if not ladder:
-        raise ValueError("auto bucket ladder: split has no bags")
+        raise ValueError("auto bucket ladder: no readable bags in the split")
     return tuple(ladder)
 
 

@@ -22,6 +22,10 @@ from __future__ import annotations
 import numpy as np
 
 _EPS = 1e-12
+# temperature search bounds — shared by fit_temperature's defaults and the
+# bound-hit warning in calibration_report so they cannot drift apart
+T_SEARCH_LO = 0.05
+T_SEARCH_HI = 20.0
 
 
 def top_label_ece(probs: np.ndarray, labels: np.ndarray, n_bins: int = 15) -> float:
@@ -67,8 +71,8 @@ def apply_temperature(probs: np.ndarray, temperature: float) -> np.ndarray:
 def fit_temperature(
     probs: np.ndarray,
     labels: np.ndarray,
-    lo: float = 0.05,
-    hi: float = 20.0,
+    lo: float = T_SEARCH_LO,
+    hi: float = T_SEARCH_HI,
     tol: float = 1e-4,
 ) -> float:
     """Temperature minimizing held-out NLL, by golden-section search on
@@ -106,7 +110,7 @@ def calibration_report(
     t = fit_temperature(val_probs, val_labels)
     cal = apply_temperature(eval_probs, t)
     report: dict = {}
-    if t >= 20.0 * 0.99 or t <= 0.05 * 1.01:
+    if t >= T_SEARCH_HI * 0.99 or t <= T_SEARCH_LO * 1.01:
         # near-chance models push T to the search bound (max-entropy is
         # NLL-optimal at chance accuracy) — flag rather than silently clip
         report["warning"] = (

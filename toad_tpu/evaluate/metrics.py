@@ -103,10 +103,15 @@ def bootstrap_cis(
 
     The TOAD paper reports 95% CIs for its AUCs but the reference repo
     computes none (point estimates only, ``eval_utils_mtl_concat.py:
-    119-160``). Slides are resampled with replacement ``n_boot`` times;
-    resamples where a metric is undefined (a class vanished from the draw)
-    are excluded per-metric via nan-aware percentiles — mirroring the
-    absent-class nan semantics of :func:`ovr_aucs`.
+    119-160``). Slides are resampled with replacement ``n_boot`` times.
+    Vanished-class semantics per metric: the macro cls AUC nanmeans over the
+    classes PRESENT in each draw (the :func:`macro_ovr_auc` estimand — such
+    draws still count, with ``n_valid == n_boot``); the binary/micro cls AUC
+    and the site AUC are undefined when a side vanishes, and those draws ARE
+    excluded via nan-aware percentiles (``n_valid`` reports how many
+    remained). ``cls_top3_acc`` is emitted only for ``n_classes > 3``
+    (below that, top-3 is the constant 1.0 and the summary's top-3 column
+    is NaN — a degenerate CI would contradict it).
     """
     labels = np.asarray(labels).astype(np.int64)
     probs = np.asarray(probs, np.float64)
@@ -126,15 +131,16 @@ def bootstrap_cis(
             return macro_ovr_auc(y, p, n_classes)
 
     rng = np.random.RandomState(seed)
-    names = ("cls_auc", "cls_acc", "cls_top3_acc", "site_auc")
+    with_top3 = n_classes > 3
+    names = ("cls_auc", "cls_acc") + (("cls_top3_acc",) if with_top3 else ()) + ("site_auc",)
     draws = {k: np.empty(n_boot) for k in names}
-    top3_k = min(3, n_classes)
     for b in range(n_boot):
         idx = rng.randint(0, n, n)
         y, p = labels[idx], probs[idx]
         draws["cls_auc"][b] = cls_auc_fn(y, p)
         draws["cls_acc"][b] = float((preds[idx] == y).mean())
-        draws["cls_top3_acc"][b] = topk_accuracy(p, y, ks=(top3_k,))[top3_k]
+        if with_top3:
+            draws["cls_top3_acc"][b] = topk_accuracy(p, y, ks=(3,))[3]
         draws["site_auc"][b] = binary_auc(site_labels[idx], site_scores[idx])
 
     lo_q, hi_q = 100 * alpha / 2, 100 * (1 - alpha / 2)
