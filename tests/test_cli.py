@@ -276,3 +276,35 @@ def test_enable_compile_cache_populates_dir(tmp_path):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev[1])
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev[2])
         compilation_cache.reset_cache()
+
+
+def test_report_cli(tmp_path, capsys):
+    """report: aggregates summary.csv across folds (mean/std/min/max) and
+    folds in calibration temperatures when present."""
+    import json as _json
+
+    import pandas as pd
+
+    d = tmp_path / "EVAL_x"
+    d.mkdir()
+    pd.DataFrame({
+        "folds": [0, 1, 2],
+        "cls_test_auc": [0.8, 0.9, 0.7],
+        "cls_test_acc": [0.6, 0.7, float("nan")],  # nan folds excluded per-metric
+    }).to_csv(d / "summary.csv")
+    (d / "fold_0_calibration.json").write_text(_json.dumps({"temperature": 1.5}))
+    (d / "fold_1_calibration.json").write_text(_json.dumps({"temperature": 2.5}))
+
+    from toad_tpu.cli import report
+
+    out_csv = tmp_path / "agg.csv"
+    assert report.main(["--dir", str(d), "--out", str(out_csv)]) == 0
+    out = capsys.readouterr().out
+    flat = _json.loads(out.strip().splitlines()[-1])
+    np.testing.assert_allclose(flat["cls_test_auc_mean"], 0.8)
+    np.testing.assert_allclose(flat["cls_test_acc_mean"], 0.65)
+    np.testing.assert_allclose(flat["calibration_temperature_mean"], 2.0)
+    agg = pd.read_csv(out_csv)
+    row = agg[agg.metric == "cls_test_auc"].iloc[0]
+    np.testing.assert_allclose([row["min"], row["max"], row["n"]], [0.7, 0.9, 3])
+    np.testing.assert_allclose(row["std"], 0.1, rtol=1e-12)
