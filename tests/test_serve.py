@@ -588,3 +588,52 @@ def test_batcher_temperature(model_and_params):
     np.testing.assert_allclose(p3.y_prob, apply_temperature(p1.y_prob[None], 3.0)[0], atol=1e-6)
     assert p3.y_hat == p1.y_hat
     np.testing.assert_allclose(p3.site_prob, p1.site_prob, atol=0)
+
+
+def test_http_predict_features_int8_wire(model_and_params, dummy_env):
+    """Client-side pre-quantized wire format: same answer as f32 features
+    on the same int8 server (bitwise same computation), 4x fewer bytes;
+    rejected with 400 on a non-int8 server and on malformed payloads."""
+    from toad_tpu.ops.quantize import quantize_rows_np
+
+    cfg, params = model_and_params
+    task = dummy_env["task"]
+    sc = ServeConfig(max_batch=8, max_wait_ms=5, bucket_sizes=BUCKETS, int8=True)
+    service = InferenceService(params, cfg, sc, task=task)
+    server, port = serve_in_thread(service)
+    try:
+        rng = np.random.default_rng(31)
+        feats = rng.standard_normal((40, DIM)).astype(np.float32)
+        xq, sx = quantize_rows_np(feats)
+        body_q = {
+            "features_int8_b64": base64.b64encode(xq.tobytes()).decode(),
+            "scales_b64": base64.b64encode(sx.astype("<f4").tobytes()).decode(),
+            "shape": [40, DIM],
+            "sex": "F",
+        }
+        st_q, out_q = _post(port, "/predict", body_q)
+        assert st_q == 200, out_q
+        st_f, out_f = _post(port, "/predict", {"features": feats.tolist(), "sex": "F"})
+        assert st_f == 200
+        np.testing.assert_allclose(out_q["y_prob"], out_f["y_prob"], atol=1e-6)
+        assert out_q["y_hat"] == out_f["y_hat"]
+
+        # malformed: missing scales, wrong payload size
+        st, out = _post(port, "/predict", {k: v for k, v in body_q.items() if k != "scales_b64"})
+        assert st == 400 and "scales_b64" in out["error"]
+        bad = dict(body_q, shape=[39, DIM])
+        st, out = _post(port, "/predict", bad)
+        assert st == 400 and "int8 values" in out["error"]
+    finally:
+        server.shutdown()
+        service.close()
+
+    # non-int8 server: clean 400, not a 500
+    service_f = InferenceService(params, cfg, ServeConfig(bucket_sizes=BUCKETS), task=task)
+    server_f, port_f = serve_in_thread(service_f)
+    try:
+        st, out = _post(port_f, "/predict", body_q)
+        assert st == 400 and "int8" in out["error"]
+    finally:
+        server_f.shutdown()
+        service_f.close()
