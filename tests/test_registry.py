@@ -80,3 +80,16 @@ def test_task_json_unknown_fields_are_loud(tmp_path):
     TaskConfig.from_json(json.dumps(good))
     with pytest.raises(ValueError, match="unknown task-config fields.*description"):
         TaskConfig.from_json(json.dumps({**good, "description": "oops"}))
+
+
+def test_top_level_exports_resolve():
+    """Every name in toad_tpu.__all__ lazily resolves (catches stale
+    _EXPORTS entries after refactors)."""
+    import toad_tpu
+
+    for name in toad_tpu.__all__:
+        assert getattr(toad_tpu, name) is not None
+    import pytest
+
+    with pytest.raises(AttributeError, match="no attribute"):
+        toad_tpu.not_a_symbol

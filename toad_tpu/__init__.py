@@ -36,6 +36,14 @@ _EXPORTS = {
     "FoldTrainer": "toad_tpu.train.loop",
     "evaluate_checkpoint": "toad_tpu.evaluate.engine",
     "evaluate_split": "toad_tpu.evaluate.engine",
+    "bootstrap_result_cis": "toad_tpu.evaluate.engine",
+    "bootstrap_cis": "toad_tpu.evaluate.metrics",
+    "fit_temperature": "toad_tpu.evaluate.calibration",
+    "apply_temperature": "toad_tpu.evaluate.calibration",
+    "top_label_ece": "toad_tpu.evaluate.calibration",
+    "calibration_report": "toad_tpu.evaluate.calibration",
+    "auto_bucket_ladder": "toad_tpu.data.batching",
+    "bag_shape": "toad_tpu.data.bags",
     "SlideInference": "toad_tpu.pipeline.infer",
     "InferenceService": "toad_tpu.serve.server",
     "DynamicBatcher": "toad_tpu.serve.batcher",
