@@ -148,12 +148,20 @@ def test_evaluate_split_all(cli_env):
                 "--k_end", "1",
                 "--batch_size", "4",
                 "--encoding_size", "64",
+                "--calibrate",
             ]
         )
         assert len(edf) == 1
         fdf = pd.read_csv(root / "eval_results" / "EVAL_smoke_eval_all" / "fold_0.csv")
         manifest = pd.read_csv(root / "dataset_csv" / "dummy_dataset.csv")
         assert len(fdf) == len(manifest)
+        # 'all' contains the calibration (val) slides: flagged, not silent
+        import json as _json
+
+        cal = _json.loads(
+            (root / "eval_results" / "EVAL_smoke_eval_all" / "fold_0_calibration.json").read_text()
+        )
+        assert "partially self-calibrated" in cal.get("note", "")
     finally:
         os.chdir(cwd)
 
