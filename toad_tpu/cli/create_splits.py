@@ -10,7 +10,6 @@ three reference formats per fold: ``splits_{i}.csv``, ``splits_{i}_bool.csv``,
 from __future__ import annotations
 
 import argparse
-import os
 from pathlib import Path
 
 import numpy as np

@@ -14,7 +14,6 @@ import argparse
 import os
 from pathlib import Path
 
-import numpy as np
 import pandas as pd
 
 from toad_tpu.cli.common import add_task_arg, build_dataset, echo_settings

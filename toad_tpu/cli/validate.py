@@ -21,11 +21,12 @@ from __future__ import annotations
 
 import argparse
 import json
-from pathlib import Path
 
 import numpy as np
 
 from toad_tpu.cli.common import add_task_arg, build_dataset
+from toad_tpu.data.bags import bag_shape  # noqa: F401  (re-export: moved to data/bags.py)
+from toad_tpu.data.batching import suggest_buckets  # noqa: F401
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -35,10 +36,6 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoding_size", type=int, default=1024, help="expected feature dim")
     p.add_argument("--max_report", type=int, default=10, help="cap per-problem path listings")
     return p
-
-
-from toad_tpu.data.bags import bag_shape  # noqa: F401  (re-export: moved to data/bags.py)
-from toad_tpu.data.batching import suggest_buckets  # noqa: F401
 
 
 def padding_overhead(counts: np.ndarray, buckets: list[int]) -> float:

@@ -19,7 +19,7 @@ import pandas as pd
 
 from toad_tpu.config import DEFAULT_BUCKETS, ModelConfig
 from toad_tpu.data.batching import BagBatcher
-from toad_tpu.evaluate.metrics import AccuracyLogger, binary_auc, micro_ovr_auc, ovr_aucs, topk_accuracy
+from toad_tpu.evaluate.metrics import binary_auc, micro_ovr_auc, ovr_aucs, topk_accuracy
 from toad_tpu.evaluate.runner import make_eval_step, run_eval_pass
 from toad_tpu.models.toad_mil import ToadMIL
 

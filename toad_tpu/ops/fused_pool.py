@@ -20,7 +20,6 @@ Two implementations with identical semantics:
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
