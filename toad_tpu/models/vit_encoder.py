@@ -67,6 +67,10 @@ def _ln_init(d):
 
 
 class ViTEncoder:
+    """init/apply container for the UNI-style ViT tile encoder (pure
+    functions; params are a plain pytree — same contract as
+    :class:`~toad_tpu.models.resnet_encoder.ResNetEncoder`)."""
+
     def __init__(self, config: ViTConfig = ViTConfig()):
         self.config = config
         self._init_jit = None
