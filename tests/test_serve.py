@@ -434,6 +434,11 @@ def test_serve_cli_rejects_bad_shards():
 
     with pytest.raises(SystemExit, match="data_shards"):
         main(["--ckpt", "/nonexistent", "--data_shards", "0"])
+    # a ladder the bag-sharded Pallas path can't serve is rejected at
+    # startup against the mesh's ACTUAL shard count (128*4=512), before
+    # the checkpoint is even touched — not per-request
+    with pytest.raises(SystemExit, match="512"):
+        main(["--ckpt", "/nonexistent", "--bag_shards", "4", "--buckets", "384"])
 
 
 def test_bf16_transfer_mode_close_to_f32(model_and_params):
