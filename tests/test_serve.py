@@ -159,6 +159,8 @@ def test_http_predict_bag_path(http_service, dummy_env):
 
     status, out = _get(port, "/stats")
     assert status == 200 and out["requests"] >= 1 and out["mean_batch_size"] >= 1
+    assert out["config"]["buckets"] == sorted(BUCKETS)
+    assert out["config"]["temperature"] == 1.0 and out["config"]["int8"] is False
 
 
 def test_http_bad_requests(http_service):

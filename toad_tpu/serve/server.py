@@ -189,12 +189,23 @@ class InferenceService:
 
     def stats(self) -> dict:
         s = self.batcher.stats()
+        cfg = self.batcher.cfg
         return {
             "requests": s.requests,
             "batches": s.batches,
             "served": s.batched_slides,
             "padded_slots": s.padded_slots,
             "mean_batch_size": round(s.mean_batch_size, 3),
+            # deployed config echo: lets operators verify what's actually
+            # serving (ladder/int8/temperature) without reading launch flags
+            "config": {
+                "buckets": list(self.batcher.buckets),
+                "max_batch": cfg.max_batch,
+                "max_wait_ms": cfg.max_wait_ms,
+                "int8": cfg.int8,
+                "temperature": cfg.temperature,
+                "transfer_dtype": cfg.transfer_dtype,
+            },
         }
 
     def close(self, timeout: float = 60.0) -> bool:
