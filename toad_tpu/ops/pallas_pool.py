@@ -331,7 +331,11 @@ def _pool_kernel_body_int8_pair(
     xq2 = xq_ref[:]  # [2, TILE_N, D] int8
     tile = xq2.shape[1]
     xm = xq2.reshape(2 * tile, xq2.shape[2])
-    sx2 = sx_ref[:, 0, :].reshape(2 * tile, 1)  # merged per-row scales
+    # merged per-row scales: [2, 1, tile] -> [2*tile, 1]. The direct reshape
+    # is a lane->sublane shape cast that newer Mosaic (terminal libtpu
+    # 2026-01) rejects ("infer-vector-layout: unsupported shape cast");
+    # swapaxes-then-merge-leading-dims lowers fine (probed on-chip).
+    sx2 = jnp.swapaxes(sx_ref[:], 1, 2).reshape(2 * tile, 1)
     mask = mask_ref[:, 0, :]  # [2, TILE_N]
 
     def _tile_work():
@@ -525,10 +529,12 @@ def _pallas_pool_call(params, x, mask, compute_dtype=jnp.bfloat16, interpret=Fal
                 pltpu.VMEM((2, T_PAD, h_dim), jnp.float32),
                 pltpu.VMEM((2, 2, T_PAD), jnp.float32),
             ],
-            # the merged 2-bag block plus f32 intermediates sits ~1% over the
-            # 16 MB default scoped-VMEM budget; v5e physical VMEM is far
-            # larger, so raise the cap for this kernel only
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
+            # the merged 2-bag block plus f32 intermediates overflows the
+            # 16 MB default scoped-VMEM budget (and scoped accounting varies
+            # ~1% across libtpu builds — a 24 MB cap OOM'd by 50 KB after a
+            # terminal upgrade); v5e physical VMEM is far larger, so raise
+            # the cap for this kernel only, with headroom
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
             interpret=interpret,
         )(x, mask, *flat)
         return outs[0], None
