@@ -301,7 +301,9 @@ def bench_encoder() -> dict:
     cfg = EncoderConfig()  # bf16, BN folded
     enc = ResNetEncoder(cfg)
     params = fold_bn(enc.init(jax.random.PRNGKey(0)), cfg)
-    b, hw, k = 128, 256, 10
+    # B=256: measured +4-6% over B=128 (CLAUDE.md encoder-batch ledger;
+    # plateau ~9.5k patches/s at B>=256) — bench at the demonstrated optimum
+    b, hw, k = 256, 256, 6
 
     @jax.jit
     def fn(params, key):
@@ -409,6 +411,114 @@ def bench_e2e_wsi() -> dict:
     return {"e2e_wsi_slides_per_sec": k / t}
 
 
+def _ensure_io_fixture(n_slides: int):
+    """On-disk fixture shared with bench_reference_real: ``.pt`` bags
+    (8192x1024 f32, 32 MB each, written by the native torch-zip writer) plus
+    a manifest covering ``n_slides`` of them. Returns (tmp_dir, csv_path)."""
+    from pathlib import Path
+
+    import pandas as pd
+
+    from toad_tpu.data.synthetic import DEFAULT_ORIGINS
+    from toad_tpu.data.torch_io import save_torch_pickle
+
+    tmp = Path("/tmp/bench_ref_real")
+    tmp.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(0)
+    labels = list(DEFAULT_ORIGINS)
+    rows = [
+        {
+            "slide_id": f"BENCH-SLIDE_{i}",
+            "case_id": f"BENCH-PATIENT_{i}",
+            "label": labels[i % len(labels)],
+            "sex": "F" if i % 2 else "M",
+            "site": "Primary" if i % 2 else "Metastatic",
+        }
+        for i in range(n_slides)
+    ]
+    csv = tmp / f"io_{n_slides}.csv"
+    if not csv.exists():
+        pd.DataFrame(rows).to_csv(csv, index=False)
+    for i in range(n_slides):
+        p = tmp / f"BENCH-SLIDE_{i}.pt"
+        if not p.exists():  # 32MB each; reuse across runs
+            save_torch_pickle(p, rng.randn(BAG_N, DIM).astype(np.float32))
+    return tmp, csv
+
+
+def bench_real_io() -> dict:
+    """The disk-fed number (VERDICT r2 next #3): on-disk ``.pt`` bags ->
+    BagBatcher (native C++ zero-copy path when available) -> H2D through the
+    relay -> batched fused forward, wall-clock. This is what a user running
+    over a real bag store gets, unlike the device-generated headline.
+    Mirrors the reference pipeline ``utils/eval_utils_mtl_concat.py:65-114``
+    (DataLoader torch.load -> .cuda() -> forward).
+
+    Also reports the IO-only fraction (a second pass that parses+pads but
+    never touches the device) so the split between host IO and H2D+compute
+    is visible. Page-cache-warm by construction (fixture fits RAM) — cold
+    NVMe is not measurable in this environment."""
+    import jax
+
+    from toad_tpu.config import ModelConfig, TaskConfig
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.synthetic import DEFAULT_ORIGINS
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+    from toad_tpu.models.toad_mil import ToadMIL
+
+    n_slides, batch, epochs = 16, 8, 3
+    tmp, csv = _ensure_io_fixture(n_slides)
+    task = TaskConfig(
+        name="bench_io",
+        csv_path=str(csv),
+        label_dicts=(
+            {o: i for i, o in enumerate(DEFAULT_ORIGINS)},
+            {"Primary": 0, "Metastatic": 1},
+            {"F": 0, "M": 1},
+        ),
+    )
+    ds = WSIBagDataset(task, csv, data_dir=str(tmp))
+    split = ds.subset(range(n_slides))
+
+    cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16", use_pallas=True)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def step(params, features, patch_mask, sex):
+        out = model.apply(params, features, patch_mask, sex, train=False, need_attention=False)
+        return out.y_prob.sum()
+
+    def make_batcher():
+        return BagBatcher(split, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential")
+
+    def run_epoch() -> float:
+        acc = 0.0
+        for b in make_batcher():
+            acc += float(step(params, b.features, b.patch_mask, b.sex))
+        return acc
+
+    run_epoch()  # warmup: compile + page-cache + native .so build
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        run_epoch()
+    t_total = time.perf_counter() - t0
+
+    # IO-only pass: parse + pad + assemble, no device work. Prefetch overlap
+    # makes the in-loop share smaller than this, so the fraction is an upper
+    # bound on what IO costs the pipeline.
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        for b in make_batcher():
+            pass
+    t_io = time.perf_counter() - t0
+
+    return {
+        "real_io_slides_per_sec": n_slides * epochs / t_total,
+        "real_io_io_frac": t_io / t_total,
+    }
+
+
 def bench_reference_real() -> dict:
     """Second baseline denominator (VERDICT r1 weak #3): the reference's
     ACTUAL eval code — ``utils/eval_utils_mtl_concat.py::eval`` imported from
@@ -432,30 +542,11 @@ def bench_reference_real() -> dict:
 
     from toad_tpu.config import ModelConfig
     from toad_tpu.data.synthetic import DEFAULT_ORIGINS
-    from toad_tpu.data.torch_io import save_torch_pickle
     from toad_tpu.models.toad_mil import ToadMIL
     from toad_tpu.models.torch_interop import export_torch_checkpoint
 
-    tmp = Path("/tmp/bench_ref_real")
-    tmp.mkdir(parents=True, exist_ok=True)
     n_slides = 6
-    rng = np.random.RandomState(0)
-    labels = ["Lung", "Breast", "Colorectal", "Ovarian", "Renal", "Glioma"]
-    rows = [
-        {
-            "slide_id": f"BENCH-SLIDE_{i}",
-            "case_id": f"BENCH-PATIENT_{i}",
-            "label": labels[i],
-            "sex": "F" if i % 2 else "M",
-            "site": "Primary" if i % 2 else "Metastatic",
-        }
-        for i in range(n_slides)
-    ]
-    pd.DataFrame(rows).to_csv(tmp / "m.csv", index=False)
-    for i in range(n_slides):
-        p = tmp / f"BENCH-SLIDE_{i}.pt"
-        if not p.exists():  # 32MB each; reuse across runs
-            save_torch_pickle(p, rng.randn(BAG_N, DIM).astype(np.float32))
+    tmp, csv = _ensure_io_fixture(n_slides)
     ckpt = tmp / "s_0_checkpoint.pt"
     if not ckpt.exists():
         import jax
@@ -499,7 +590,7 @@ def bench_reference_real() -> dict:
     with contextlib.redirect_stdout(io.StringIO()):
         ref_ds = ref_ds_mod.Generic_MIL_MTL_Dataset(
             data_dir=str(tmp),
-            csv_path=str(tmp / "m.csv"),
+            csv_path=str(csv),
             shuffle=False,
             print_info=False,
             label_dicts=[
@@ -571,7 +662,7 @@ def main() -> None:
         retry = bench_ours()
         if retry["slides_per_sec"] > ours["slides_per_sec"]:
             ours = retry
-    for extra in (bench_int8, bench_ragged, bench_encoder, bench_train, bench_long_bag, bench_patient_bag, bench_vit, bench_e2e_wsi, bench_reference_real):
+    for extra in (bench_int8, bench_ragged, bench_encoder, bench_train, bench_long_bag, bench_patient_bag, bench_vit, bench_e2e_wsi, bench_real_io, bench_reference_real):
         try:
             ours.update(extra())
         except Exception as e:  # extras are best-effort
@@ -617,6 +708,19 @@ def main() -> None:
         "e2e_wsi_slides_per_sec": (
             round(ours["e2e_wsi_slides_per_sec"], 3) if "e2e_wsi_slides_per_sec" in ours else None
         ),
+        # disclosure (VERDICT r2 weak #5): e2e_wsi tiles are device-generated
+        # — tile decode/normalize + H2D are NOT in that number (relay H2D is
+        # erratic here, CLAUDE.md); real_io below covers the disk-fed path
+        "e2e_wsi_note": "tiles device-generated: decode+H2D excluded",
+        # disk-fed path: on-disk .pt bags -> BagBatcher -> H2D -> forward
+        # (wall-clock incl. torch-zip parse + relay H2D; page-cache warm)
+        "real_io_slides_per_sec": (
+            round(ours["real_io_slides_per_sec"], 1) if "real_io_slides_per_sec" in ours else None
+        ),
+        "real_io_io_frac": (
+            round(ours["real_io_io_frac"], 3) if "real_io_io_frac" in ours else None
+        ),
+        "real_io_note": "relay H2D bandwidth is erratic in this environment; number varies run-to-run",
         **{k: v for k, v in ours.items() if k.endswith("_error")},
         "device": ours["device"],
     }

@@ -15,6 +15,13 @@ concurrency 16 — but H2D caps slides/s far below the device's 5.5k/s.)
 Run: python experiments/serve_load.py [--concurrency 32 --requests 512
      --bag_n 8192 --max_batch 32 --max_wait_ms 5 --bf16 --pallas]
 Prints one JSON line.
+
+``--wire {none,json,raw}`` additionally routes every request through the real
+HTTP server (loopback): ``json`` posts the features_b64 JSON document, ``raw``
+posts application/octet-stream bytes (X-Toad-* headers). The report then
+includes ``host_cpu_s`` (process CPU time over the run) and
+``host_cpu_ms_per_req`` — the direct before/after for the wire-format tax
+(base64+JSON encode/parse vs two frombuffer views) on the 1-core host.
 """
 
 from __future__ import annotations

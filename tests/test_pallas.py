@@ -159,3 +159,16 @@ def test_tpu_lowering_all_variants(setup):
     }
     for name, f in cases.items():
         jax.jit(f).trace().lower(lowering_platforms=("tpu",))  # raises on Mosaic rejection
+
+
+def test_tpu_lowering_vit_fused_mha():
+    """Mosaic-lowering guard for the ViT fused-attention kernel at the real
+    ViT-L serving shape (197 tokens, 16 heads x 64) and an odd edge shape."""
+    import jax
+
+    from toad_tpu.ops.vit_attention import fused_mha
+
+    for b, n, h, dh in ((8, 197, 16, 64), (3, 65, 4, 32)):
+        qkv = jnp.zeros((b, n, 3 * h * dh), jnp.bfloat16)
+        f = lambda: fused_mha(qkv, heads=h, head_dim=dh)  # noqa: B023
+        jax.jit(f).trace().lower(lowering_platforms=("tpu",))

@@ -644,3 +644,147 @@ def test_http_predict_features_int8_wire(model_and_params, dummy_env):
     finally:
         server_f.shutdown()
         service_f.close()
+
+
+def _post_octet(port, payload: bytes, headers: dict):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/predict", payload, {"Content-Type": "application/octet-stream", **headers})
+    r = conn.getresponse()
+    data = json.loads(r.read())
+    conn.close()
+    return r.status, data
+
+
+def test_http_predict_raw_octet_stream(http_service):
+    """Raw application/octet-stream /predict: byte-identical answer to the
+    JSON+base64 path (same bytes reach the same batcher), with metadata in
+    X-Toad-* headers; malformed headers/bodies get clean 400s."""
+    service, port, task = http_service
+    rng = np.random.default_rng(41)
+    feats = rng.standard_normal((40, DIM)).astype(np.float32)
+    raw = feats.astype("<f4").tobytes()
+
+    st_b64, out_b64 = _post(
+        port,
+        "/predict",
+        {
+            "features_b64": base64.b64encode(raw).decode(),
+            "shape": [40, DIM],
+            "sex": "F",
+            "top_k": 3,
+            "attention": True,
+        },
+    )
+    assert st_b64 == 200, out_b64
+    st_raw, out_raw = _post_octet(
+        port,
+        raw,
+        {"X-Toad-Shape": f"40,{DIM}", "X-Toad-Sex": "F", "X-Toad-Top-K": "3", "X-Toad-Attention": "1"},
+    )
+    assert st_raw == 200, out_raw
+    assert out_raw == out_b64  # byte-identical: same floats, same labels, same attention
+
+    # default dtype f32, attention off by default
+    st, out = _post_octet(port, raw, {"X-Toad-Shape": f"40,{DIM}", "X-Toad-Sex": "M"})
+    assert st == 200 and "attention" not in out
+
+    # malformed: missing shape / bad shape / byte-count mismatch / bad dtype / bad sex
+    st, out = _post_octet(port, raw, {"X-Toad-Sex": "F"})
+    assert st == 400 and "X-Toad-Shape" in out["error"]
+    st, out = _post_octet(port, raw, {"X-Toad-Shape": "forty", "X-Toad-Sex": "F"})
+    assert st == 400 and "malformed" in out["error"]
+    st, out = _post_octet(port, raw[:-4], {"X-Toad-Shape": f"40,{DIM}", "X-Toad-Sex": "F"})
+    assert st == 400 and "bytes" in out["error"]
+    st, out = _post_octet(
+        port, raw, {"X-Toad-Shape": f"40,{DIM}", "X-Toad-Dtype": "float64", "X-Toad-Sex": "F"}
+    )
+    assert st == 400 and "X-Toad-Dtype" in out["error"]
+    st, out = _post_octet(port, raw, {"X-Toad-Shape": f"40,{DIM}", "X-Toad-Sex": "banana"})
+    assert st == 400
+
+    # octet-stream on /heatmap is rejected, not misparsed as JSON
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/heatmap", raw, {"Content-Type": "application/octet-stream"})
+    r = conn.getresponse()
+    assert r.status == 400 and b"octet-stream" in r.read()
+    conn.close()
+
+
+def test_http_predict_raw_int8(model_and_params, dummy_env):
+    """Raw int8 wire format (rows + trailing f32 scales): identical answer
+    to the features_int8_b64 path; clean 400 on a non-int8 server."""
+    from toad_tpu.ops.quantize import quantize_rows_np
+
+    cfg, params = model_and_params
+    task = dummy_env["task"]
+    sc = ServeConfig(max_batch=8, max_wait_ms=5, bucket_sizes=BUCKETS, int8=True)
+    service = InferenceService(params, cfg, sc, task=task)
+    server, port = serve_in_thread(service)
+    try:
+        rng = np.random.default_rng(43)
+        feats = rng.standard_normal((40, DIM)).astype(np.float32)
+        xq, sx = quantize_rows_np(feats)
+        raw = xq.tobytes() + sx.astype("<f4").tobytes()
+        hdrs = {"X-Toad-Shape": f"40,{DIM}", "X-Toad-Dtype": "int8", "X-Toad-Sex": "F"}
+
+        st_raw, out_raw = _post_octet(port, raw, hdrs)
+        assert st_raw == 200, out_raw
+        st_b64, out_b64 = _post(
+            port,
+            "/predict",
+            {
+                "features_int8_b64": base64.b64encode(xq.tobytes()).decode(),
+                "scales_b64": base64.b64encode(sx.astype("<f4").tobytes()).decode(),
+                "shape": [40, DIM],
+                "sex": "F",
+            },
+        )
+        assert st_b64 == 200
+        assert out_raw == out_b64
+
+        st, out = _post_octet(port, raw[:-1], hdrs)
+        assert st == 400 and "bytes" in out["error"]
+    finally:
+        server.shutdown()
+        service.close()
+
+    # non-int8 server: clean 400, not a 500
+    service_f = InferenceService(params, cfg, ServeConfig(bucket_sizes=BUCKETS), task=task)
+    server_f, port_f = serve_in_thread(service_f)
+    try:
+        st, out = _post_octet(port_f, raw, hdrs)
+        assert st == 400 and "int8" in out["error"]
+    finally:
+        server_f.shutdown()
+        service_f.close()
+
+
+def test_http_body_size_cap(model_and_params, dummy_env):
+    """POST bodies beyond max_body_bytes get 413 without being read — both
+    raw and JSON routes."""
+    from toad_tpu.serve.server import make_http_server
+
+    cfg, params = model_and_params
+    service = InferenceService(
+        params, cfg, ServeConfig(max_batch=4, max_wait_ms=5, bucket_sizes=BUCKETS), task=dummy_env["task"]
+    )
+    server = make_http_server(service, port=0, max_body_bytes=1024)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    port = server.server_address[1]
+    try:
+        big = b"\x00" * 2048
+        st, out = _post_octet(port, big, {"X-Toad-Shape": f"8,{DIM}", "X-Toad-Sex": "F"})
+        assert st == 413 and "cap" in out["error"]
+        st, out = _post(port, "/predict", {"features": [[0.0] * DIM] * 4, "sex": "F"})
+        assert st == 413  # the JSON body for 4x64 floats also exceeds 1024 bytes
+
+        # under the cap still works
+        feats = np.zeros((2, DIM), np.float32)
+        st, out = _post_octet(
+            port, feats.tobytes(), {"X-Toad-Shape": f"2,{DIM}", "X-Toad-Sex": "F"}
+        )
+        assert st == 200, out
+    finally:
+        server.shutdown()
+        service.close()

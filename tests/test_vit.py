@@ -174,3 +174,58 @@ def test_heads_inference_guard(torch_vit):
     bad["cls_token"] = np.zeros((1, 1, 96), np.float32)
     with pytest.raises(ValueError, match="pass heads"):
         params_from_timm_state_dict(bad)
+
+
+class TestFusedAttention:
+    """Pallas fused MHA (ops/vit_attention.py) — interpret-mode parity on the
+    CPU mesh; the TPU Mosaic lowering guard lives in tests/test_pallas.py."""
+
+    def test_kernel_matches_reference_f32(self):
+        from toad_tpu.ops.vit_attention import fused_mha, mha_reference
+
+        rng = np.random.default_rng(0)
+        qkv = jnp.asarray(rng.standard_normal((5, 33, 3 * 4 * 16)), jnp.float32)
+        out = fused_mha(qkv, heads=4, head_dim=16, block_b=2, interpret=True)
+        ref = mha_reference(qkv, heads=4, head_dim=16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_kernel_matches_reference_bf16(self):
+        from toad_tpu.ops.vit_attention import fused_mha, mha_reference
+
+        rng = np.random.default_rng(1)
+        qkv = jnp.asarray(rng.standard_normal((4, 17, 3 * 2 * 8)), jnp.bfloat16)
+        out = fused_mha(qkv, heads=2, head_dim=8, interpret=True)
+        ref = mha_reference(qkv, heads=2, head_dim=8)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
+        )
+
+    def test_kernel_rejects_bad_width(self):
+        from toad_tpu.ops.vit_attention import fused_mha
+
+        with pytest.raises(ValueError, match="3\\*heads\\*head_dim"):
+            fused_mha(jnp.zeros((1, 8, 100)), heads=2, head_dim=8, interpret=True)
+
+    def test_full_encoder_fused_matches_xla(self):
+        """End-to-end ViT forward: fused-attention output == XLA-attention
+        output (f32 compute; the kernel accumulates context in f32, the XLA
+        path in compute dtype — f32 makes both exact)."""
+        enc_x = ViTEncoder(ViTConfig(**{**CFG.__dict__, "attention": "xla"}))
+        enc_f = ViTEncoder(ViTConfig(**{**CFG.__dict__, "attention": "fused"}))
+        params = enc_x.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(2)
+        tiles = jnp.asarray(rng.uniform(0, 255, (3, 32, 32, 3)), jnp.float32)
+        out_x = enc_x.embed(params, tiles)
+        out_f = enc_f.embed(params, tiles)
+        np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_f), rtol=1e-4, atol=1e-4)
+
+    def test_auto_resolves_to_xla_off_tpu(self):
+        from toad_tpu.models.vit_encoder import _resolve_attention
+
+        fused, interpret = _resolve_attention(ViTConfig())
+        if jax.default_backend() == "tpu":
+            assert fused and not interpret
+        else:
+            assert not fused
+        with pytest.raises(ValueError, match="auto\\|fused\\|xla"):
+            _resolve_attention(ViTConfig(**{**CFG.__dict__, "attention": "banana"}))

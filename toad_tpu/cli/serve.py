@@ -60,6 +60,11 @@ def make_parser() -> argparse.ArgumentParser:
         "when binding beyond loopback); relative bag_paths resolve against it",
     )
     p.add_argument(
+        "--max_body_mb", type=int, default=1024, metavar="MB",
+        help="reject POST bodies beyond this size with 413 (default 1024 MB — "
+        "fits a 163840x1024 f32 patient bag on the raw octet-stream route)",
+    )
+    p.add_argument(
         "--warmup", type=str, default=None, nargs="?", const="all", metavar="BUCKETS",
         help="pre-compile serving shapes before accepting traffic: 'all' (every "
         "bucket) or comma-separated bucket sizes, each at batch 1 and max_batch; "
@@ -122,7 +127,7 @@ def main(argv=None) -> None:
         t0 = time.perf_counter()
         n = service.batcher.warmup(buckets)
         print(f"warmup: {n} shape variants compiled in {time.perf_counter() - t0:.1f}s")
-    server = make_http_server(service, args.host, args.port)
+    server = make_http_server(service, args.host, args.port, max_body_bytes=args.max_body_mb << 20)
     mesh_note = f"; mesh {dict(mesh.shape)}" if mesh is not None else ""
     print(
         f"serving on http://{args.host}:{server.server_address[1]}  "

@@ -43,6 +43,12 @@ class ViTConfig:
     ln_eps: float = 1e-6
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # attention core: 'fused' = Pallas VMEM-resident MHA (ops/vit_attention.py
+    # — measured +~45% end-to-end on v5e, where XLA's materialized [B,H,N,N]
+    # f32 scores cost 43% of encoder wall time), 'xla' = einsum+softmax,
+    # 'auto' = fused on TPU, xla elsewhere (interpret-mode Pallas would crawl
+    # on the CPU test mesh)
+    attention: str = "auto"
 
     @property
     def out_dim(self) -> int:
@@ -138,8 +144,9 @@ class ViTEncoder:
         tokens = jnp.concatenate([cls, tokens], axis=1)
         tokens = tokens + _resize_pos_embed(params["pos_embed"], c, gh, gw).astype(dt)
 
+        fused, interpret = _resolve_attention(c)
         for blk in params["blocks"]:
-            tokens = _block(tokens, blk, c, dt)
+            tokens = _block(tokens, blk, c, dt, attn_fused=fused, interpret=interpret)
 
         out = _layer_norm(tokens[:, 0, :], params["norm"], c.ln_eps)
         return out.astype(jnp.float32)
@@ -168,15 +175,30 @@ def _layer_norm(x, ln, eps):
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]
 
 
-def _block(x, blk, c: ViTConfig, dt):
+def _resolve_attention(c: ViTConfig) -> tuple[bool, bool]:
+    """(use_fused_kernel, interpret) from the config + active backend."""
+    if c.attention not in ("auto", "fused", "xla"):
+        raise ValueError(f"ViTConfig.attention must be auto|fused|xla, got {c.attention!r}")
+    on_tpu = jax.default_backend() == "tpu"
+    if c.attention == "xla" or (c.attention == "auto" and not on_tpu):
+        return False, False
+    return True, not on_tpu
+
+
+def _block(x, blk, c: ViTConfig, dt, attn_fused: bool = False, interpret: bool = False):
     h = _layer_norm(x, blk["norm1"], c.ln_eps).astype(dt)
     qkv = h @ blk["qkv"]["w"].astype(dt) + blk["qkv"]["b"].astype(dt)
     b, n, _ = qkv.shape
-    qkv = qkv.reshape(b, n, 3, c.heads, c.head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
-    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(attn * (c.head_dim**-0.5), axis=-1).astype(dt)
-    o = jnp.einsum("bhnm,bmhd->bnhd", attn, v, preferred_element_type=dt).reshape(b, n, c.width)
+    if attn_fused:
+        from toad_tpu.ops.vit_attention import fused_mha
+
+        o = fused_mha(qkv, c.heads, c.head_dim, interpret=interpret)
+    else:
+        qkv = qkv.reshape(b, n, 3, c.heads, c.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn * (c.head_dim**-0.5), axis=-1).astype(dt)
+        o = jnp.einsum("bhnm,bmhd->bnhd", attn, v, preferred_element_type=dt).reshape(b, n, c.width)
     o = o @ blk["proj"]["w"].astype(dt) + blk["proj"]["b"].astype(dt)
     if "ls1" in blk:
         o = o * blk["ls1"].astype(dt)

@@ -26,6 +26,20 @@ API:
     - ``bag_path``: server-side path to a ``.pt``/``.h5``/``.npy`` feature bag;
   plus ``sex`` ("F"/"M"/0/1), optional ``top_k`` (default 5) and
   ``attention`` (bool; include raw per-patch attention scores).
+- ``POST /predict`` with ``Content-Type: application/octet-stream`` → the
+  raw-binary fast path: the body IS the feature bytes (no JSON parse, no
+  base64 — a 32 MB f32 bag costs 32 MB on the wire and one ``frombuffer``
+  on the 1-core serving host instead of a ~43 MB base64 decode + JSON
+  parse). Request metadata rides in headers:
+    - ``X-Toad-Shape: <n_patches>,<dim>`` (required)
+    - ``X-Toad-Dtype: float32`` (default) | ``int8`` — for ``int8`` the body
+      is ``n*dim`` int8 row bytes followed by ``n`` little-endian f32
+      per-row scales (int8 serving mode only)
+    - ``X-Toad-Sex: F|M|0|1`` (required)
+    - ``X-Toad-Top-K: 5`` / ``X-Toad-Attention: 0|1`` (optional)
+  The response is the same JSON document as the JSON routes. All POST
+  bodies (JSON and raw) are capped at ``max_body_bytes`` (default 1 GiB,
+  413 beyond it).
 """
 
 from __future__ import annotations
@@ -262,6 +276,40 @@ def _decode_features_int8(body: dict, in_dim: int) -> tuple[np.ndarray, np.ndarr
     return xq.reshape(shape[0], shape[1]), scales
 
 
+def _decode_raw_request(headers, body: bytes, in_dim: int):
+    """Raw ``application/octet-stream`` body -> (features, scales|None).
+
+    f32: body is ``n*dim`` little-endian float32 bytes. int8: body is
+    ``n*dim`` int8 row bytes + ``n`` little-endian f32 per-row scales.
+    Shape/dtype ride in ``X-Toad-Shape`` / ``X-Toad-Dtype`` headers so the
+    handler thread does zero parsing beyond two ``np.frombuffer`` views."""
+    shape_hdr = headers.get("X-Toad-Shape")
+    if not shape_hdr:
+        raise ValueError("octet-stream predict requires 'X-Toad-Shape: <n_patches>,<dim>'")
+    try:
+        n, dim = (int(v) for v in shape_hdr.split(","))
+    except Exception:
+        raise ValueError(f"malformed X-Toad-Shape {shape_hdr!r} (want '<n_patches>,<dim>')")
+    if n <= 0 or dim <= 0:
+        raise ValueError(f"X-Toad-Shape dims must be positive, got {n},{dim}")
+    if dim != in_dim:
+        raise ValueError(f"feature dim {dim} != model in_dim {in_dim}")
+    dtype = (headers.get("X-Toad-Dtype") or "float32").strip().lower()
+    if dtype in ("float32", "f32"):
+        if len(body) != n * dim * 4:
+            raise ValueError(f"body has {len(body)} bytes, shape {n},{dim} f32 needs {n * dim * 4}")
+        return np.frombuffer(body, dtype="<f4").reshape(n, dim), None
+    if dtype == "int8":
+        if len(body) != n * dim + n * 4:
+            raise ValueError(
+                f"body has {len(body)} bytes, shape {n},{dim} int8+scales needs {n * dim + n * 4}"
+            )
+        xq = np.frombuffer(body, dtype=np.int8, count=n * dim).reshape(n, dim)
+        scales = np.frombuffer(body, dtype="<f4", offset=n * dim)
+        return xq, scales
+    raise ValueError(f"unsupported X-Toad-Dtype {dtype!r} (float32 or int8)")
+
+
 class DrainableHTTPServer(ThreadingHTTPServer):
     """``ThreadingHTTPServer`` that can wait for in-request handler threads.
 
@@ -300,13 +348,22 @@ class DrainableHTTPServer(ThreadingHTTPServer):
         return True
 
 
-def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: int = 8000):
+def make_http_server(
+    service: InferenceService,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    max_body_bytes: int = 1 << 30,
+):
     """Build (not start) a ``ThreadingHTTPServer``; ``port=0`` picks a free
     port (``server.server_address[1]``). Caller owns serve_forever/shutdown.
 
     Server-side ``bag_path`` requests are only honored when the service has a
     ``bag_root`` OR the server is bound to loopback: a network-exposed server
-    with unrestricted paths would be an arbitrary-file read oracle."""
+    with unrestricted paths would be an arbitrary-file read oracle.
+
+    ``max_body_bytes`` caps every POST body (JSON and raw binary) — default
+    1 GiB, enough for a 163,840x1024 f32 patient bag (640 MiB) while bounding
+    what a single request can make the host buffer."""
     bag_paths_ok = service.bag_root is not None or host in ("127.0.0.1", "localhost", "::1")
 
     class Handler(BaseHTTPRequestHandler):
@@ -366,8 +423,18 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
             if self.path not in ("/predict", "/heatmap"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if length > max_body_bytes:
+                # don't read the oversize body; close so the unread bytes
+                # can't be misparsed as a pipelined next request
+                self.close_connection = True
+                self._send(413, {"error": f"body {length} bytes exceeds cap {max_body_bytes}"})
+                return
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip().lower()
+            if ctype == "application/octet-stream":
+                self._handle_post_raw(length)
+                return
             try:
-                length = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 from toad_tpu.cli.common import parse_sex
 
@@ -410,6 +477,34 @@ def make_http_server(service: InferenceService, host: str = "127.0.0.1", port: i
                 # no raw-path echo: existence probing outside bag_root must
                 # not leak host filesystem structure
                 self._send(404, {"error": "feature bag not found"})
+                return
+            except Exception as e:  # device/runtime failure
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send(200, out)
+
+        def _handle_post_raw(self, length: int):
+            """Raw-binary /predict (application/octet-stream): body is the
+            feature bytes, metadata in X-Toad-* headers, response JSON."""
+            if self.path != "/predict":
+                self._send(400, {"error": "octet-stream bodies are only accepted on /predict"})
+                return
+            try:
+                body = self.rfile.read(length)
+                from toad_tpu.cli.common import parse_sex
+
+                sex = parse_sex(self.headers.get("X-Toad-Sex", ""))
+                top_k = int(self.headers.get("X-Toad-Top-K", 5))
+                attention = (self.headers.get("X-Toad-Attention") or "0").strip().lower() in (
+                    "1", "true", "yes",
+                )
+                feats, scales = _decode_raw_request(self.headers, body, service.model_cfg.in_dim)
+                if scales is not None:
+                    out = service.predict_quantized_features(feats, scales, sex, top_k, attention)
+                else:
+                    out = service.predict_features(feats, sex, top_k, attention)
+            except (ValueError, KeyError) as e:
+                self._send(400, {"error": str(e)})
                 return
             except Exception as e:  # device/runtime failure
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
