@@ -48,10 +48,16 @@ def build_data(dim: int, seed: int = 0, tmp: Path = Path("/tmp/acc_parity"), n_p
     return ds, spec
 
 
-def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1):
+def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1,
+                    dropout: bool = False, early_stopping: bool = False):
     """The reference's exact training semantics: its model class, Adam with
     L2 weight decay, one bag per optimizer step, 0.75/0.25 MTL loss
-    (core_utils_mtl_concat.py:190-259), shuffled per epoch."""
+    (core_utils_mtl_concat.py:190-259), shuffled per epoch. With
+    ``early_stopping``, its EarlyStopping semantics too: patience 20 /
+    min-epoch 50, monitoring mean val CLS loss only (``:44-85,360``), best
+    state restored before test."""
+    import copy
+
     import torch
     import torch.nn.functional as F
 
@@ -68,7 +74,7 @@ def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1):
 
     torch.manual_seed(seed)
     np.random.seed(seed)
-    model = TOAD_fc_mtl_concat(gate=True, size_arg="big", dropout=False, n_classes=18)
+    model = TOAD_fc_mtl_concat(gate=True, size_arg="big", dropout=dropout, n_classes=18)
     # the reference hard-codes 1024-d input; patch its first Linear for dim
     import torch.nn as nn
 
@@ -78,10 +84,22 @@ def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1):
         model.attention_net[0].bias.data.zero_()
     opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
 
+    def val_cls_loss() -> float:
+        model.eval()
+        tot = 0.0
+        with torch.no_grad():
+            for i in np.asarray(spec.val):
+                feats = torch.from_numpy(np.asarray(ds.load_bag(int(i)), np.float32))
+                out = model(feats, torch.tensor([float(ds.sexes[i])]))
+                tot += float(F.cross_entropy(out["logits"], torch.tensor([int(ds.labels[i])])))
+        model.train()
+        return tot / max(len(spec.val), 1)
+
     train_ids = np.asarray(spec.train)
     rng = np.random.RandomState(seed)
     model.train()
-    for _ in range(epochs):
+    best_state, best_loss, patience_ct = None, None, 0
+    for epoch in range(epochs):
         for i in rng.permutation(train_ids):
             feats = torch.from_numpy(np.asarray(ds.load_bag(int(i)), np.float32))
             label = torch.tensor([int(ds.labels[i])])
@@ -92,6 +110,19 @@ def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1):
             loss.backward()
             opt.step()
             opt.zero_grad()
+        if early_stopping:
+            vl = val_cls_loss()
+            # reference EarlyStopping (core_utils:63-77): tie-or-better counts
+            # as improvement (resets counter, saves); stop needs epoch > 50
+            if best_loss is None or vl <= best_loss:
+                best_loss, patience_ct = vl, 0
+                best_state = copy.deepcopy(model.state_dict())
+            else:
+                patience_ct += 1
+                if patience_ct >= 20 and epoch > 50:
+                    break
+    if early_stopping and best_state is not None:
+        model.load_state_dict(best_state)
 
     model.eval()
     probs, labels = [], []
@@ -104,14 +135,16 @@ def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1):
     return np.asarray(probs), np.asarray(labels)
 
 
-def train_ours(ds, spec, dim: int, epochs: int, lr: float, batch_size: int = 8, tmp: Path = Path("/tmp/acc_parity"), seed: int = 1):
+def train_ours(ds, spec, dim: int, epochs: int, lr: float, batch_size: int = 8, tmp: Path = Path("/tmp/acc_parity"), seed: int = 1,
+               dropout: bool = False, early_stopping: bool = False):
     from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
     from toad_tpu.train.loop import FoldTrainer
 
     cfg = TrainConfig(
         max_epochs=epochs,
         seed=seed,
-        model=ModelConfig(in_dim=dim, n_classes=18),
+        early_stopping=early_stopping,
+        model=ModelConfig(in_dim=dim, n_classes=18, dropout=dropout),
         optim=OptimConfig(lr=lr),
         data=DataConfig(batch_size=batch_size, bucket_sizes=(64, 128, 256)),
     )
@@ -132,6 +165,9 @@ def main():
     ap.add_argument("--n_patients", type=int, default=80, help="~1.5 slides/patient; 1200 -> ~1800-slide dataset")
     ap.add_argument("--seeds", type=str, default="1", help="comma-separated training seeds, run per side")
     ap.add_argument("--out", type=str, default=None, help="append per-seed JSON lines here (crash-resumable)")
+    ap.add_argument("--dropout", action="store_true", help="reference README recipe: --drop_out (p=.25 at the reference positions)")
+    ap.add_argument("--early_stopping", action="store_true",
+                    help="reference README recipe: patience 20 / min-epoch 50 on val cls loss, best state restored (set --epochs > 50)")
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",")]
 
@@ -156,6 +192,8 @@ def main():
             "seed": seed,
             "dim": args.dim,
             "epochs": args.epochs,
+            "dropout": args.dropout,
+            "early_stopping": args.early_stopping,
             "auc": round(macro_ovr_auc(labels, probs, 18), 4),
             "top1": round(topk_accuracy(probs, labels, (1,))[1], 4),
             "top3": round(topk_accuracy(probs, labels, (1, 3))[3], 4),
@@ -175,9 +213,15 @@ def main():
                 continue
             t0 = time.perf_counter()
             if side == "ours":
-                probs, labels, _ = train_ours(ds, spec, args.dim, args.epochs, args.lr, args.batch_size, seed=seed)
+                probs, labels, _ = train_ours(
+                    ds, spec, args.dim, args.epochs, args.lr, args.batch_size, seed=seed,
+                    dropout=args.dropout, early_stopping=args.early_stopping,
+                )
             else:
-                probs, labels = train_reference(ds, spec, args.dim, args.epochs, args.lr, seed=seed)
+                probs, labels = train_reference(
+                    ds, spec, args.dim, args.epochs, args.lr, seed=seed,
+                    dropout=args.dropout, early_stopping=args.early_stopping,
+                )
             results.append(record(side, seed, probs, labels, time.perf_counter() - t0))
 
     if len(seeds) > 1:

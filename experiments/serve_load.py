@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--bf16_transfer", action="store_true")
+    ap.add_argument("--wire", choices=("none", "json", "raw"), default="none",
+                    help="route requests through the real HTTP server: json=features_b64 "
+                    "document, raw=application/octet-stream; none=direct batcher calls")
     args = ap.parse_args()
 
     import jax
@@ -72,29 +75,82 @@ def main():
 
     lat: list[float] = []
     lat_lock = threading.Lock()
-    with DynamicBatcher(
-        params, cfg, ServeConfig(max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, bucket_sizes=DEFAULT_BUCKETS, transfer_dtype="bfloat16" if args.bf16_transfer else "float32")
-    ) as b:
-        b.predict(bags[0], 0)  # warm the compile cache for the bucket
+    serve_cfg = ServeConfig(max_batch=args.max_batch, max_wait_ms=args.max_wait_ms, bucket_sizes=DEFAULT_BUCKETS, transfer_dtype="bfloat16" if args.bf16_transfer else "float32")
+
+    if args.wire == "none":
+        batcher = DynamicBatcher(params, cfg, serve_cfg)
+        predict = lambda bag, sex: batcher.predict(bag, sex)  # noqa: E731
+        close = batcher.close
+        stats_fn = batcher.stats
+    else:
+        import base64
+        import http.client
+        import json as _json
+
+        from toad_tpu.serve import InferenceService, serve_in_thread
+
+        service = InferenceService(params, cfg, serve_cfg)
+        server, port = serve_in_thread(service)
+
+        if args.wire == "json":
+            def http_request(bag, sex):
+                body = _json.dumps({
+                    "features_b64": base64.b64encode(bag.astype("<f4").tobytes()).decode(),
+                    "shape": [int(bag.shape[0]), int(bag.shape[1])],
+                    "sex": sex,
+                }).encode()
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+                conn.request("POST", "/predict", body, {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                out = r.read()
+                conn.close()
+                assert r.status == 200, out[:200]
+        else:  # raw octet-stream
+            def http_request(bag, sex):
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+                conn.request("POST", "/predict", bag.astype("<f4").tobytes(), {
+                    "Content-Type": "application/octet-stream",
+                    "X-Toad-Shape": f"{bag.shape[0]},{bag.shape[1]}",
+                    "X-Toad-Sex": str(sex),
+                })
+                r = conn.getresponse()
+                out = r.read()
+                conn.close()
+                assert r.status == 200, out[:200]
+
+        predict = http_request
+
+        def close():
+            server.shutdown()
+            service.close()
+
+        stats_fn = service.batcher.stats
+
+    try:
+        predict(bags[0], 0)  # warm the compile cache for the bucket
 
         per_thread = args.requests // args.concurrency
 
         def client(tid: int):
             for i in range(per_thread):
                 t0 = time.perf_counter()
-                b.predict(bags[(tid + i) % len(bags)], (tid + i) % 2)
+                predict(bags[(tid + i) % len(bags)], (tid + i) % 2)
                 dt = time.perf_counter() - t0
                 with lat_lock:
                     lat.append(dt)
 
         threads = [threading.Thread(target=client, args=(t,)) for t in range(args.concurrency)]
+        cpu0 = time.process_time()
         t0 = time.perf_counter()
         for t in threads:
             t.start()
         for t in threads:
             t.join()
         wall = time.perf_counter() - t0
-        stats = b.stats()
+        host_cpu = time.process_time() - cpu0
+        stats = stats_fn()
+    finally:
+        close()
 
     lat_ms = np.asarray(lat) * 1e3
     print(
@@ -113,6 +169,9 @@ def main():
                 "max_wait_ms": args.max_wait_ms,
                 "bag_n": args.bag_n,
                 "transfer": "bf16" if args.bf16_transfer else "f32",
+                "wire": args.wire,
+                "host_cpu_s": round(host_cpu, 2),
+                "host_cpu_ms_per_req": round(host_cpu / max(len(lat), 1) * 1e3, 2),
                 "device": str(jax.devices()[0]),
             }
         )
