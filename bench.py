@@ -519,6 +519,59 @@ def bench_real_io() -> dict:
     }
 
 
+def bench_real_io_int8() -> dict:
+    """The disk-fed path's H2D mitigation: ``predict --int8`` over an int8
+    bag store (``data/bags.py::save_int8_bag`` .npz: int8 rows + f32 per-row
+    scales — 4x fewer disk AND H2D bytes than f32, no host quantization
+    pass). Same wall-clock discipline as bench_real_io; on a relay-throttled
+    link the byte reduction translates almost 1:1 into slides/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.data.bags import load_bag_quantized, save_int8_bag
+    from toad_tpu.models.toad_mil import ToadMIL
+    from toad_tpu.ops.quantize import quantize_pool_params
+
+    n_slides, batch, epochs = 16, 8, 3
+    tmp, _ = _ensure_io_fixture(n_slides)
+    qdir = tmp / "int8"
+    rng = np.random.RandomState(0)
+    for i in range(n_slides):
+        p = qdir / f"BENCH-SLIDE_{i}.npz"
+        if not p.exists():  # ~8MB each
+            save_int8_bag(p, rng.randn(BAG_N, DIM).astype(np.float32))
+
+    cfg = ModelConfig(in_dim=DIM, n_classes=N_CLASSES, compute_dtype="bfloat16", use_pallas=True)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    qp = jax.tree.map(jnp.asarray, quantize_pool_params(jax.tree.map(np.asarray, params)))
+
+    @jax.jit
+    def step(params, qp, xq, sx, mask, sex):
+        out = model.apply_int8(params, qp, xq, sx, mask, sex, need_attention=False)
+        return out.y_prob.sum()
+
+    mask = np.ones((batch, BAG_N), np.float32)
+    sex = np.zeros((batch,), np.int32)
+
+    def run_epoch() -> float:
+        acc = 0.0
+        for start in range(0, n_slides, batch):
+            loaded = [load_bag_quantized(qdir / f"BENCH-SLIDE_{i}.npz")
+                      for i in range(start, start + batch)]
+            xq = np.stack([q[0] for q in loaded])
+            sx = np.stack([q[1] for q in loaded])
+            acc += float(step(params, qp, xq, sx, mask, sex))
+        return acc
+
+    run_epoch()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        run_epoch()
+    return {"real_io_int8_slides_per_sec": n_slides * epochs / (time.perf_counter() - t0)}
+
+
 def bench_reference_real() -> dict:
     """Second baseline denominator (VERDICT r1 weak #3): the reference's
     ACTUAL eval code — ``utils/eval_utils_mtl_concat.py::eval`` imported from
@@ -662,7 +715,7 @@ def main() -> None:
         retry = bench_ours()
         if retry["slides_per_sec"] > ours["slides_per_sec"]:
             ours = retry
-    for extra in (bench_int8, bench_ragged, bench_encoder, bench_train, bench_long_bag, bench_patient_bag, bench_vit, bench_e2e_wsi, bench_real_io, bench_reference_real):
+    for extra in (bench_int8, bench_ragged, bench_encoder, bench_train, bench_long_bag, bench_patient_bag, bench_vit, bench_e2e_wsi, bench_real_io, bench_real_io_int8, bench_reference_real):
         try:
             ours.update(extra())
         except Exception as e:  # extras are best-effort
@@ -719,6 +772,12 @@ def main() -> None:
         ),
         "real_io_io_frac": (
             round(ours["real_io_io_frac"], 3) if "real_io_io_frac" in ours else None
+        ),
+        # int8 bag store (4x fewer disk+H2D bytes): the mitigation for the
+        # H2D-bound disk-fed path
+        "real_io_int8_slides_per_sec": (
+            round(ours["real_io_int8_slides_per_sec"], 1)
+            if "real_io_int8_slides_per_sec" in ours else None
         ),
         "real_io_note": "relay H2D bandwidth is erratic in this environment; number varies run-to-run",
         **{k: v for k, v in ours.items() if k.endswith("_error")},

@@ -168,7 +168,7 @@ def test_tpu_lowering_vit_fused_mha():
 
     from toad_tpu.ops.vit_attention import fused_mha
 
-    for b, n, h, dh in ((8, 197, 16, 64), (3, 65, 4, 32)):
+    for b, n, h, dh in ((8, 197, 16, 64), (4, 257, 16, 64), (3, 65, 4, 32)):
         qkv = jnp.zeros((b, n, 3 * h * dh), jnp.bfloat16)
         f = lambda: fused_mha(qkv, heads=h, head_dim=dh)  # noqa: B023
         jax.jit(f).trace().lower(lowering_platforms=("tpu",))

@@ -76,7 +76,16 @@ def fused_mha(
     d = heads * head_dim
     if three_d != 3 * d:
         raise ValueError(f"qkv last dim {three_d} != 3*heads*head_dim {3 * d}")
-    block_b = min(block_b, b)
+    # Clamp the block to the scoped-VMEM budget. Empirical footprint (the
+    # terminal compiler's own accounting): ~15 * n * d * itemsize per image —
+    # the double-buffered qkv+out stream plus per-head f32 score tiles and
+    # the in-register context concat. 197-token tiles keep the measured-fast
+    # block of 4 (~23 MB); 257-token (256 px) tiles clamp to 3 (22.5 MB
+    # measured). The call raises vmem_limit_bytes to 28 MB like the pooling
+    # kernel — the 16 MB default rejects both (CLAUDE.md, 2026-01 libtpu
+    # accounting).
+    bytes_per_image = 15 * n * d * qkv.dtype.itemsize
+    block_b = max(1, min(block_b, b, int(26e6 // bytes_per_image)))
     kernel = functools.partial(
         _mha_kernel, heads=heads, head_dim=head_dim, scale=float(head_dim) ** -0.5
     )
@@ -88,6 +97,7 @@ def fused_mha(
         ],
         out_specs=pl.BlockSpec((block_b, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=28 * 1024 * 1024),
         interpret=interpret,
     )(qkv)
 
