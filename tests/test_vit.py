@@ -229,3 +229,30 @@ class TestFusedAttention:
             assert not fused
         with pytest.raises(ValueError, match="auto\\|fused\\|xla"):
             _resolve_attention(ViTConfig(**{**CFG.__dict__, "attention": "banana"}))
+
+
+class TestGeluForm:
+    def test_resolution(self):
+        from toad_tpu.models.vit_encoder import _resolve_gelu
+
+        assert _resolve_gelu(ViTConfig(compute_dtype="bfloat16")) is True  # auto
+        assert _resolve_gelu(ViTConfig(compute_dtype="float32")) is False  # auto
+        assert _resolve_gelu(ViTConfig(gelu="tanh", compute_dtype="float32")) is True
+        assert _resolve_gelu(ViTConfig(gelu="exact", compute_dtype="bfloat16")) is False
+        with pytest.raises(ValueError, match="auto\\|exact\\|tanh"):
+            _resolve_gelu(ViTConfig(gelu="banana"))
+
+    def test_tanh_gelu_close_to_exact(self):
+        """The tanh form must actually switch the math AND stay within the
+        measured deviation envelope (1.9e-4 relative end-to-end on ViT-L;
+        this tiny config tolerates more but the same order)."""
+        # layerscale off: the default 1e-5 gamma shrinks the mlp branch below
+        # f32 epsilon at this tiny width, hiding the GELU-form difference
+        enc_e = ViTEncoder(ViTConfig(**{**CFG.__dict__, "gelu": "exact", "layerscale": False}))
+        enc_t = ViTEncoder(ViTConfig(**{**CFG.__dict__, "gelu": "tanh", "layerscale": False}))
+        params = enc_e.init(jax.random.PRNGKey(0))
+        tiles = jnp.asarray(np.random.default_rng(3).uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+        oe = np.asarray(enc_e.embed(params, tiles))
+        ot = np.asarray(enc_t.embed(params, tiles))
+        dev = np.max(np.abs(oe - ot)) / (np.max(np.abs(oe)) + 1e-9)
+        assert 0 < dev < 5e-3, dev

@@ -49,6 +49,13 @@ class ViTConfig:
     # 'auto' = fused on TPU, xla elsewhere (interpret-mode Pallas would crawl
     # on the CPU test mesh)
     attention: str = "auto"
+    # GELU form: 'exact' = erf (timm's nn.GELU), 'tanh' = the tanh
+    # approximation (+18.6% tiles/s on v5e — erf is VPU-expensive;
+    # experiments/vit_elementwise_probe.py), 'auto' = tanh under bf16 compute
+    # (measured end-to-end feature deviation 1.9e-4 relative, 2.6x BELOW the
+    # bf16 reduction-order noise floor of ~5e-4 — CLAUDE.md), exact under f32
+    # (bit-fidelity mode; torch parity is tested there)
+    gelu: str = "auto"
 
     @property
     def out_dim(self) -> int:
@@ -145,8 +152,10 @@ class ViTEncoder:
         tokens = tokens + _resize_pos_embed(params["pos_embed"], c, gh, gw).astype(dt)
 
         fused, interpret = _resolve_attention(c)
+        tanh_gelu = _resolve_gelu(c)
         for blk in params["blocks"]:
-            tokens = _block(tokens, blk, c, dt, attn_fused=fused, interpret=interpret)
+            tokens = _block(tokens, blk, c, dt, attn_fused=fused, interpret=interpret,
+                            tanh_gelu=tanh_gelu)
 
         out = _layer_norm(tokens[:, 0, :], params["norm"], c.ln_eps)
         return out.astype(jnp.float32)
@@ -185,7 +194,17 @@ def _resolve_attention(c: ViTConfig) -> tuple[bool, bool]:
     return True, not on_tpu
 
 
-def _block(x, blk, c: ViTConfig, dt, attn_fused: bool = False, interpret: bool = False):
+def _resolve_gelu(c: ViTConfig) -> bool:
+    """True = tanh-approximate GELU (see ViTConfig.gelu)."""
+    if c.gelu not in ("auto", "exact", "tanh"):
+        raise ValueError(f"ViTConfig.gelu must be auto|exact|tanh, got {c.gelu!r}")
+    if c.gelu == "auto":
+        return jnp.dtype(c.compute_dtype) == jnp.bfloat16
+    return c.gelu == "tanh"
+
+
+def _block(x, blk, c: ViTConfig, dt, attn_fused: bool = False, interpret: bool = False,
+           tanh_gelu: bool = False):
     h = _layer_norm(x, blk["norm1"], c.ln_eps).astype(dt)
     qkv = h @ blk["qkv"]["w"].astype(dt) + blk["qkv"]["b"].astype(dt)
     b, n, _ = qkv.shape
@@ -205,7 +224,7 @@ def _block(x, blk, c: ViTConfig, dt, attn_fused: bool = False, interpret: bool =
     x = x + o
 
     h = _layer_norm(x, blk["norm2"], c.ln_eps).astype(dt)
-    h = jax.nn.gelu(h @ blk["fc1"]["w"].astype(dt) + blk["fc1"]["b"].astype(dt), approximate=False)
+    h = jax.nn.gelu(h @ blk["fc1"]["w"].astype(dt) + blk["fc1"]["b"].astype(dt), approximate=tanh_gelu)
     h = h @ blk["fc2"]["w"].astype(dt) + blk["fc2"]["b"].astype(dt)
     if "ls2" in blk:
         h = h * blk["ls2"].astype(dt)
