@@ -143,6 +143,7 @@ def train_ours(ds, spec, dim: int, epochs: int, lr: float, batch_size: int = 8, 
     cfg = TrainConfig(
         max_epochs=epochs,
         seed=seed,
+        resume=True,  # long early-stopping sweeps must survive kills at epoch granularity
         early_stopping=early_stopping,
         model=ModelConfig(in_dim=dim, n_classes=18, dropout=dropout),
         optim=OptimConfig(lr=lr),
