@@ -424,7 +424,6 @@ def _ensure_io_fixture(n_slides: int):
 
     tmp = Path("/tmp/bench_ref_real")
     tmp.mkdir(parents=True, exist_ok=True)
-    rng = np.random.RandomState(0)
     labels = list(DEFAULT_ORIGINS)
     rows = [
         {
@@ -439,10 +438,12 @@ def _ensure_io_fixture(n_slides: int):
     csv = tmp / f"io_{n_slides}.csv"
     if not csv.exists():
         pd.DataFrame(rows).to_csv(csv, index=False)
+    # slide content is keyed per-index: a partially populated dir must not
+    # shift later slides onto earlier draws
     for i in range(n_slides):
         p = tmp / f"BENCH-SLIDE_{i}.pt"
         if not p.exists():  # 32MB each; reuse across runs
-            save_torch_pickle(p, rng.randn(BAG_N, DIM).astype(np.float32))
+            save_torch_pickle(p, np.random.RandomState(1000 + i).randn(BAG_N, DIM).astype(np.float32))
     return tmp, csv
 
 

@@ -140,6 +140,9 @@ def train_ours(ds, spec, dim: int, epochs: int, lr: float, batch_size: int = 8, 
     from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
     from toad_tpu.train.loop import FoldTrainer
 
+    # the resume-snapshot dir must be recipe-keyed, or a rerun with different
+    # flags would silently resume mid-training state from the other recipe
+    recipe = f"d{dim}_e{epochs}_lr{lr:g}_do{int(dropout)}_es{int(early_stopping)}"
     cfg = TrainConfig(
         max_epochs=epochs,
         seed=seed,
@@ -149,7 +152,7 @@ def train_ours(ds, spec, dim: int, epochs: int, lr: float, batch_size: int = 8, 
         optim=OptimConfig(lr=lr),
         data=DataConfig(batch_size=batch_size, bucket_sizes=(64, 128, 256)),
     )
-    trainer = FoldTrainer(cfg, fold=0, results_dir=tmp / f"results_s{seed}")
+    trainer = FoldTrainer(cfg, fold=0, results_dir=tmp / f"results_{recipe}_s{seed}")
     r = trainer.train(
         ds.subset(spec.train), ds.subset(spec.val), ds.subset(spec.test), log_fn=lambda s: None
     )
@@ -184,7 +187,13 @@ def main():
     if out_path and out_path.exists():  # resume a crashed sweep
         for line in out_path.read_text().splitlines():
             r = json.loads(line)
-            if "side" in r:
+            # only reuse records from the SAME recipe — a shared --out file
+            # must not satisfy a different flag combination's seeds
+            if "side" in r and all(
+                r.get(k) == v
+                for k, v in (("dim", args.dim), ("epochs", args.epochs),
+                             ("dropout", args.dropout), ("early_stopping", args.early_stopping))
+            ):
                 done[(r["side"], r["seed"])] = r
 
     def record(side: str, seed: int, probs, labels, secs: float) -> dict:

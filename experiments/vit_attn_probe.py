@@ -11,52 +11,32 @@ score materialization + softmax + transposes) dominates. Variants here:
      (re-check of the CLAUDE.md ruling now that the core is known to matter)
   G. bf16 score accumulation (einsum in bf16, softmax still f32 stats)
 
-Run on the real chip: python -c "import runpy; runpy.run_path('experiments/vit_attn_probe.py', run_name='__main__')"
+Measured (recorded in BASELINE.md): A=565.5, E=994.4, F=566.0, G=588.7 —
+the fix was the fused Pallas kernel (ops/vit_attention.py), not these.
+
+Run on the real chip: python experiments/vit_attn_probe.py
 """
 
 from __future__ import annotations
 
-import time
+import sys
+from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root
 import jax
 import jax.numpy as jnp
 
+from experiments.vit_probe_common import make_vit_fwd, serial_time, tile_chain
 from toad_tpu.models.vit_encoder import ViTConfig, ViTEncoder, _layer_norm
 
 B, HW, K = 128, 224, 4
 C = ViTConfig()
 
 
-def _time(fn, *args, runs=3):
-    float(fn(*args))
-    ts = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def chain(step, n_tiles=B, k=K):
-    @jax.jit
-    def fn(params, key):
-        tiles = jax.random.uniform(key, (n_tiles, HW, HW, 3), jnp.float32).astype(jnp.bfloat16)
-
-        def body(_, carry):
-            t, acc = carry
-            out = step(params, t)
-            return (t + (out.sum() * 1e-12).astype(jnp.bfloat16), acc + out.sum())
-
-        _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.float32(0)))
-        return acc
-
-    return fn
-
-
-def make_fwd(attn_impl):
-    """Full ViT forward with a pluggable attention core.
+def make_block(attn_impl):
+    """Per-block math with pluggable attention core, exact (erf) GELU — the
+    pre-tanh-GELU production config these numbers were recorded under.
     attn_impl(q, k, v) with [B, N, H, Dh] bf16 -> [B, N, H, Dh] bf16."""
-    enc = ViTEncoder(C)
 
     def block(x, blk, dt):
         h = _layer_norm(x, blk["norm1"], C.ln_eps).astype(dt)
@@ -76,21 +56,7 @@ def make_fwd(attn_impl):
             h = h * blk["ls2"].astype(dt)
         return x + h
 
-    def fwd(params, tiles):
-        dt = jnp.dtype(C.compute_dtype)
-        x = enc.preprocess(tiles)
-        s = C.patch_size
-        toks = jax.lax.conv_general_dilated(
-            x.astype(dt), params["patch_embed"]["w"].astype(dt), (s, s), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=dt,
-        ).reshape(tiles.shape[0], -1, C.width) + params["patch_embed"]["b"].astype(dt)
-        cls = jnp.broadcast_to(params["cls_token"].astype(dt), (tiles.shape[0], 1, C.width))
-        toks = jnp.concatenate([cls, toks], 1) + params["pos_embed"].astype(dt)
-        for blk in params["blocks"]:
-            toks = block(toks, blk, dt)
-        return _layer_norm(toks[:, 0, :], params["norm"], C.ln_eps).astype(jnp.float32)
-
-    return fwd
+    return block
 
 
 def attn_reference(q, k, v):
@@ -123,8 +89,9 @@ def main():
         ("F_dpa", attn_dpa),
         ("G_bf16_scores", attn_bf16_scores),
     ]:
-        fn = chain(make_fwd(impl))
-        t = _time(fn, params, jax.random.PRNGKey(1))
+        fwd = make_vit_fwd(C, enc, make_block(impl))
+        fn = tile_chain(fwd, B, HW, K)
+        t = serial_time(fn, params, jax.random.PRNGKey(1))
         print(f"{name}_tiles_per_s: {B * K / t:.1f}", flush=True)
 
 

@@ -19,42 +19,18 @@ Run on the real chip:
 
 from __future__ import annotations
 
-import time
+import sys
+from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root
 import jax
-import jax.numpy as jnp
 
+from experiments.vit_probe_common import make_vit_fwd, serial_time, tile_chain
 from toad_tpu.models.vit_encoder import ViTConfig, ViTEncoder, _layer_norm
 from toad_tpu.ops.vit_attention import fused_mha
 
 B, HW, K = 128, 224, 4
 C = ViTConfig()  # gelu="auto" -> tanh under bf16
-
-
-def _time(fn, *args, runs=3):
-    float(fn(*args))
-    ts = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def chain(step, n_tiles=B, k=K):
-    @jax.jit
-    def fn(params, key):
-        tiles = jax.random.uniform(key, (n_tiles, HW, HW, 3), jnp.float32).astype(jnp.bfloat16)
-
-        def body(_, carry):
-            t, acc = carry
-            out = step(params, t)
-            return (t + (out.sum() * 1e-12).astype(jnp.bfloat16), acc + out.sum())
-
-        _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.float32(0)))
-        return acc
-
-    return fn
 
 
 def attn_fused(qkv):
@@ -67,10 +43,9 @@ def attn_identity(qkv):
     return qkv[..., 2 * C.width :]
 
 
-def make_fwd(attn_impl, ln: bool):
-    """Full ViT forward, tanh-GELU, pluggable attention core and LN on/off.
+def make_block(attn_impl, ln: bool):
+    """Per-block math with pluggable attention core and LN on/off.
     attn_impl(qkv [B, N, 3*width] bf16) -> [B, N, width] bf16."""
-    enc = ViTEncoder(C)
 
     def norm(x, p):
         return _layer_norm(x, p, C.ln_eps) if ln else x
@@ -90,21 +65,7 @@ def make_fwd(attn_impl, ln: bool):
             h = h * blk["ls2"].astype(dt)
         return x + h
 
-    def fwd(params, tiles):
-        dt = jnp.dtype(C.compute_dtype)
-        x = enc.preprocess(tiles)
-        s = C.patch_size
-        toks = jax.lax.conv_general_dilated(
-            x.astype(dt), params["patch_embed"]["w"].astype(dt), (s, s), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=dt,
-        ).reshape(tiles.shape[0], -1, C.width) + params["patch_embed"]["b"].astype(dt)
-        cls = jnp.broadcast_to(params["cls_token"].astype(dt), (tiles.shape[0], 1, C.width))
-        toks = jnp.concatenate([cls, toks], 1) + params["pos_embed"].astype(dt)
-        for blk in params["blocks"]:
-            toks = block(toks, blk, dt)
-        return _layer_norm(toks[:, 0, :], params["norm"], C.ln_eps).astype(jnp.float32)
-
-    return fwd
+    return block
 
 
 def main():
@@ -116,8 +77,9 @@ def main():
         ("C_fused_no_ln", attn_fused, False),
         ("D_identity_no_ln", attn_identity, False),
     ]:
-        fn = chain(make_fwd(impl, ln))
-        t = _time(fn, params, jax.random.PRNGKey(1))
+        fwd = make_vit_fwd(C, enc, make_block(impl, ln))
+        fn = tile_chain(fwd, B, HW, K)
+        t = serial_time(fn, params, jax.random.PRNGKey(1))
         print(f"{name}_tiles_per_s: {B * K / t:.1f}", flush=True)
 
 

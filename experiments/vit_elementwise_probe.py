@@ -9,19 +9,24 @@ bigger than the attention core. Variants (full fused-attention model):
   D2. GELU approximate (tanh form)                    — cheaper transcendental
   D3. D1 + D2
 
+Measured (recorded in CLAUDE.md/BASELINE.md): A=939.7, D1=924.9 (slower AND
+9.2e-3 deviation — rejected), D2=1114.6 at 1.9e-4 (adopted as gelu="auto").
+
 Each reports tiles/s AND the relative feature deviation vs production — the
-numerics price of any win. Run:
-python -c "import runpy; runpy.run_path('experiments/vit_elementwise_probe.py', run_name='__main__')"
+numerics price of any win. Run: python experiments/vit_elementwise_probe.py
 """
 
 from __future__ import annotations
 
-import time
+import sys
+from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from experiments.vit_probe_common import make_vit_fwd, serial_time, tile_chain
 from toad_tpu.models.vit_encoder import ViTConfig, ViTEncoder
 from toad_tpu.ops.vit_attention import fused_mha
 
@@ -29,19 +34,7 @@ B, HW, K = 128, 224, 4
 C = ViTConfig(attention="fused")
 
 
-def _time(fn, *args, runs=3):
-    float(fn(*args))
-    ts = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
-
-
-def make_fwd(bf16_ln: bool, tanh_gelu: bool):
-    enc = ViTEncoder(C)
-
+def make_ln(bf16_ln: bool):
     def ln(x, p):
         if bf16_ln:
             xb = x.astype(jnp.bfloat16)
@@ -53,6 +46,13 @@ def make_fwd(bf16_ln: bool, tanh_gelu: bool):
         mu = x32.mean(-1, keepdims=True)
         var = x32.var(-1, keepdims=True)
         return (x32 - mu) * jax.lax.rsqrt(var + C.ln_eps) * p["scale"] + p["bias"]
+
+    return ln
+
+
+def make_fwd(bf16_ln: bool, tanh_gelu: bool):
+    enc = ViTEncoder(C)
+    ln = make_ln(bf16_ln)
 
     def block(x, blk, dt):
         h = ln(x, blk["norm1"]).astype(dt)
@@ -68,38 +68,8 @@ def make_fwd(bf16_ln: bool, tanh_gelu: bool):
         h = h * blk["ls2"].astype(dt)
         return x + h
 
-    def fwd(params, tiles):
-        dt = jnp.dtype(C.compute_dtype)
-        x = enc.preprocess(tiles)
-        s = C.patch_size
-        toks = jax.lax.conv_general_dilated(
-            x.astype(dt), params["patch_embed"]["w"].astype(dt), (s, s), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=dt,
-        ).reshape(tiles.shape[0], -1, C.width) + params["patch_embed"]["b"].astype(dt)
-        cls = jnp.broadcast_to(params["cls_token"].astype(dt), (tiles.shape[0], 1, C.width))
-        toks = jnp.concatenate([cls, toks], 1) + params["pos_embed"].astype(dt)
-        for blk in params["blocks"]:
-            toks = block(toks, blk, dt)
-        out = ln(toks[:, 0, :], params["norm"])
-        return out.astype(jnp.float32)
-
-    return fwd
-
-
-def chain(fwd):
-    @jax.jit
-    def fn(params, key):
-        tiles = jax.random.uniform(key, (B, HW, HW, 3), jnp.float32).astype(jnp.bfloat16)
-
-        def body(_, carry):
-            t, acc = carry
-            out = fwd(params, t)
-            return (t + (out.sum() * 1e-12).astype(jnp.bfloat16), acc + out.sum())
-
-        _, acc = jax.lax.fori_loop(0, K, body, (tiles, jnp.float32(0)))
-        return acc
-
-    return fn
+    # the LN variant under test applies to the final cls-token norm too
+    return make_vit_fwd(C, enc, block, final_norm=ln)
 
 
 def main():
@@ -115,7 +85,7 @@ def main():
         ("D3_both", True, True),
     ]:
         fwd = make_fwd(bf16_ln, tanh_gelu)
-        t = _time(chain(fwd), params, jax.random.PRNGKey(1))
+        t = serial_time(tile_chain(fwd, B, HW, K), params, jax.random.PRNGKey(1))
         out = np.asarray(fwd(params, small))
         dev = np.max(np.abs(out - base_small)) / (np.max(np.abs(base_small)) + 1e-9)
         print(f"{name}: {B * K / t:.1f} tiles/s  rel_dev={dev:.2e}", flush=True)

@@ -423,7 +423,12 @@ def make_http_server(
             if self.path not in ("/predict", "/heatmap"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
-            length = int(self.headers.get("Content-Length", 0) or 0)
+            try:
+                length = int(self.headers.get("Content-Length", 0) or 0)
+            except ValueError:
+                self.close_connection = True  # body length unknown: can't skip it
+                self._send(400, {"error": "malformed Content-Length"})
+                return
             if length > max_body_bytes:
                 # don't read the oversize body; close so the unread bytes
                 # can't be misparsed as a pipelined next request
@@ -487,6 +492,9 @@ def make_http_server(
             """Raw-binary /predict (application/octet-stream): body is the
             feature bytes, metadata in X-Toad-* headers, response JSON."""
             if self.path != "/predict":
+                # reject without reading the (possibly large) body; close so
+                # the unread bytes can't be misparsed as a pipelined request
+                self.close_connection = True
                 self._send(400, {"error": "octet-stream bodies are only accepted on /predict"})
                 return
             try:
