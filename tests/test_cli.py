@@ -187,6 +187,21 @@ def test_train_missing_splits_errors(cli_env):
         os.chdir(cwd)
 
 
+def test_train_missing_data_root_fails_fast(cli_env):
+    """Omitting --data_root_dir must die at startup with an actionable
+    message, not a ValueError from a prefetch worker at first bag access."""
+    from toad_tpu.cli import evaluate, train
+
+    root = cli_env
+    task_json = str(root / "tasks" / "dummy_mtl_concat.json")
+    with pytest.raises(SystemExit, match="data_root_dir is required"):
+        train.main(["--task", task_json, "--exp_code", "x"])
+    with pytest.raises(SystemExit, match="is not a directory"):
+        train.main(["--task", task_json, "--exp_code", "x", "--data_root_dir", str(root / "nope")])
+    with pytest.raises(SystemExit, match="data_root_dir is required"):
+        evaluate.main(["--task", task_json, "--models_exp_code", "x"])
+
+
 def test_validate_cli(cli_env, tmp_path, capsys):
     """validate: clean store passes (rc 0) with sane stats + ladder; a
     missing bag and a dim-mismatched bag flip it to rc 1 with both listed."""

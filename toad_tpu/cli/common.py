@@ -22,6 +22,20 @@ def add_task_arg(p: argparse.ArgumentParser) -> None:
     p.add_argument("--csv_path", type=str, default=None, help="override the task's csv path")
 
 
+def require_data_root(args) -> None:
+    """Fail fast when a bag-reading command launches without --data_root_dir.
+
+    Without this the omission only surfaces at the first bag access — a
+    ValueError raised inside a prefetch worker after the settings banner and
+    model init already printed (wsi_dataset._dir_for).
+    """
+    d = getattr(args, "data_root_dir", None)
+    if d is None:
+        raise SystemExit("error: --data_root_dir is required (directory containing feature bags)")
+    if not Path(d).is_dir():
+        raise SystemExit(f"error: --data_root_dir {d!r} is not a directory")
+
+
 def build_dataset(args, data_dir=None, print_info: bool = True) -> tuple[TaskConfig, WSIBagDataset]:
     task = load_task(args.task)
     ds = WSIBagDataset(

@@ -12,7 +12,7 @@ from pathlib import Path
 
 import pandas as pd
 
-from toad_tpu.cli.common import add_buckets_arg, add_task_arg, build_dataset, echo_settings, resolve_buckets
+from toad_tpu.cli.common import add_buckets_arg, add_task_arg, build_dataset, echo_settings, require_data_root, resolve_buckets
 from toad_tpu.config import ModelConfig, fold_range
 from toad_tpu.evaluate.engine import evaluate_checkpoint
 from toad_tpu.train.checkpoint import checkpoint_name
@@ -60,6 +60,7 @@ def main(argv=None):
         if args.models_exp_code is None:
             raise SystemExit("one of --save_exp_code / --models_exp_code is required")
         args.save_exp_code = f"{args.models_exp_code}_eval"
+    require_data_root(args)
     task, dataset = build_dataset(args, data_dir=args.data_root_dir)
     buckets = resolve_buckets(args.buckets, dataset, patient_bags=args.patient_bags)
 

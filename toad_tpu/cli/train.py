@@ -16,7 +16,7 @@ from pathlib import Path
 
 import pandas as pd
 
-from toad_tpu.cli.common import add_task_arg, build_dataset, echo_settings
+from toad_tpu.cli.common import add_task_arg, build_dataset, echo_settings, require_data_root
 from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig, fold_range
 from toad_tpu.train.loop import FoldTrainer
 from toad_tpu.utils.io import save_pkl
@@ -127,6 +127,7 @@ def main(argv=None):
 
         enable_debug_nans()
     seed_everything(args.seed)
+    require_data_root(args)
     task, dataset = build_dataset(args, data_dir=args.data_root_dir)
     cfg = config_from_args(args, n_classes=task.n_classes[0], bucket_sizes=resolve_buckets(args, dataset))
 
