@@ -491,7 +491,10 @@ def bench_real_io() -> dict:
         return out.y_prob.sum()
 
     def make_batcher():
-        return BagBatcher(split, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential")
+        # device_put=True: the producer thread starts the async H2D copy so
+        # the relay transfer of batch k+1 rides under batch k's forward
+        # (measured 1.88x on this path — experiments/io_overlap_probe.py)
+        return BagBatcher(split, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential", device_put=True)
 
     def run_epoch() -> float:
         acc = 0.0
@@ -505,12 +508,13 @@ def bench_real_io() -> dict:
         run_epoch()
     t_total = time.perf_counter() - t0
 
-    # IO-only pass: parse + pad + assemble, no device work. Prefetch overlap
-    # makes the in-loop share smaller than this, so the fraction is an upper
-    # bound on what IO costs the pipeline.
+    # IO-only pass: parse + pad + assemble, no device work (device_put off
+    # here or the "IO" pass would time H2D too). Prefetch overlap makes the
+    # in-loop share smaller than this, so the fraction is an upper bound on
+    # what IO costs the pipeline.
     t0 = time.perf_counter()
     for _ in range(epochs):
-        for b in make_batcher():
+        for b in BagBatcher(split, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential"):
             pass
     t_io = time.perf_counter() - t0
 

@@ -239,3 +239,33 @@ def test_auto_bucket_ladder_skips_missing_bags(dummy_env, tmp_path, capsys):
     lad = auto_bucket_ladder(ds.subset(range(ds.n_slides)))
     assert lad and all(b % 128 == 0 for b in lad)
     assert "skipped 1 missing" in capsys.readouterr().out
+
+
+def test_device_put_places_heavy_fields_only(dummy_env):
+    """device_put=True: producer-thread async H2D of features/patch_mask
+    (jax.Array out), while per-bag host fields stay numpy so metric assembly
+    never forces a device sync."""
+    import jax
+
+    split = _split(dummy_env, n=8)
+    batcher = BagBatcher(split, batch_size=4, bucket_sizes=(64, 128, 256), device_put=True)
+    ref = BagBatcher(split, batch_size=4, bucket_sizes=(64, 128, 256), device_put=False)
+    got = list(batcher)
+    want = list(ref)
+    assert len(got) == len(want) > 0
+    for b, w in zip(got, want):
+        assert isinstance(b.features, jax.Array)
+        assert isinstance(b.patch_mask, jax.Array)
+        assert isinstance(b.label, np.ndarray)
+        assert isinstance(b.bag_mask, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(b.features), w.features)
+        np.testing.assert_array_equal(np.asarray(b.patch_mask), w.patch_mask)
+
+
+def test_device_put_guard_skips_giant_batches(dummy_env, monkeypatch):
+    """Batches above the HBM guard fall back to host-resident features."""
+    split = _split(dummy_env, n=4)
+    batcher = BagBatcher(split, batch_size=2, bucket_sizes=(64,), device_put=True)
+    monkeypatch.setattr(BagBatcher, "_DEVICE_PUT_MAX_BYTES", 1)
+    for b in batcher:
+        assert isinstance(b.features, np.ndarray)

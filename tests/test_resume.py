@@ -144,6 +144,27 @@ def test_snapshot_swap_preserves_previous_on_failed_save(tmp_path, monkeypatch):
     np.testing.assert_array_equal(back["params"]["w"], state1["params"]["w"])
 
 
+def test_save_purges_stale_orbax_internal_tmp(tmp_path):
+    """A kill mid-save leaves Orbax's OWN unfinalized `<target>.orbax-
+    checkpoint-tmp` dir beside ours; letting orbax discover it races its
+    async commit thread (observed ENOENT on the ocdbt lock rename). The next
+    save_checkpoint must purge it up front and succeed."""
+    from toad_tpu.train import checkpoint as ckpt
+
+    path = tmp_path / "snap"
+    state = {"params": {"w": np.ones((2, 2), np.float32)}}
+    for stale_name in (".tmp_snap.orbax-checkpoint-tmp", "snap.orbax-checkpoint-tmp"):
+        stale = tmp_path / stale_name
+        (stale / "d").mkdir(parents=True)
+        (stale / "d" / "junk.__lock").write_bytes(b"leftover from a killed save")
+
+    ckpt.save_checkpoint(path, state)
+
+    assert not list(tmp_path.glob("*orbax-checkpoint-tmp*"))
+    back = ckpt.restore_checkpoint(path)
+    np.testing.assert_array_equal(back["params"]["w"], state["params"]["w"])
+
+
 def test_cli_skips_completed_folds(dummy_env, tmp_path, monkeypatch, capsys):
     """k-fold driver with --resume does not retrain folds that already
     finished before a preemption."""

@@ -163,6 +163,7 @@ class BagBatcher:
         feature_dim: int | None = None,
         native: str = "auto",
         transfer_dtype: str = "float32",
+        device_put: bool = False,
     ) -> None:
         self.split = split
         self.batch_size = int(batch_size)
@@ -176,6 +177,7 @@ class BagBatcher:
         self.feature_dim = feature_dim
         self.native = native  # 'auto' | 'on' | 'off'
         self.transfer_dtype = transfer_dtype
+        self.device_put = device_put
         if self.bucket_sizes is None and self.batch_size > 1:
             import warnings
 
@@ -423,11 +425,33 @@ class BagBatcher:
         b.features = b.features.astype(dt)
         return b
 
+    # single-batch HBM guard for producer-side placement: a prefetch queue of
+    # depth d holds d+1 batches' device buffers; giant long-bag batches
+    # (131k x 1024 bf16 x B ≈ GBs each) must not multiply in HBM, so those
+    # fall back to dispatch-time transfer
+    _DEVICE_PUT_MAX_BYTES = 512 * 1024 * 1024
+
+    def _place(self, b: BagBatch) -> BagBatch:
+        """Start the H2D transfer of the heavy payloads from the producer
+        thread (``jax.device_put`` is async), so the relay copy overlaps the
+        previous batch's device compute instead of serializing with it at
+        jit-dispatch time. Small per-bag fields (label/site/sex/bag_mask/
+        indices) stay host-resident — the eval pass reads them on host and a
+        device round-trip would force a sync. Not used on mesh runs, where
+        ``shard_batch`` owns placement."""
+        if b.features.nbytes <= self._DEVICE_PUT_MAX_BYTES:
+            import jax
+
+            b.features = jax.device_put(b.features)
+            b.patch_mask = jax.device_put(b.patch_mask)
+        return b
+
     def __iter__(self) -> Iterator[BagBatch]:
         def src() -> Iterator[BagBatch]:
             # dtype conversion runs in the producer so the queued batches are
             # already half-size and the cast overlaps device compute
-            return map(self._convert, self._batches_raw())
+            it = map(self._convert, self._batches_raw())
+            return map(self._place, it) if self.device_put else it
 
         if self.prefetch and self.prefetch > 0:
             yield from _prefetch_iter(src, self.prefetch)

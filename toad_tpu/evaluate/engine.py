@@ -67,6 +67,10 @@ def evaluate_split(
         bucket_sizes=bucket_sizes if bucket_sizes is not None else DEFAULT_BUCKETS,
         mode="sequential",
         max_bag_size=max_bag_size,
+        # producer-thread async H2D: overlaps the relay copy with the
+        # previous batch's forward (single-device path; mesh eval goes
+        # through run_eval_pass(put=...) which owns placement)
+        device_put=True,
     )
     res = run_eval_pass(eval_step, params, batcher, n_classes)
 

@@ -40,7 +40,14 @@ def save_checkpoint(path: str | os.PathLike, state: dict[str, Any]) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.parent / f".tmp_{path.name}"
     old = path.parent / f".old_{path.name}"
-    for stale in (tmp, old):
+    # Also purge Orbax's INTERNAL unfinalized dirs (`<target>.orbax-checkpoint-tmp*`,
+    # created beside the save target): a kill mid-save leaves one behind, and
+    # letting orbax's own "remove unfinalized" handling find it races its async
+    # commit thread (observed: ENOENT on the ocdbt lock rename, killing the run)
+    stales = [tmp, old]
+    for base in (tmp, path):
+        stales.extend(path.parent.glob(f"{base.name}.orbax-checkpoint-tmp*"))
+    for stale in stales:
         if stale.exists():
             shutil.rmtree(stale)
     with ocp.StandardCheckpointer() as ckptr:

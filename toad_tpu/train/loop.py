@@ -180,6 +180,9 @@ class FoldTrainer:
             prefetch=d.prefetch,
             native=d.native,
             transfer_dtype=d.transfer_dtype,
+            # unmeshed runs: start H2D in the producer thread so transfer
+            # overlaps the previous step; mesh runs place via shard_batch
+            device_put=self.mesh is None,
         )
 
     @property
