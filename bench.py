@@ -493,8 +493,12 @@ def bench_real_io() -> dict:
     def make_batcher():
         # device_put=True: the producer thread starts the async H2D copy so
         # the relay transfer of batch k+1 rides under batch k's forward
-        # (measured 1.88x on this path — experiments/io_overlap_probe.py)
-        return BagBatcher(split, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential", device_put=True)
+        # (measured 1.88x on this path — experiments/io_overlap_probe.py).
+        # bf16 wire: the model computes in bf16, so the host-side cast is
+        # numerically invisible and halves the relay bytes (another 1.87x
+        # when transfer-bound — experiments/bf16_transfer_probe.py)
+        return BagBatcher(split, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential",
+                          device_put=True, transfer_dtype="bfloat16")
 
     def run_epoch() -> float:
         acc = 0.0
@@ -514,7 +518,8 @@ def bench_real_io() -> dict:
     # what IO costs the pipeline.
     t0 = time.perf_counter()
     for _ in range(epochs):
-        for b in BagBatcher(split, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential"):
+        for b in BagBatcher(split, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential",
+                            transfer_dtype="bfloat16"):
             pass
     t_io = time.perf_counter() - t0
 

@@ -1,0 +1,92 @@
+"""Disk-fed path: does bf16 transfer (host cast in the producer thread,
+half the relay H2D bytes) pay on top of producer-side device_put?
+
+The model computes in bf16 regardless (``ModelConfig.compute_dtype``), so an
+f32 wire transfer moves 2x the bytes only to be down-cast on device; casting
+in the producer (``BagBatcher.transfer_dtype='bfloat16'``, already the CLI's
+``--bf16_transfer``) moves the cast off the critical path AND halves the
+prefetch-queue footprint. Numerics: same round-to-nearest-even either side.
+Reference pipeline mirrored: ``utils/eval_utils_mtl_concat.py:65-114``
+(torch.load f32 -> .cuda()) — the reference has no such knob.
+
+Run on the real chip: python experiments/bf16_transfer_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root
+
+import jax
+import numpy as np
+
+import bench
+from toad_tpu.config import ModelConfig, TaskConfig
+from toad_tpu.data.batching import BagBatcher
+from toad_tpu.data.synthetic import DEFAULT_ORIGINS
+from toad_tpu.data.wsi_dataset import WSIBagDataset
+from toad_tpu.models.toad_mil import ToadMIL
+
+N_SLIDES, BATCH, EPOCHS = 16, 8, 4
+
+
+def main() -> None:
+    tmp, csv = bench._ensure_io_fixture(N_SLIDES)
+    task = TaskConfig(
+        name="bf16_probe",
+        csv_path=str(csv),
+        label_dicts=(
+            {o: i for i, o in enumerate(DEFAULT_ORIGINS)},
+            {"Primary": 0, "Metastatic": 1},
+            {"F": 0, "M": 1},
+        ),
+    )
+    ds = WSIBagDataset(task, csv, data_dir=str(tmp))
+    split = ds.subset(range(N_SLIDES))
+
+    cfg = ModelConfig(in_dim=bench.DIM, n_classes=bench.N_CLASSES, compute_dtype="bfloat16", use_pallas=True)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def step(params, features, patch_mask, sex):
+        out = model.apply(params, features, patch_mask, sex, train=False, need_attention=False)
+        return out.y_prob.sum()
+
+    def run(transfer_dtype: str) -> tuple[float, float]:
+        def epoch() -> float:
+            acc = 0.0
+            for b in BagBatcher(
+                split, batch_size=BATCH, bucket_sizes=(bench.BAG_N,),
+                mode="sequential", device_put=True, transfer_dtype=transfer_dtype,
+            ):
+                acc += float(step(params, b.features, b.patch_mask, b.sex))
+            return acc
+
+        first = epoch()  # warmup: compile + page cache
+        best = float("inf")
+        for _ in range(2):  # best-of-2 against relay jitter
+            t0 = time.perf_counter()
+            for _ in range(EPOCHS):
+                epoch()
+            best = min(best, time.perf_counter() - t0)
+        return N_SLIDES * EPOCHS / best, first
+
+    f32_rate, f32_acc = run("float32")
+    bf16_rate, bf16_acc = run("bfloat16")
+    # prediction-sum drift between wire dtypes (same RNE cast, different point)
+    drift = abs(f32_acc - bf16_acc) / max(abs(f32_acc), 1e-9)
+    print(json.dumps({
+        "f32_transfer_slides_per_sec": round(f32_rate, 2),
+        "bf16_transfer_slides_per_sec": round(bf16_rate, 2),
+        "speedup": round(bf16_rate / f32_rate, 3),
+        "prob_sum_rel_drift": float(f"{drift:.2e}"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

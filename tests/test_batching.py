@@ -269,3 +269,23 @@ def test_device_put_guard_skips_giant_batches(dummy_env, monkeypatch):
     monkeypatch.setattr(BagBatcher, "_DEVICE_PUT_MAX_BYTES", 1)
     for b in batcher:
         assert isinstance(b.features, np.ndarray)
+
+
+def test_transfer_dtype_auto_resolution():
+    """'auto' = bf16 wire iff the model computes in bf16 (numerically
+    invisible there); explicit values pass through untouched."""
+    from toad_tpu.data.batching import resolve_transfer_dtype
+
+    assert resolve_transfer_dtype("auto", "bfloat16") == "bfloat16"
+    assert resolve_transfer_dtype("auto", "float32") == "float32"
+    assert resolve_transfer_dtype("float32", "bfloat16") == "float32"
+    assert resolve_transfer_dtype("bfloat16", "float32") == "bfloat16"
+
+
+def test_batcher_rejects_unresolved_auto(dummy_env):
+    """BagBatcher has no model to resolve against — 'auto' must be resolved
+    by the caller (FoldTrainer / evaluate_split), not silently defaulted."""
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        BagBatcher(_split(dummy_env, n=2), transfer_dtype="auto")

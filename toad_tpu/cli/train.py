@@ -59,7 +59,7 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--bag_shards", type=int, default=1)
     p.add_argument("--resume", action="store_true", default=False, help="preemption-tolerant per-epoch state snapshots + resume")
     p.add_argument("--patient_bags", action="store_true", default=False, help="concat each patient's slides into one bag")
-    p.add_argument("--bf16_transfer", action="store_true", default=False, help="send features to device in bfloat16 (half the H2D bytes)")
+    p.add_argument("--bf16_transfer", action="store_true", default=False, help="force bfloat16 feature transfer even under f32 compute (half the H2D bytes; on automatically with --bf16)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR", help="write a jax.profiler trace of the first train steps to DIR")
     p.add_argument("--native_io", type=str, choices=["auto", "on", "off"], default="auto", help="C++ zero-copy bag loader")
     p.add_argument("--debug_checks", action="store_true", default=False, help="checkified train step: raise on NaN/Inf/bad labels (slow)")
@@ -109,7 +109,9 @@ def config_from_args(args, n_classes: int, bucket_sizes: tuple[int, ...] | None 
             testing_frac=0.01 if args.testing else None,
             native=args.native_io,
             patient_bags=args.patient_bags,
-            transfer_dtype="bfloat16" if args.bf16_transfer else "float32",
+            # default 'auto': bf16 wire iff --bf16 compute (numerically
+            # invisible there, half the relay bytes); the flag forces it on
+            transfer_dtype="bfloat16" if args.bf16_transfer else "auto",
         ),
         data_shards=args.data_shards,
         bag_shards=args.bag_shards,

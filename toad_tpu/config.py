@@ -147,9 +147,12 @@ class DataConfig:
     testing_frac: float | None = None  # reference --testing: 1% subsample
     native: str = "auto"  # C++ zero-copy bag loader: 'auto' | 'on' | 'off'
     patient_bags: bool = False  # concat all of a patient's slides into one bag
-    # host->device feature dtype: 'bfloat16' halves transfer bytes (the model
-    # computes in bf16 anyway when compute_dtype is bf16); 'float32' is exact
-    transfer_dtype: str = "float32"
+    # host->device feature dtype: 'bfloat16' halves transfer bytes; 'auto'
+    # picks bfloat16 iff the model computes in bf16 (the features are cast
+    # round-to-nearest-even either side of the wire, so host-side casting is
+    # numerically invisible there — measured 1.87x on the relay-throttled
+    # disk-fed path, experiments/bf16_transfer_probe.py); 'float32' is exact
+    transfer_dtype: str = "auto"
 
 
 @dataclass(frozen=True)

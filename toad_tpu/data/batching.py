@@ -130,6 +130,21 @@ def _pad_bag(feats: np.ndarray, bucket: int) -> tuple[np.ndarray, np.ndarray]:
     return out, mask
 
 
+def resolve_transfer_dtype(transfer_dtype: str, compute_dtype: str) -> str:
+    """Resolve ``DataConfig.transfer_dtype='auto'`` against the model.
+
+    'auto' → bfloat16 iff the model computes in bf16: the features get cast
+    f32→bf16 round-to-nearest-even either way (host producer thread vs on
+    device), so casting host-side is numerically invisible AND halves the
+    relay H2D bytes — measured 1.87x slides/s on the disk-fed path
+    (``experiments/bf16_transfer_probe.py``). With an f32-compute model the
+    cast would lose precision, so 'auto' stays float32 there.
+    """
+    if transfer_dtype != "auto":
+        return transfer_dtype
+    return "bfloat16" if compute_dtype == "bfloat16" else "float32"
+
+
 class BagBatcher:
     """Iterate a split as device-ready :class:`BagBatch`es.
 
@@ -176,6 +191,12 @@ class BagBatcher:
         self.prefetch = prefetch
         self.feature_dim = feature_dim
         self.native = native  # 'auto' | 'on' | 'off'
+        if transfer_dtype == "auto":
+            raise ValueError(
+                "transfer_dtype='auto' must be resolved against the model's "
+                "compute dtype before constructing a BagBatcher — call "
+                "resolve_transfer_dtype(dtype, model_compute_dtype)"
+            )
         self.transfer_dtype = transfer_dtype
         self.device_put = device_put
         if self.bucket_sizes is None and self.batch_size > 1:

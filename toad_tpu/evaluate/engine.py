@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 
 from toad_tpu.config import DEFAULT_BUCKETS, ModelConfig
-from toad_tpu.data.batching import BagBatcher
+from toad_tpu.data.batching import BagBatcher, resolve_transfer_dtype
 from toad_tpu.evaluate.metrics import binary_auc, micro_ovr_auc, ovr_aucs, topk_accuracy
 from toad_tpu.evaluate.runner import make_eval_step, run_eval_pass
 from toad_tpu.models.toad_mil import ToadMIL
@@ -56,6 +56,7 @@ def evaluate_split(
     max_bag_size: int | None = None,
     eval_step=None,
     int8: bool = False,
+    transfer_dtype: str = "auto",
 ) -> EvalResult:
     """Run a full no-grad pass over `split` and assemble reference-schema outputs."""
     n_classes = n_classes if n_classes is not None else model.config.n_classes
@@ -71,6 +72,9 @@ def evaluate_split(
         # previous batch's forward (single-device path; mesh eval goes
         # through run_eval_pass(put=...) which owns placement)
         device_put=True,
+        # 'auto': half the wire bytes when (and only when) the model
+        # computes in bf16, where the host-side cast is numerically invisible
+        transfer_dtype=resolve_transfer_dtype(transfer_dtype, model.config.compute_dtype),
     )
     res = run_eval_pass(eval_step, params, batcher, n_classes)
 

@@ -28,7 +28,7 @@ import numpy as np
 import optax
 
 from toad_tpu.config import TrainConfig
-from toad_tpu.data.batching import BagBatch, BagBatcher
+from toad_tpu.data.batching import BagBatch, BagBatcher, resolve_transfer_dtype
 from toad_tpu.data.splits import save_split_columnar
 from toad_tpu.evaluate.metrics import AccuracyLogger
 from toad_tpu.evaluate.runner import batch_to_dict as _to_batch_dict
@@ -179,7 +179,9 @@ class FoldTrainer:
             max_bag_size=d.max_bag_size,
             prefetch=d.prefetch,
             native=d.native,
-            transfer_dtype=d.transfer_dtype,
+            # 'auto' resolves to bf16 transfer only when the model computes
+            # in bf16 (then host-side casting is numerically invisible)
+            transfer_dtype=resolve_transfer_dtype(d.transfer_dtype, self.cfg.model.compute_dtype),
             # unmeshed runs: start H2D in the producer thread so transfer
             # overlaps the previous step; mesh runs place via shard_batch
             device_put=self.mesh is None,
