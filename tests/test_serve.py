@@ -459,6 +459,30 @@ def test_bf16_transfer_mode_close_to_f32(model_and_params):
             assert pbf.site_hat == p32.site_hat
 
 
+def test_transfer_dtype_auto_resolves_against_compute(model_and_params):
+    """ServeConfig default 'auto': f32-compute model -> f32 wire (exact,
+    bit-identical to an explicit float32 config); bf16-compute model -> bf16
+    wire (numerically invisible: the features get cast to bf16 on device
+    anyway, so host-side casting matches bit-for-bit)."""
+    cfg, params = model_and_params
+    rng = np.random.default_rng(33)
+    bags = _bags(rng, 4)
+
+    with DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=BUCKETS)) as ba, \
+         DynamicBatcher(params, cfg, ServeConfig(bucket_sizes=BUCKETS, transfer_dtype="float32")) as bf:
+        assert ba.cfg.transfer_dtype == "float32"
+        for f, s in bags:
+            np.testing.assert_array_equal(ba.predict(f, s).y_prob, bf.predict(f, s).y_prob)
+
+    bcfg = ModelConfig(in_dim=DIM, n_classes=6, compute_dtype="bfloat16")
+    bparams = ToadMIL(bcfg).init(jax.random.PRNGKey(0))
+    with DynamicBatcher(bparams, bcfg, ServeConfig(bucket_sizes=BUCKETS)) as ba, \
+         DynamicBatcher(bparams, bcfg, ServeConfig(bucket_sizes=BUCKETS, transfer_dtype="float32")) as bf:
+        assert ba.cfg.transfer_dtype == "bfloat16"
+        for f, s in bags:
+            np.testing.assert_array_equal(ba.predict(f, s).y_prob, bf.predict(f, s).y_prob)
+
+
 def test_close_serves_queued_requests_instead_of_failing(model_and_params):
     """ADVICE r1: requests already enqueued when close() lands must be SERVED
     (graceful drain), not failed with 'batcher closed'. Hold the dispatch

@@ -26,7 +26,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument(
         "--bf16_transfer", action="store_true",
-        help="bfloat16 host->device feature transfer (halves H2D bytes, the serving bottleneck)",
+        help="force bfloat16 host->device feature transfer even under f32 compute "
+        "(halves H2D bytes, the serving bottleneck; on automatically with --bf16)",
     )
     p.add_argument("--pallas", action="store_true", help="fused Pallas pooling kernel")
     p.add_argument(
@@ -113,7 +114,8 @@ def main(argv=None) -> None:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         need_attention=args.attention,
-        transfer_dtype="bfloat16" if args.bf16_transfer else "float32",
+        # 'auto': bf16 wire iff --bf16 compute (numerically invisible there)
+        transfer_dtype="bfloat16" if args.bf16_transfer else "auto",
         int8=args.int8,
         temperature=args.temperature,
     )

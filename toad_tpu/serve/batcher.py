@@ -51,9 +51,11 @@ class ServeConfig:
     # HBM tensor, so it's opt-in per request (submit(..., attention=True))
     need_attention: bool = False
     # host->device feature dtype: 'bfloat16' halves transfer bytes — the
-    # serving bottleneck whenever requests carry host-resident features
-    # (the model computes in bf16 anyway when compute_dtype is bf16)
-    transfer_dtype: str = "float32"
+    # serving bottleneck whenever requests carry host-resident features.
+    # 'auto' (default) picks bfloat16 iff the model computes in bf16, where
+    # the host-side cast is numerically invisible (round-to-nearest-even
+    # either side of the wire); 'float32' is exact under f32 compute
+    transfer_dtype: str = "auto"
     # int8 quantized inference (ops/quantize.py): bags quantized per-row in
     # the handler thread, H2D carries int8 (4x fewer bytes than f32), and the
     # pooling GEMMs run at the MXU's int8 rate (measured 1.45x the bf16
@@ -108,6 +110,12 @@ class DynamicBatcher:
         import jax
 
         self.model = ToadMIL(model_cfg)
+        if cfg.transfer_dtype == "auto":
+            from dataclasses import replace
+
+            from toad_tpu.data.batching import resolve_transfer_dtype
+
+            cfg = replace(cfg, transfer_dtype=resolve_transfer_dtype("auto", model_cfg.compute_dtype))
         self.cfg = cfg
         self.buckets = tuple(sorted(cfg.bucket_sizes))
         self.mesh = mesh
