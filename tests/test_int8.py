@@ -208,3 +208,72 @@ def test_eval_step_int8_close(small_model):
     out_q = make_eval_step(model, int8=True, params=params)(params, batch)
     np.testing.assert_allclose(np.asarray(out_q["y_prob"]), np.asarray(out_f["y_prob"]), atol=0.02)
     np.testing.assert_allclose(np.asarray(out_q["site_prob"]), np.asarray(out_f["site_prob"]), atol=0.02)
+
+
+def test_eval_step_int8_wire_matches_device_quantize(small_model):
+    """int8 WIRE (rows quantized in the producer thread, 'scales' in the
+    batch) vs the legacy device-side quantize: quantize_rows_np/quantize_rows
+    are exact twins in isolation (test_quantize_rows_roundtrip_and_twins, and
+    re-verified under a standalone jit), but fused into the full step graph
+    XLA may rewrite the division (reciprocal-multiply), shifting border
+    values by 1 quant LSB — so the contract is closeness at quantization-
+    noise scale, not bit equality."""
+    from toad_tpu.evaluate.runner import make_eval_step
+    from toad_tpu.ops.quantize import quantize_rows_np
+
+    model, params = small_model
+    rng = np.random.RandomState(11)
+    x, mask = _bag(rng, b=4)
+    base = {
+        "patch_mask": mask,
+        "bag_mask": jnp.ones((4,), jnp.float32),
+        "label": jnp.asarray([0, 1, 2, 3], jnp.int32),
+        "site": jnp.asarray([0, 1, 0, 1], jnp.int32),
+        "sex": jnp.asarray([0, 1, 0, 1], jnp.int32),
+    }
+    step = make_eval_step(model, int8=True, params=params)
+    out_dev = step(params, dict(base, features=x))
+
+    xn = np.asarray(x)
+    B, N, D = xn.shape
+    q, s = quantize_rows_np(xn.reshape(B * N, D))
+    out_wire = step(params, dict(base, features=q.reshape(B, N, D), scales=s.reshape(B, N)))
+    np.testing.assert_allclose(np.asarray(out_wire["y_prob"]), np.asarray(out_dev["y_prob"]), atol=0.02)
+    np.testing.assert_allclose(np.asarray(out_wire["site_prob"]), np.asarray(out_dev["site_prob"]), atol=0.02)
+
+
+def test_evaluate_split_int8_uses_int8_wire(dummy_env):
+    """evaluate_split(int8=True) ships int8+scales over the wire by default
+    and lands the same result as forcing the f32 wire (device quantize)."""
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+    from toad_tpu.evaluate.engine import evaluate_split
+
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    split = ds.subset(np.arange(12))
+    dim = split.load_bag(0).shape[1]  # match the dummy fixture's feature dim
+    cfg = ModelConfig(in_dim=dim, n_classes=18)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    seen = {}
+    orig_init = BagBatcher.__init__
+
+    def spy(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        seen["transfer_dtype"] = self.transfer_dtype
+
+    BagBatcher.__init__ = spy
+    try:
+        r_wire = evaluate_split(model, params, split, batch_size=4, bucket_sizes=(64, 128, 256), int8=True)
+        assert seen["transfer_dtype"] == "int8"
+        r_dev = evaluate_split(model, params, split, batch_size=4, bucket_sizes=(64, 128, 256),
+                               int8=True, transfer_dtype="float32")
+        assert seen["transfer_dtype"] == "float32"
+    finally:
+        BagBatcher.__init__ = orig_init
+    pc = [c for c in r_wire.df.columns if c.startswith("p_")]
+    # same-quantizer paths differ only by XLA's in-graph division rewrite
+    # (<=1 quant LSB per element; see the step-level test above)
+    np.testing.assert_allclose(r_wire.df[pc].values, r_dev.df[pc].values, atol=0.02)
+    assert abs(r_wire.cls_auc - r_dev.cls_auc) < 0.02

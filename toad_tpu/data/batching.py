@@ -36,13 +36,14 @@ from toad_tpu.config import DEFAULT_BUCKETS
 class BagBatch:
     """One device-ready batch of padded bags."""
 
-    features: np.ndarray  # [B, N, D] float32
+    features: np.ndarray  # [B, N, D] float32 (int8 under transfer_dtype='int8')
     patch_mask: np.ndarray  # [B, N] float32 (1 = real patch)
     bag_mask: np.ndarray  # [B] float32 (1 = real bag)
     label: np.ndarray  # [B] int32
     site: np.ndarray  # [B] int32
     sex: np.ndarray  # [B] int32
     indices: np.ndarray  # [B] int64 — positions within the split (-1 = pad)
+    scales: np.ndarray | None = None  # [B, N] f32 per-row quant scales (int8 wire only)
 
     @property
     def batch_size(self) -> int:
@@ -440,6 +441,22 @@ class BagBatcher:
     def _convert(self, b: BagBatch) -> BagBatch:
         if self.transfer_dtype == "float32":
             return b
+        if self.transfer_dtype == "int8":
+            # int8 wire for the quantized eval path: quantize per-row HERE in
+            # the producer thread (4x fewer H2D bytes than f32 — the disk-fed
+            # path is transfer-bound) instead of on device. quantize_rows_np
+            # is the exact twin of the device-side quantize_rows in isolation;
+            # inside the fused step graph XLA's division rewrite can shift
+            # border values by 1 quant LSB (probability deltas < 0.01 — both
+            # are valid quantizations of the same f32 rows; tests/test_int8).
+            # Padding rows are all-zero -> q=0 exactly, any positive scale.
+            from toad_tpu.ops.quantize import quantize_rows_np
+
+            B, N, D = b.features.shape
+            q, s = quantize_rows_np(b.features.reshape(B * N, D))
+            b.features = q.reshape(B, N, D)
+            b.scales = s.reshape(B, N)
+            return b
         import ml_dtypes
 
         dt = np.dtype(ml_dtypes.bfloat16) if self.transfer_dtype == "bfloat16" else np.dtype(self.transfer_dtype)
@@ -465,6 +482,8 @@ class BagBatcher:
 
             b.features = jax.device_put(b.features)
             b.patch_mask = jax.device_put(b.patch_mask)
+            if b.scales is not None:
+                b.scales = jax.device_put(b.scales)
         return b
 
     def __iter__(self) -> Iterator[BagBatch]:

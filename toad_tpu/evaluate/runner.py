@@ -17,7 +17,7 @@ from toad_tpu.models.toad_mil import ToadMIL
 
 
 def batch_to_dict(b: BagBatch) -> dict[str, np.ndarray]:
-    return {
+    d = {
         "features": b.features,
         "patch_mask": b.patch_mask,
         "bag_mask": b.bag_mask,
@@ -25,6 +25,9 @@ def batch_to_dict(b: BagBatch) -> dict[str, np.ndarray]:
         "site": b.site,
         "sex": b.sex,
     }
+    if b.scales is not None:  # int8 wire: rows pre-quantized in the producer
+        d["scales"] = b.scales
+    return d
 
 
 def make_eval_step(model: ToadMIL, int8: bool = False, params=None):
@@ -56,7 +59,10 @@ def make_eval_step(model: ToadMIL, int8: bool = False, params=None):
 
         @jax.jit
         def step_q(params, qp, batch):
-            xq, sx = quantize_rows(batch["features"])
+            if "scales" in batch:  # int8 wire: producer already quantized
+                xq, sx = batch["features"], batch["scales"]
+            else:
+                xq, sx = quantize_rows(batch["features"])
             out = model.apply_int8(
                 params, qp, xq, sx, batch["patch_mask"], batch["sex"], need_attention=False
             )
