@@ -354,3 +354,29 @@ def test_inference_temperature():
 
     with pytest.raises(ValueError, match="temperature"):
         SlideInference(params, mcfg, temperature=0.0)
+
+
+def test_predict_bf16_wire_matches_f32_wire():
+    """bf16-compute SlideInference ships the bag in bf16 (half the H2D
+    bytes); bit-identical to shipping f32 and casting on device — the cast
+    is round-to-nearest-even on either side of the wire."""
+    import jax.numpy as jnp
+
+    mcfg = ModelConfig(in_dim=1024, n_classes=18, compute_dtype="bfloat16")
+    model = ToadMIL(mcfg)
+    params = model.init(jax.random.PRNGKey(3))
+    inf = SlideInference(params, mcfg, bucket_sizes=(64,))
+    feats = np.random.RandomState(5).randn(40, 1024).astype(np.float32)
+
+    got = inf.predict(feats, 1)
+
+    # f32-wire oracle: same jitted forward, features transferred as f32
+    from toad_tpu.pipeline.infer import _pad_bag
+
+    bag, bag_mask = _pad_bag(feats, 64)
+    logits, site_logits, _ = inf._fwd(
+        inf.params, jnp.asarray(bag[None]), jnp.asarray(bag_mask[None]),
+        jnp.asarray([1], jnp.int32)
+    )
+    want = np.asarray(jax.nn.softmax(np.asarray(logits, np.float32)[0]))
+    np.testing.assert_array_equal(got.y_prob, want)

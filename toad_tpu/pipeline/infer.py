@@ -118,6 +118,13 @@ class SlideInference:
             return self.predict_quantized(xq_rows, sx_rows, sex)
         # the SAME pad/truncate policy as the training batcher, by construction
         bag, bag_mask = _pad_bag(feats32, bucket)
+        if self.model.config.compute_dtype == "bfloat16":
+            # bf16 wire (same rule as BagBatcher's transfer_dtype='auto'):
+            # the model casts features to bf16 on device anyway, and the cast
+            # is round-to-nearest-even either side — half the H2D bytes free
+            import ml_dtypes
+
+            bag = bag.astype(ml_dtypes.bfloat16)
         logits, site_logits, attention = self._fwd(
             self.params, jnp.asarray(bag[None]), jnp.asarray(bag_mask[None]),
             jnp.asarray([sex], jnp.int32)
