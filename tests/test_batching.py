@@ -289,3 +289,19 @@ def test_batcher_rejects_unresolved_auto(dummy_env):
 
     with pytest.raises(ValueError, match="auto"):
         BagBatcher(_split(dummy_env, n=2), transfer_dtype="auto")
+
+
+def test_trainer_rejects_int8_wire(dummy_env, tmp_path):
+    """int8 is an eval-only wire: the train step has no dequant path, so the
+    trainer must refuse loudly instead of training on unscaled integers."""
+    import pytest
+
+    from toad_tpu.config import DataConfig, TrainConfig
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+    from toad_tpu.train.loop import FoldTrainer
+
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    cfg = TrainConfig(max_epochs=1, data=DataConfig(transfer_dtype="int8", bucket_sizes=(64,)))
+    tr = FoldTrainer(cfg, fold=0, results_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="eval-only"):
+        tr._batcher(ds.subset(np.arange(4)), training=True)
