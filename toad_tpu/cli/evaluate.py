@@ -40,7 +40,8 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--pallas", action="store_true", default=False)
     p.add_argument("--int8", action="store_true", default=False,
-                   help="quantized pooling fast path (int8 MXU GEMMs; heads/metrics stay f32)")
+                   help="quantized pooling fast path (int8 MXU GEMMs; heads/metrics stay f32; "
+                   "bags quantize in the loader thread and cross host->device as int8 — 4x fewer bytes)")
     p.add_argument("--patient_bags", action="store_true", default=False, help="concat each patient's slides into one bag")
     p.add_argument("--bootstrap", type=int, default=0, metavar="N",
                    help="N slide-resampling bootstrap draws -> 95%% CIs for the headline "
