@@ -76,15 +76,31 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return N_SLIDES * EPOCHS / best, first
 
-    f32_rate, f32_acc = run("float32")
-    bf16_rate, bf16_acc = run("bfloat16")
-    # prediction-sum drift between wire dtypes (same RNE cast, different point)
-    drift = abs(f32_acc - bf16_acc) / max(abs(f32_acc), 1e-9)
+    f32_rate, _ = run("float32")
+    bf16_rate, _ = run("bfloat16")
+
+    # numerics: compare the actual per-slide probability vectors between wire
+    # dtypes (a softmax-row SUM is ~B for any input, so summing would be a
+    # vacuous check). Expected: bit-identical — the model casts features to
+    # bf16 on device anyway, and the cast is RNE on either side of the wire.
+    @jax.jit
+    def probs(params, features, patch_mask, sex):
+        out = model.apply(params, features, patch_mask, sex, train=False, need_attention=False)
+        return out.y_prob
+
+    def collect(td: str):
+        return np.concatenate([
+            np.asarray(probs(params, b.features, b.patch_mask, b.sex))
+            for b in BagBatcher(split, batch_size=BATCH, bucket_sizes=(bench.BAG_N,),
+                                mode="sequential", device_put=True, transfer_dtype=td)
+        ])
+
+    max_prob_dev = float(np.abs(collect("float32") - collect("bfloat16")).max())
     print(json.dumps({
         "f32_transfer_slides_per_sec": round(f32_rate, 2),
         "bf16_transfer_slides_per_sec": round(bf16_rate, 2),
         "speedup": round(bf16_rate / f32_rate, 3),
-        "prob_sum_rel_drift": float(f"{drift:.2e}"),
+        "max_prob_dev": max_prob_dev,
     }))
 
 

@@ -277,3 +277,49 @@ def test_evaluate_split_int8_uses_int8_wire(dummy_env):
     # (<=1 quant LSB per element; see the step-level test above)
     np.testing.assert_allclose(r_wire.df[pc].values, r_dev.df[pc].values, atol=0.02)
     assert abs(r_wire.cls_auc - r_dev.cls_auc) < 0.02
+
+
+def test_evaluate_split_keeps_float_wire_for_caller_supplied_step(dummy_env):
+    """int8=True with a caller-supplied eval_step must NOT switch to the
+    int8 wire: the caller's step may be a plain float step (historically a
+    benign combination — int8 only affected step BUILDING), and feeding it
+    raw -127..127 integers would be silently, confidently wrong."""
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+    from toad_tpu.evaluate.engine import evaluate_split
+    from toad_tpu.evaluate.runner import make_eval_step
+
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    split = ds.subset(np.arange(8))
+    dim = split.load_bag(0).shape[1]
+    cfg = ModelConfig(in_dim=dim, n_classes=18)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    f32_step = make_eval_step(model)
+    seen = {}
+    orig_init = BagBatcher.__init__
+
+    def spy(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        seen["transfer_dtype"] = self.transfer_dtype
+
+    BagBatcher.__init__ = spy
+    try:
+        r_reuse = evaluate_split(model, params, split, batch_size=4,
+                                 bucket_sizes=(64, 128, 256), int8=True, eval_step=f32_step)
+        assert seen["transfer_dtype"] == "float32"  # NOT 'int8'
+    finally:
+        BagBatcher.__init__ = orig_init
+    r_f32 = evaluate_split(model, params, split, batch_size=4,
+                           bucket_sizes=(64, 128, 256), eval_step=f32_step)
+    pc = [c for c in r_f32.df.columns if c.startswith("p_")]
+    np.testing.assert_array_equal(r_reuse.df[pc].values, r_f32.df[pc].values)
+
+    # explicit int8 wire without an engine-built int8 step is refused loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="int8"):
+        evaluate_split(model, params, split, eval_step=f32_step, transfer_dtype="int8")
+    with pytest.raises(ValueError, match="int8"):
+        evaluate_split(model, params, split, transfer_dtype="int8")  # int8=False

@@ -42,6 +42,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true", default=False,
                    help="quantized pooling fast path (int8 MXU GEMMs; heads/metrics stay f32; "
                    "bags quantize in the loader thread and cross host->device as int8 — 4x fewer bytes)")
+    p.add_argument("--transfer_dtype", type=str, default="auto",
+                   choices=["auto", "float32", "bfloat16", "int8"],
+                   help="host->device feature wire. 'auto': int8 with --int8, bf16 with --bf16, else f32. "
+                   "'float32' reproduces legacy (pre-wire) numbers exactly")
     p.add_argument("--patient_bags", action="store_true", default=False, help="concat each patient's slides into one bag")
     p.add_argument("--bootstrap", type=int, default=0, metavar="N",
                    help="N slide-resampling bootstrap draws -> 95%% CIs for the headline "
@@ -122,6 +126,7 @@ def main(argv=None):
             max_bag_size=args.max_bag_size,
             int8=args.int8,
             bucket_sizes=buckets,
+            transfer_dtype=args.transfer_dtype,
         )
         for ci, auc in enumerate(res.cls_aucs):
             print(f"class {ci} auc: {auc}")
@@ -165,7 +170,7 @@ def main(argv=None):
                 val_res = evaluate_checkpoint(
                     models_dir / checkpoint_name(fold), val_split, model_cfg,
                     batch_size=args.batch_size, max_bag_size=args.max_bag_size, int8=args.int8,
-                    bucket_sizes=buckets,
+                    bucket_sizes=buckets, transfer_dtype=args.transfer_dtype,
                 )
             pcols = [f"p_{c}" for c in range(n_cls)]
             rep = calibration_report(

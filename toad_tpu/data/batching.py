@@ -453,9 +453,19 @@ class BagBatcher:
             from toad_tpu.ops.quantize import quantize_rows_np
 
             B, N, D = b.features.shape
-            q, s = quantize_rows_np(b.features.reshape(B * N, D))
-            b.features = q.reshape(B, N, D)
-            b.scales = s.reshape(B, N)
+            q = np.zeros((B, N, D), np.int8)
+            s = np.full((B, N), 1.0 / 127.0, np.float32)
+            for i in range(B):
+                # quantize only the real rows (padding is TRAILING by
+                # construction — _pad_bag/_assemble) so a just-over-bucket
+                # bag doesn't double the abs/max/rint work on this 1-core
+                # host; padding stays q=0 with an arbitrary positive scale
+                # (exact — see quantize_rows_np's contract)
+                n = int(b.patch_mask[i].sum())
+                if n:
+                    q[i, :n], s[i, :n] = quantize_rows_np(b.features[i, :n])
+            b.features = q
+            b.scales = s
             return b
         import ml_dtypes
 

@@ -60,7 +60,17 @@ def evaluate_split(
 ) -> EvalResult:
     """Run a full no-grad pass over `split` and assemble reference-schema outputs."""
     n_classes = n_classes if n_classes is not None else model.config.n_classes
-    if eval_step is None:
+    # the int8 wire ships pre-quantized rows+scales, which only a step WE
+    # build here knows how to consume — a caller-supplied eval_step (e.g. a
+    # reused compiled f32 step) must keep getting float features, or it would
+    # silently run the raw -127..127 integers through model.apply
+    own_step = eval_step is None
+    if transfer_dtype == "int8" and not (int8 and own_step):
+        raise ValueError(
+            "transfer_dtype='int8' requires int8=True with an engine-built step "
+            "(a float step would consume the raw quantized integers)"
+        )
+    if own_step:
         eval_step = make_eval_step(model, int8=int8, params=params if int8 else None)
     batcher = BagBatcher(
         split,
@@ -76,7 +86,7 @@ def evaluate_split(
         # producer thread — 4x fewer H2D bytes, same quantizer as the
         # on-device path); else bf16 wire when (and only when) the model
         # computes in bf16, where the host-side cast is numerically invisible
-        transfer_dtype=("int8" if int8 and transfer_dtype == "auto"
+        transfer_dtype=("int8" if int8 and own_step and transfer_dtype == "auto"
                         else resolve_transfer_dtype(transfer_dtype, model.config.compute_dtype)),
     )
     res = run_eval_pass(eval_step, params, batcher, n_classes)
@@ -167,6 +177,7 @@ def evaluate_checkpoint(
     max_bag_size: int | None = None,
     int8: bool = False,
     bucket_sizes=None,
+    transfer_dtype: str = "auto",
 ) -> EvalResult:
     """Load a checkpoint (params-only, tolerant of extra state) and evaluate.
 
@@ -188,4 +199,7 @@ def evaluate_checkpoint(
         max_bag_size=max_bag_size,
         int8=int8,
         bucket_sizes=bucket_sizes,
+        # 'float32' reproduces the legacy wire exactly (bf16/int8 'auto'
+        # picks can shift border values; see PARITY.md int8 wire note)
+        transfer_dtype=transfer_dtype,
     )
