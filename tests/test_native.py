@@ -125,6 +125,86 @@ def test_batcher_native_matches_python(tmp_path, fmt):
         np.testing.assert_array_equal(a.indices, b.indices)
 
 
+def test_pack_bags_bf16_matches_numpy_cast(tmp_path):
+    """The fused read+bf16 packer is bit-identical to numpy's f32->bf16 cast
+    (round-to-nearest-even), including halfway points, overflow-to-inf, and
+    subnormals."""
+    import ml_dtypes
+
+    rng = np.random.RandomState(7)
+    feats = (rng.randn(33, 16) * 10.0 ** rng.randint(-20, 20, (33, 16))).astype(np.float32)
+    # adversarial values: exact ties, overflow, inf, tiny
+    feats[0, :8] = [0.0, -0.0, 1.0, np.inf, -np.inf, 3.4e38, 1e-40, 1.00390625]
+    np.save(tmp_path / "b.npy", feats)
+    info = resolve_payload(tmp_path / "b.npy")
+    bucket = 40
+    out = np.zeros((1, bucket, 16), ml_dtypes.bfloat16)
+    mask = np.zeros((1, bucket), np.float32)
+    native.pack_bags_bf16([info.path], np.array([info.offset]), np.array([info.nrows]),
+                          16, bucket, out.view(np.uint16), mask)
+    np.testing.assert_array_equal(
+        out[0, :33].view(np.uint16), feats.astype(ml_dtypes.bfloat16).view(np.uint16)
+    )
+    np.testing.assert_array_equal(out[0, 33:].view(np.uint16), 0)
+    assert mask.sum() == 33
+
+
+def test_pack_bags_int8_matches_quantize_rows_np(tmp_path):
+    """The fused read+quantize packer is the exact twin of
+    ops/quantize.py::quantize_rows_np (same scales, same q, bit for bit)."""
+    from toad_tpu.ops.quantize import quantize_rows_np
+
+    rng = np.random.RandomState(8)
+    feats = rng.randn(29, 24).astype(np.float32) * 3.7
+    feats[3] = 0.0  # all-zero row: amax floor path
+    feats[4, 0] = 1e-9  # sub-floor amax
+    np.save(tmp_path / "q.npy", feats)
+    info = resolve_payload(tmp_path / "q.npy")
+    bucket = 32
+    q = np.zeros((1, bucket, 24), np.int8)
+    s = np.full((1, bucket), 1.0 / 127.0, np.float32)
+    mask = np.zeros((1, bucket), np.float32)
+    native.pack_bags_int8([info.path], np.array([info.offset]), np.array([info.nrows]),
+                          24, bucket, q, s, mask)
+    q_ref, s_ref = quantize_rows_np(feats)
+    np.testing.assert_array_equal(q[0, :29], q_ref)
+    np.testing.assert_array_equal(s[0, :29], s_ref)
+    np.testing.assert_array_equal(q[0, 29:], 0)
+    np.testing.assert_array_equal(s[0, 29:], np.float32(1.0 / 127.0))  # prefill kept
+    assert mask.sum() == 29
+
+
+@pytest.mark.parametrize("wire", ["bfloat16", "int8"])
+def test_batcher_native_wire_matches_python(tmp_path, wire):
+    """transfer_dtype wires through the fused native packers produce exactly
+    the batches the numpy conversion path produces."""
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.synthetic import dummy_task, write_dummy_bags, write_dummy_csv
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    csv = tmp_path / "m.csv"
+    manifest = write_dummy_csv(csv, n_patients=13, max_slides_per_patient=1, seed=4)
+    task = dummy_task(str(csv))
+    write_dummy_bags(tmp_path / "bags", manifest, task, n_patches_range=(16, 90), dim=24, fmt="npy", seed=4)
+    ds = WSIBagDataset(task, data_dir=str(tmp_path / "bags"), print_info=False)
+    split = ds.subset(np.arange(len(ds.slide_ids)))
+
+    kw = dict(batch_size=4, bucket_sizes=(32, 64, 128), mode="shuffle", seed=5,
+              prefetch=0, transfer_dtype=wire)
+    b_py = list(BagBatcher(split, native="off", **kw))
+    batcher_nat = BagBatcher(split, native="on", **kw)
+    b_nat = list(batcher_nat)
+    assert batcher_nat.native_active is True
+    assert len(b_py) == len(b_nat)
+    for a, b in zip(b_py, b_nat):
+        assert a.features.dtype == b.features.dtype
+        np.testing.assert_array_equal(np.asarray(a.features), np.asarray(b.features))
+        np.testing.assert_array_equal(a.patch_mask, b.patch_mask)
+        if wire == "int8":
+            np.testing.assert_array_equal(a.scales, b.scales)
+        np.testing.assert_array_equal(a.label, b.label)
+
+
 def test_batcher_native_on_unsupported_raises(tmp_path):
     from toad_tpu.data.batching import BagBatcher
     from toad_tpu.data.synthetic import dummy_task, write_dummy_bags, write_dummy_csv

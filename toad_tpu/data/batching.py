@@ -180,6 +180,7 @@ class BagBatcher:
         native: str = "auto",
         transfer_dtype: str = "float32",
         device_put: bool = False,
+        device=None,
     ) -> None:
         self.split = split
         self.batch_size = int(batch_size)
@@ -200,6 +201,11 @@ class BagBatcher:
             )
         self.transfer_dtype = transfer_dtype
         self.device_put = device_put
+        # target for producer-thread placement; None = JAX's default device.
+        # Callers whose step runs elsewhere (params committed to another
+        # device) must pass that device/sharding here, or the dispatch would
+        # be cross-device.
+        self.device = device
         if self.bucket_sizes is None and self.batch_size > 1:
             import warnings
 
@@ -353,19 +359,42 @@ class BagBatcher:
         return ok
 
     def _assemble_native(self, group: list[int], bucket: int) -> BagBatch:
-        from toad_tpu.native import pack_bags
+        from toad_tpu import native as native_lib
 
         b = self.batch_size
         payloads = [self._payloads[i] for i in group]
         d = payloads[0].dim
-        feats = np.zeros((b, bucket, d), dtype=np.float32)
         pmask = np.zeros((b, bucket), dtype=np.float32)
         cap = bucket if self.max_bag_size is None else min(bucket, self.max_bag_size)
         paths = [p.path for p in payloads]
         offsets = np.array([p.offset for p in payloads], np.int64)
         nrows = np.array([min(p.nrows, cap) for p in payloads], np.int64)
-        # pack into the leading len(group) slots; trailing slots stay zero pads
-        pack_bags(paths, offsets, nrows, d, bucket, feats[: len(group)], pmask[: len(group)], self.num_workers)
+        g = len(group)
+        scales = None
+        # pack into the leading len(group) slots; trailing slots stay zero
+        # pads. The wire conversion is FUSED into the C++ read (one
+        # cache-hot pass) — _convert sees the final dtype and passes through.
+        if self.transfer_dtype == "int8":
+            feats = np.zeros((b, bucket, d), dtype=np.int8)
+            # q=0 rows (padding) are exact under any positive scale
+            scales = np.full((b, bucket), 1.0 / 127.0, np.float32)
+            native_lib.pack_bags_int8(
+                paths, offsets, nrows, d, bucket,
+                feats[:g], scales[:g], pmask[:g], self.num_workers,
+            )
+        elif self.transfer_dtype == "bfloat16":
+            import ml_dtypes
+
+            feats = np.zeros((b, bucket, d), dtype=ml_dtypes.bfloat16)
+            native_lib.pack_bags_bf16(
+                paths, offsets, nrows, d, bucket,
+                feats[:g].view(np.uint16), pmask[:g], self.num_workers,
+            )
+        else:
+            feats = np.zeros((b, bucket, d), dtype=np.float32)
+            native_lib.pack_bags(
+                paths, offsets, nrows, d, bucket, feats[:g], pmask[:g], self.num_workers
+            )
         bmask = np.zeros((b,), dtype=np.float32)
         label = np.zeros((b,), dtype=np.int32)
         site = np.zeros((b,), dtype=np.int32)
@@ -377,7 +406,7 @@ class BagBatcher:
             site[j] = self.split.sites[i]
             sex[j] = self.split.sexes[i]
             idxs[j] = i
-        return BagBatch(feats, pmask, bmask, label, site, sex, idxs)
+        return BagBatch(feats, pmask, bmask, label, site, sex, idxs, scales=scales)
 
     def _batches_native(self) -> Iterator[BagBatch]:
         order = self._order(self._epoch_rng())
@@ -441,6 +470,8 @@ class BagBatcher:
     def _convert(self, b: BagBatch) -> BagBatch:
         if self.transfer_dtype == "float32":
             return b
+        if b.features.dtype != np.float32:
+            return b  # native fused packer already emitted the wire dtype
         if self.transfer_dtype == "int8":
             # int8 wire for the quantized eval path: quantize per-row HERE in
             # the producer thread (4x fewer H2D bytes than f32 — the disk-fed
@@ -490,10 +521,10 @@ class BagBatcher:
         if b.features.nbytes <= self._DEVICE_PUT_MAX_BYTES:
             import jax
 
-            b.features = jax.device_put(b.features)
-            b.patch_mask = jax.device_put(b.patch_mask)
+            b.features = jax.device_put(b.features, self.device)
+            b.patch_mask = jax.device_put(b.patch_mask, self.device)
             if b.scales is not None:
-                b.scales = jax.device_put(b.scales)
+                b.scales = jax.device_put(b.scales, self.device)
         return b
 
     def __iter__(self) -> Iterator[BagBatch]:

@@ -72,20 +72,32 @@ def get_lib() -> ctypes.CDLL | None:
                 os.replace(tmp, so)  # atomic wrt concurrent builders
             lib = ctypes.CDLL(str(so))
             lib.toad_bagio_abi_version.restype = ctypes.c_int32
-            if lib.toad_bagio_abi_version() != 1:
+            if lib.toad_bagio_abi_version() != 2:
                 raise RuntimeError("bagio ABI mismatch")
-            lib.toad_pack_bags.restype = ctypes.c_int64
-            lib.toad_pack_bags.argtypes = [
+            _common = [
                 ctypes.POINTER(ctypes.c_char_p),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64,
                 ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int64,
-                ctypes.c_int32,
             ]
+            _tail = [ctypes.c_int64, ctypes.c_int32]
+            lib.toad_pack_bags.restype = ctypes.c_int64
+            lib.toad_pack_bags.argtypes = _common + [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ] + _tail
+            lib.toad_pack_bags_bf16.restype = ctypes.c_int64
+            lib.toad_pack_bags_bf16.argtypes = _common + [
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.POINTER(ctypes.c_float),
+            ] + _tail
+            lib.toad_pack_bags_int8.restype = ctypes.c_int64
+            lib.toad_pack_bags_int8.argtypes = _common + [
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ] + _tail
             _LIB = lib
         except (OSError, RuntimeError, subprocess.TimeoutExpired) as e:
             _FAILED = str(e)
@@ -101,34 +113,22 @@ def failure_reason() -> str | None:
     return _FAILED
 
 
-def pack_bags(
-    paths: list[str],
-    offsets: np.ndarray,
-    nrows: np.ndarray,
-    dim: int,
-    bucket: int,
-    out: np.ndarray,
-    mask: np.ndarray,
-    nthreads: int = 0,
-) -> None:
-    """Parallel-read bag payloads into `out` [B, bucket, dim] (zeroed by the
-    caller) and set `mask` rows. Raises on any read failure."""
+def _check_buf(name: str, buf: np.ndarray, shape: tuple, dtype) -> None:
+    # real checks, not asserts: these guard raw-pointer C writes and must
+    # survive python -O (a stripped assert here means memory corruption)
+    if buf.shape != shape or buf.dtype != dtype or not buf.flags.c_contiguous:
+        raise ValueError(
+            f"{name} must be C-contiguous {np.dtype(dtype).name} {shape}, got "
+            f"{buf.dtype} {buf.shape} contiguous={buf.flags.c_contiguous}"
+        )
+
+
+def _pack_common(paths, offsets, nrows, dim, bucket):
+    """Validate + marshal the shared (paths, offsets, nrows) arguments."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError(f"native bagio unavailable: {_FAILED}")
     n = len(paths)
-    # real checks, not asserts: these guard raw-pointer C writes and must
-    # survive python -O (a stripped assert here means memory corruption)
-    if out.shape != (n, bucket, dim) or out.dtype != np.float32 or not out.flags.c_contiguous:
-        raise ValueError(
-            f"out must be C-contiguous float32 {(n, bucket, dim)}, got "
-            f"{out.dtype} {out.shape} contiguous={out.flags.c_contiguous}"
-        )
-    if mask.shape != (n, bucket) or mask.dtype != np.float32 or not mask.flags.c_contiguous:
-        raise ValueError(
-            f"mask must be C-contiguous float32 {(n, bucket)}, got "
-            f"{mask.dtype} {mask.shape} contiguous={mask.flags.c_contiguous}"
-        )
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     offsets = np.ascontiguousarray(offsets, np.int64)
     nrows = np.ascontiguousarray(nrows, np.int64)
@@ -141,17 +141,85 @@ def pack_bags(
         )
     if n and int(offsets.min()) < 0:
         raise ValueError("offsets must be non-negative file positions")
-    rc = lib.toad_pack_bags(
-        c_paths,
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        nrows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        dim,
-        bucket,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        n,
-        nthreads,
-    )
+    return lib, n, c_paths, offsets, nrows
+
+
+def _raise_on_rc(rc: int, paths, offsets, nrows) -> None:
     if rc != 0:
         j = int(rc) - 1
         raise IOError(f"native bag read failed for {paths[j]} (offset {int(offsets[j])}, rows {int(nrows[j])})")
+
+
+def _p(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def pack_bags(
+    paths: list[str],
+    offsets: np.ndarray,
+    nrows: np.ndarray,
+    dim: int,
+    bucket: int,
+    out: np.ndarray,
+    mask: np.ndarray,
+    nthreads: int = 0,
+) -> None:
+    """Parallel-read bag payloads into `out` [B, bucket, dim] (zeroed by the
+    caller) and set `mask` rows. Raises on any read failure."""
+    lib, n, c_paths, offsets, nrows = _pack_common(paths, offsets, nrows, dim, bucket)
+    _check_buf("out", out, (n, bucket, dim), np.float32)
+    _check_buf("mask", mask, (n, bucket), np.float32)
+    rc = lib.toad_pack_bags(
+        c_paths, _p(offsets, ctypes.c_int64), _p(nrows, ctypes.c_int64), dim, bucket,
+        _p(out, ctypes.c_float), _p(mask, ctypes.c_float), n, nthreads,
+    )
+    _raise_on_rc(rc, paths, offsets, nrows)
+
+
+def pack_bags_bf16(
+    paths: list[str],
+    offsets: np.ndarray,
+    nrows: np.ndarray,
+    dim: int,
+    bucket: int,
+    out: np.ndarray,
+    mask: np.ndarray,
+    nthreads: int = 0,
+) -> None:
+    """Fused read + f32->bf16 cast: `out` is a caller-zeroed [B, bucket, dim]
+    uint16 view of a bf16 buffer (``arr.view(np.uint16)``). One pass on the
+    host instead of pack + numpy astype."""
+    lib, n, c_paths, offsets, nrows = _pack_common(paths, offsets, nrows, dim, bucket)
+    _check_buf("out", out, (n, bucket, dim), np.uint16)
+    _check_buf("mask", mask, (n, bucket), np.float32)
+    rc = lib.toad_pack_bags_bf16(
+        c_paths, _p(offsets, ctypes.c_int64), _p(nrows, ctypes.c_int64), dim, bucket,
+        _p(out, ctypes.c_uint16), _p(mask, ctypes.c_float), n, nthreads,
+    )
+    _raise_on_rc(rc, paths, offsets, nrows)
+
+
+def pack_bags_int8(
+    paths: list[str],
+    offsets: np.ndarray,
+    nrows: np.ndarray,
+    dim: int,
+    bucket: int,
+    out_q: np.ndarray,
+    scales: np.ndarray,
+    mask: np.ndarray,
+    nthreads: int = 0,
+) -> None:
+    """Fused read + per-row dynamic int8 quantization (the exact twin of
+    ``ops/quantize.py::quantize_rows_np``): `out_q` caller-zeroed int8
+    [B, bucket, dim], `scales` [B, bucket] f32 caller-prefilled with a
+    positive value (padding rows keep it — q=0 is exact under any scale)."""
+    lib, n, c_paths, offsets, nrows = _pack_common(paths, offsets, nrows, dim, bucket)
+    _check_buf("out_q", out_q, (n, bucket, dim), np.int8)
+    _check_buf("scales", scales, (n, bucket), np.float32)
+    _check_buf("mask", mask, (n, bucket), np.float32)
+    rc = lib.toad_pack_bags_int8(
+        c_paths, _p(offsets, ctypes.c_int64), _p(nrows, ctypes.c_int64), dim, bucket,
+        _p(out_q, ctypes.c_int8), _p(scales, ctypes.c_float), _p(mask, ctypes.c_float), n, nthreads,
+    )
+    _raise_on_rc(rc, paths, offsets, nrows)
