@@ -65,6 +65,67 @@ def test_len_matches_iteration_every_mode(dummy_env, mode):
         assert len(b) == n_iter, (mode, epoch, len(b), n_iter)
 
 
+def test_int8_with_explicit_bf16_resolves_to_int8_wire(dummy_env, monkeypatch):
+    """ADVICE r3: int8=True + transfer_dtype='bfloat16' would double-round
+    (f32->bf16->int8) — the engine must resolve it to the int8 wire
+    (quantize straight from f32 in the producer) instead."""
+    import jax
+
+    import toad_tpu.evaluate.engine as eng
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.models.toad_mil import ToadMIL
+
+    captured = {}
+    real = eng.BagBatcher
+
+    def spy(*a, **kw):
+        captured.update(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(eng, "BagBatcher", spy)
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]), print_info=False)
+    split = ds.subset(np.arange(4))
+    cfg = ModelConfig(in_dim=dummy_env["dim"], n_classes=18)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    eng.evaluate_split(model, params, split, int8=True, transfer_dtype="bfloat16",
+                       batch_size=2, bucket_sizes=(256,))
+    assert captured["transfer_dtype"] == "int8"
+    # explicit float32 + int8 keeps the f32 wire (on-device quantize, no
+    # double rounding either)
+    captured.clear()
+    eng.evaluate_split(model, params, split, int8=True, transfer_dtype="float32",
+                       batch_size=2, bucket_sizes=(256,))
+    assert captured["transfer_dtype"] == "float32"
+
+
+def test_checkpoint_purge_handles_stale_plain_file(tmp_path):
+    """ADVICE r3: a plain FILE matching the orbax unfinalized-tmp glob must
+    be unlinked, not rmtree'd (NotADirectoryError killed the save)."""
+    from toad_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    path = tmp_path / "ck"
+    stale = tmp_path / "ck.orbax-checkpoint-tmp-123"
+    stale.write_text("junk left by a hypothetical future orbax")
+    save_checkpoint(path, {"a": np.float32(1.5)})
+    assert not stale.exists()
+    assert float(restore_checkpoint(path)["a"]) == 1.5
+
+
+def test_batcher_device_put_honors_device(dummy_env):
+    """ADVICE r3: BagBatcher(device=...) commits producer-placed arrays to
+    the requested device instead of silently using the default."""
+    import jax
+
+    dev = jax.devices("cpu")[2]
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]), print_info=False)
+    split = ds.subset(np.arange(3))
+    b = next(iter(BagBatcher(split, batch_size=2, bucket_sizes=(256,), prefetch=0,
+                             device_put=True, device=dev)))
+    assert b.features.devices() == {dev}
+    assert b.patch_mask.devices() == {dev}
+
+
 def test_native_buffer_validation_raises(tmp_path):
     native = pytest.importorskip("toad_tpu.native")
     if not native.available():

@@ -85,8 +85,13 @@ def evaluate_split(
         # 'auto': int8 wire for quantized eval (rows quantized in the
         # producer thread — 4x fewer H2D bytes, same quantizer as the
         # on-device path); else bf16 wire when (and only when) the model
-        # computes in bf16, where the host-side cast is numerically invisible
-        transfer_dtype=("int8" if int8 and own_step and transfer_dtype == "auto"
+        # computes in bf16, where the host-side cast is numerically invisible.
+        # Explicit 'bfloat16' with int8 ALSO resolves to the int8 wire:
+        # shipping bf16 rows to an int8 step would double-round
+        # (f32→bf16→int8), a combination the ≤1-LSB quantizer analysis does
+        # not cover — quantizing straight from f32 in the producer is both
+        # exact-per-analysis and fewer wire bytes.
+        transfer_dtype=("int8" if int8 and own_step and transfer_dtype in ("auto", "bfloat16")
                         else resolve_transfer_dtype(transfer_dtype, model.config.compute_dtype)),
     )
     res = run_eval_pass(eval_step, params, batcher, n_classes)

@@ -48,8 +48,13 @@ def save_checkpoint(path: str | os.PathLike, state: dict[str, Any]) -> None:
     for base in (tmp, path):
         stales.extend(path.parent.glob(f"{base.name}.orbax-checkpoint-tmp*"))
     for stale in stales:
-        if stale.exists():
+        # orbax normally leaves directories, but guard against a plain file
+        # (rmtree on a file raises NotADirectoryError and would kill the very
+        # save this purge is meant to protect)
+        if stale.is_dir():
             shutil.rmtree(stale)
+        elif stale.exists():
+            stale.unlink()
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp, state)
         ckptr.wait_until_finished()
