@@ -164,6 +164,54 @@ def test_infer_cli_end_to_end(tmp_path, capsys):
         np.testing.assert_array_equal(f["coords"][:], coords)
 
 
+def test_mesh_tile_embedder_parity(encoder_params):
+    """Mesh-sharded TileEmbedder must reproduce the unsharded embedder over
+    the 8-device CPU mesh: the encoder is per-tile math, so GSPMD splits the
+    batch with no collectives and f32 results are bit-identical."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest forces an 8-device virtual CPU platform"
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 256, (40, 32, 32, 3), np.uint8)  # 3 batches, last padded
+    base = TileEmbedder(encoder_params, ECFG, batch_size=16)
+    sharded = TileEmbedder(encoder_params, ECFG, batch_size=16, mesh=mesh)
+    ref = base.embed_all(imgs)
+    got = sharded.embed_all(imgs)
+    assert got.shape == ref.shape == (40, 1024)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    # batch not divisible by the mesh axis is a loud constructor error
+    with pytest.raises(ValueError, match="not divisible"):
+        TileEmbedder(encoder_params, ECFG, batch_size=12, mesh=mesh)
+
+
+def test_featurize_cli_data_shards(tmp_path, encoder_params, monkeypatch):
+    """--data_shards wires a real mesh through the featurize CLI and the
+    sharded bags match the single-device ones."""
+    patch_dir = tmp_path / "patches"
+    patch_dir.mkdir()
+    _write_patch_h5(patch_dir / "slide0.h5", n=20, seed=7)
+    import toad_tpu.cli.featurize as fcli
+
+    monkeypatch.setattr(
+        fcli, "EncoderConfig", lambda **kw: EncoderConfig(blocks=(1, 1, 1), **kw)
+    )
+    base = ["--patch_dir", str(patch_dir), "--format", "npy",
+            "--batch_size", "8", "--no_bf16"]
+    fcli.main(base + ["--feat_dir", str(tmp_path / "f1")])
+    fcli.main(base + ["--feat_dir", str(tmp_path / "f8"), "--data_shards", "8"])
+    ref = np.load(tmp_path / "f1" / "slide0.npy")
+    got = np.load(tmp_path / "f8" / "slide0.npy")
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(SystemExit):
+        fcli.main(base + ["--feat_dir", str(tmp_path / "f0"), "--data_shards", "0"])
+    with pytest.raises(SystemExit):
+        fcli.main(base + ["--feat_dir", str(tmp_path / "f9"), "--data_shards", "999"])
+
+
 def test_featurize_cli(tmp_path, encoder_params, monkeypatch):
     patch_dir = tmp_path / "patches"
     patch_dir.mkdir()

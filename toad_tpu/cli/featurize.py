@@ -34,6 +34,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", type=str, default=None,
                    help="encoder weights: torchvision resnet50 .pth or timm ViT .bin (random init if omitted)")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--data_shards", type=int, default=None,
+                   help="shard each tile batch over this many devices (data-parallel "
+                        "featurization; params replicated, no collectives). batch_size "
+                        "must be divisible by it; defaults to single-device")
     p.add_argument("--no_bf16", action="store_true", help="compute in float32 instead of bfloat16")
     p.add_argument("--no_fold_bn", action="store_true", help="keep BatchNorm unfolded")
     p.add_argument("--skip_done", action="store_true", help="skip slides whose bag already exists")
@@ -72,7 +76,20 @@ def main(argv=None):
             print("WARNING: no --weights given; using random encoder init (features are untrained)")
             params = ResNetEncoder(cfg).init(jax.random.PRNGKey(0))
 
-    embedder = TileEmbedder(params, cfg, batch_size=args.batch_size)
+    mesh = None
+    if args.data_shards is not None and args.data_shards != 1:
+        if args.data_shards < 1:
+            raise SystemExit(f"--data_shards must be >= 1, got {args.data_shards}")
+        devs = jax.devices()
+        if args.data_shards > len(devs):
+            raise SystemExit(f"--data_shards {args.data_shards} > available devices {len(devs)}")
+        from jax.sharding import Mesh
+
+        # 1-D data-parallel mesh over exactly the requested devices; the
+        # encoder is per-tile math, so GSPMD splits the batch with zero
+        # collectives (parity test: tests/test_pipeline.py mesh tests)
+        mesh = Mesh(np.array(devs[: args.data_shards]), ("data",))
+    embedder = TileEmbedder(params, cfg, batch_size=args.batch_size, mesh=mesh)
     patch_dir, feat_dir = Path(args.patch_dir), Path(args.feat_dir)
     feat_dir.mkdir(parents=True, exist_ok=True)
     files = sorted(patch_dir.glob("*.h5"))
