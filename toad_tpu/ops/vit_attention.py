@@ -40,6 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mha_kernel(qkv_ref, o_ref, *, heads: int, head_dim: int, scale: float):
+    # NOTE: a VPU-lean softmax variant (scale*log2e folded into q, bare exp2,
+    # normalization deferred past @v) was measured at EXACTLY this kernel's
+    # speed (1108.6 vs 1109.0 tiles/s, 3 interleaved reps —
+    # experiments/vit_softmax_probe.py): the attention residue is the
+    # 197-shaped per-head GEMM floor, not VPU elementwise work, so the
+    # simpler form (bit-parity with the XLA path at b=4) is kept.
     blk_b = qkv_ref.shape[0]
     d = heads * head_dim
     for b in range(blk_b):
