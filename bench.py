@@ -575,7 +575,10 @@ def bench_real_io_suite() -> dict:
     - f32 ``.pt`` store -> int8 wire (``eval --int8``): rows quantize inside
       the native C++ reader (fused pread+quantize, ``native/bagio.cpp``) and
       cross the relay at 1 byte/elem;
-    - int8 ``.npz`` store: 4x less disk AND wire, no quantize pass at all.
+    - int8 ``.npz`` store: same eval step and batcher as the int8 wire, but
+      the native reader preads the on-disk q+scales straight onto the wire
+      (``toad_pack_bags_q8`` read-through) — 4x less disk IO and zero host
+      conversion of any kind.
 
     Epochs alternate bf16/int8-wire/int8-store within each rep, so the
     same-run ratios are controlled even when absolutes drift. Also reports
@@ -584,16 +587,14 @@ def bench_real_io_suite() -> dict:
     comparable (VERDICT r3 next #3's decomposition). Page-cache warm by
     construction; cold NVMe is not measurable in this environment."""
     import jax
-    import jax.numpy as jnp
 
     from toad_tpu.config import ModelConfig, TaskConfig
-    from toad_tpu.data.bags import load_bag_quantized, save_int8_bag
+    from toad_tpu.data.bags import save_int8_bag
     from toad_tpu.data.batching import BagBatcher
     from toad_tpu.data.synthetic import DEFAULT_ORIGINS
     from toad_tpu.data.wsi_dataset import WSIBagDataset
     from toad_tpu.evaluate.runner import batch_to_dict, make_eval_step
     from toad_tpu.models.toad_mil import ToadMIL
-    from toad_tpu.ops.quantize import quantize_pool_params
 
     n_slides, batch, reps = 16, 8, 3
     tmp, csv = _ensure_io_fixture(n_slides)
@@ -645,25 +646,16 @@ def bench_real_io_suite() -> dict:
             acc += float(np.asarray(step_q(params, batch_to_dict(b))["y_prob"]).sum())
         return acc
 
-    # -- variant C: int8 store
-    qp = jax.tree.map(jnp.asarray, quantize_pool_params(jax.tree.map(np.asarray, params)))
-
-    @jax.jit
-    def step_qs(params, qp, xq, sx, mask, sex):
-        out = model.apply_int8(params, qp, xq, sx, mask, sex, need_attention=False)
-        return out.y_prob.sum()
-
-    mask = np.ones((batch, BAG_N), np.float32)
-    sex = np.zeros((batch,), np.int32)
+    # -- variant C: int8 STORE through the same production path as B (the
+    # only delta is the store: native C++ read-through of the on-disk
+    # q+scales vs f32 read + fused quantize — plus 4x less disk IO)
+    split_q = WSIBagDataset(task, csv, data_dir=str(qdir)).subset(range(n_slides))
 
     def epoch_int8_store() -> float:
         acc = 0.0
-        for start in range(0, n_slides, batch):
-            loaded = [load_bag_quantized(qdir / f"BENCH-SLIDE_{i}.npz")
-                      for i in range(start, start + batch)]
-            xq = np.stack([q[0] for q in loaded])
-            sx = np.stack([q[1] for q in loaded])
-            acc += float(step_qs(params, qp, xq, sx, mask, sex))
+        for b in BagBatcher(split_q, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential",
+                            device_put=True, transfer_dtype="int8"):
+            acc += float(np.asarray(step_q(params, batch_to_dict(b))["y_prob"]).sum())
         return acc
 
     variants = {"bf16": epoch_bf16, "int8_wire": epoch_int8_wire, "int8_store": epoch_int8_store}
@@ -679,9 +671,10 @@ def bench_real_io_suite() -> dict:
     # host-only epoch times (no device_put, no step): with the conversion
     # fused into the C++ read these measure the full host cost per wire
     host = {}
-    for name, dt in (("f32", "float32"), ("bf16", "bfloat16"), ("int8", "int8")):
+    for name, sp, dt in (("f32", split, "float32"), ("bf16", split, "bfloat16"),
+                         ("int8", split, "int8"), ("int8_store", split_q, "int8")):
         t0 = time.perf_counter()
-        for b in BagBatcher(split, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential",
+        for b in BagBatcher(sp, batch_size=batch, bucket_sizes=(BAG_N,), mode="sequential",
                             transfer_dtype=dt):
             pass
         host[name] = time.perf_counter() - t0
@@ -700,6 +693,7 @@ def bench_real_io_suite() -> dict:
         "real_io_host_s_f32": host["f32"],
         "real_io_host_s_bf16": host["bf16"],
         "real_io_host_s_int8": host["int8"],
+        "real_io_host_s_int8_store": host["int8_store"],
     }
 
 
@@ -945,6 +939,10 @@ def main() -> None:
         ),
         "real_io_host_s_int8": (
             round(ours["real_io_host_s_int8"], 2) if "real_io_host_s_int8" in ours else None
+        ),
+        "real_io_host_s_int8_store": (
+            round(ours["real_io_host_s_int8_store"], 2)
+            if "real_io_host_s_int8_store" in ours else None
         ),
         "real_io_note": "relay H2D bandwidth is erratic in this environment; number varies run-to-run",
         **{k: v for k, v in ours.items() if k.endswith("_error")},

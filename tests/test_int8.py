@@ -323,3 +323,49 @@ def test_evaluate_split_keeps_float_wire_for_caller_supplied_step(dummy_env):
         evaluate_split(model, params, split, eval_step=f32_step, transfer_dtype="int8")
     with pytest.raises(ValueError, match="int8"):
         evaluate_split(model, params, split, transfer_dtype="int8")  # int8=False
+
+
+def test_evaluate_split_int8_over_int8_store(dummy_env, tmp_path):
+    """eval --int8 over an int8 STORE (save_int8_bag .npz): the native
+    read-through ships the saved q+scales as-is, and the per-slide probs
+    match evaluating the SAME store through the f32 path (transparent
+    dequantize + on-device quantize) — proving store, wire, and device
+    quantization all agree end-to-end."""
+    from toad_tpu.data.bags import save_int8_bag
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+    from toad_tpu.evaluate.engine import evaluate_split
+
+    ds_f = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    store = tmp_path / "store"
+    for i in range(12):
+        bag = np.asarray(ds_f.subset([i]).load_bag(0), np.float32)
+        save_int8_bag(store / f"{ds_f.slide_ids[i]}.npz", bag)
+    ds_q = WSIBagDataset(dummy_env["task"], data_dir=str(store))
+    split = ds_q.subset(np.arange(12))
+    dim = split.load_bag(0).shape[1]
+    cfg = ModelConfig(in_dim=dim, n_classes=18)
+    model = ToadMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    wires = []
+    orig_init = BagBatcher.__init__
+
+    def spy(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        wires.append(self.transfer_dtype)
+
+    BagBatcher.__init__ = spy
+    try:
+        r_q = evaluate_split(model, params, split, batch_size=4,
+                             bucket_sizes=(64, 128, 256), int8=True)
+        assert wires[-1] == "int8"
+        r_f = evaluate_split(model, params, split, batch_size=4,
+                             bucket_sizes=(64, 128, 256), int8=True,
+                             transfer_dtype="float32")
+        assert wires[-1] == "float32"
+    finally:
+        BagBatcher.__init__ = orig_init
+    pc = [c for c in r_q.df.columns if c.startswith("p_")]
+    np.testing.assert_allclose(r_q.df[pc].values, r_f.df[pc].values, atol=0.02)
+    assert (r_q.df["Y_hat"].values == r_f.df["Y_hat"].values).mean() >= 0.9

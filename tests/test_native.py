@@ -257,3 +257,147 @@ def test_truncated_npy_is_ineligible_not_fatal(tmp_path):
     p = tmp_path / "trunc.npy"
     p.write_bytes(b"\x93NUMPY")  # magic only, nothing else
     assert resolve_payload(p) is None
+
+
+# -- int8 STORE read-through (pack_bags_q8) ----------------------------------
+
+
+def test_resolve_payload_q8(tmp_path):
+    """resolve_payload_q8 locates the raw int8 + scales payloads of a
+    save_int8_bag store; raw byte reads at those offsets reproduce
+    load_bag_quantized exactly. Plain f32 bags resolve to None."""
+    from toad_tpu.data.bags import load_bag_quantized, save_int8_bag
+    from toad_tpu.data.native_bags import resolve_payload_q8
+
+    rng = np.random.RandomState(11)
+    feats = rng.randn(21, 24).astype(np.float32)
+    p = tmp_path / "q.npz"
+    save_int8_bag(p, feats, coords=rng.randint(0, 100, (21, 2)))
+    info = resolve_payload_q8(p)
+    assert info is not None and (info.nrows, info.dim) == (21, 24)
+    xq, scales, _ = load_bag_quantized(p)
+    raw = p.read_bytes()
+    got_q = np.frombuffer(raw, np.int8, 21 * 24, info.offset).reshape(21, 24)
+    got_s = np.frombuffer(raw, np.float32, 21, info.scales_offset)
+    np.testing.assert_array_equal(got_q, xq)
+    np.testing.assert_array_equal(got_s, scales)
+    # not an int8 store -> None
+    np.savez(tmp_path / "f.npz", features=feats)
+    assert resolve_payload_q8(tmp_path / "f.npz") is None
+    assert resolve_payload_q8(tmp_path / "q.npz").path.endswith("q.npz")
+    assert resolve_payload_q8(tmp_path / "missing.npz") is None
+
+
+def test_pack_bags_q8_reads_through(tmp_path):
+    from toad_tpu.data.bags import load_bag_quantized, save_int8_bag
+    from toad_tpu.data.native_bags import resolve_payload_q8
+
+    rng = np.random.RandomState(12)
+    bags = [rng.randn(n, 16).astype(np.float32) for n in (9, 30)]
+    infos = []
+    for i, f in enumerate(bags):
+        save_int8_bag(tmp_path / f"b{i}.npz", f)
+        infos.append(resolve_payload_q8(tmp_path / f"b{i}.npz"))
+    bucket = 32
+    q = np.zeros((2, bucket, 16), np.int8)
+    s = np.full((2, bucket), 1.0 / 127.0, np.float32)
+    mask = np.zeros((2, bucket), np.float32)
+    native.pack_bags_q8(
+        [i.path for i in infos],
+        np.array([i.offset for i in infos]),
+        np.array([i.scales_offset for i in infos]),
+        np.array([i.nrows for i in infos]), 16, bucket, q, s, mask,
+    )
+    for j, f in enumerate(bags):
+        xq, scales, _ = load_bag_quantized(tmp_path / f"b{j}.npz")
+        n = f.shape[0]
+        np.testing.assert_array_equal(q[j, :n], xq)
+        np.testing.assert_array_equal(s[j, :n], scales)
+        np.testing.assert_array_equal(q[j, n:], 0)
+        np.testing.assert_array_equal(s[j, n:], np.float32(1.0 / 127.0))
+        assert mask[j].sum() == n
+
+
+def test_batcher_int8_store_native_matches_python(tmp_path):
+    """An int8 STORE on the int8 wire: the native read-through must equal the
+    python fallback (dequantize -> requantize) bit for bit — which also
+    proves the requant round-trip is exact."""
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.bags import save_int8_bag
+    from toad_tpu.data.synthetic import dummy_task, write_dummy_bags, write_dummy_csv
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    csv = tmp_path / "m.csv"
+    manifest = write_dummy_csv(csv, n_patients=9, max_slides_per_patient=1, seed=6)
+    task = dummy_task(str(csv))
+    # build an int8 STORE: synthesize f32 then convert, like cli export would
+    write_dummy_bags(tmp_path / "f32", manifest, task, n_patches_range=(10, 60), dim=16, fmt="npy", seed=6)
+    store = tmp_path / "store"
+    for f in (tmp_path / "f32").glob("*.npy"):
+        save_int8_bag(store / f.with_suffix(".npz").name, np.load(f))
+    ds = WSIBagDataset(task, data_dir=str(store), print_info=False)
+    split = ds.subset(np.arange(len(ds.slide_ids)))
+
+    kw = dict(batch_size=4, bucket_sizes=(32, 64), mode="sequential", prefetch=0,
+              transfer_dtype="int8")
+    b_nat = BagBatcher(split, native="on", **kw)   # on: raises if ineligible
+    batches_nat = list(b_nat)
+    assert b_nat.native_active is True
+    b_py = BagBatcher(split, native="off", **kw)
+    batches_py = list(b_py)
+    assert len(batches_nat) == len(batches_py) > 0
+    for a, b in zip(batches_nat, batches_py):
+        np.testing.assert_array_equal(np.asarray(a.features), np.asarray(b.features))
+        np.testing.assert_array_equal(a.scales, b.scales)
+        np.testing.assert_array_equal(a.patch_mask, b.patch_mask)
+        np.testing.assert_array_equal(a.indices, b.indices)
+    # exact __len__ now that int8 stores resolve lengths from metadata
+    assert len(b_nat) == len(batches_nat)
+    # any other wire: store needs the dequant fallback -> native ineligible
+    b_f32 = BagBatcher(split, native="auto", transfer_dtype="float32",
+                       batch_size=4, bucket_sizes=(32, 64), prefetch=0)
+    next(iter(b_f32))
+    assert b_f32.native_active is False
+
+
+def test_batcher_mixed_f32_and_int8_store(tmp_path):
+    """A split mixing f32 bags and int8-store bags on the int8 wire: the
+    native path packs each kind with its packer (stores sorted last in the
+    batch); per-slide rows must match the python fallback."""
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.bags import save_int8_bag
+    from toad_tpu.data.synthetic import dummy_task, write_dummy_bags, write_dummy_csv
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    csv = tmp_path / "m.csv"
+    manifest = write_dummy_csv(csv, n_patients=8, max_slides_per_patient=1, seed=9)
+    task = dummy_task(str(csv))
+    bags = tmp_path / "bags"
+    write_dummy_bags(bags, manifest, task, n_patches_range=(12, 30), dim=16, fmt="npy", seed=9)
+    # convert every second bag to an int8 store (find_bag_file prefers .npy,
+    # so delete the original)
+    for j, f in enumerate(sorted(bags.glob("*.npy"))):
+        if j % 2:
+            save_int8_bag(f.with_suffix(".npz"), np.load(f))
+            f.unlink()
+    ds = WSIBagDataset(task, data_dir=str(bags), print_info=False)
+    split = ds.subset(np.arange(len(ds.slide_ids)))
+
+    kw = dict(batch_size=4, bucket_sizes=(32,), mode="sequential", prefetch=0,
+              transfer_dtype="int8")
+    b_nat = BagBatcher(split, native="on", **kw)
+    by_idx_nat = {}
+    for batch in b_nat:
+        for r, i in enumerate(batch.indices):
+            if i >= 0:
+                by_idx_nat[int(i)] = (np.asarray(batch.features[r]), batch.scales[r],
+                                      batch.patch_mask[r])
+    assert b_nat.native_active is True
+    for batch in BagBatcher(split, native="off", **kw):
+        for r, i in enumerate(batch.indices):
+            if i < 0:
+                continue
+            fq, fs, fm = by_idx_nat[int(i)]
+            np.testing.assert_array_equal(fq, np.asarray(batch.features[r]))
+            np.testing.assert_array_equal(fs, batch.scales[r])
+            np.testing.assert_array_equal(fm, batch.patch_mask[r])

@@ -227,9 +227,14 @@ class BagBatcher:
         stall on big splits). None when the split has no ``bag_file``;
         entries are None for individually unresolvable bags."""
         if self._payloads is None and hasattr(self.split, "bag_file"):
-            from toad_tpu.data.native_bags import resolve_payload
+            from toad_tpu.data.native_bags import resolve_payload, resolve_payload_q8
 
-            self._payloads = [resolve_payload(self.split.bag_file(i)) for i in range(len(self.split))]
+            self._payloads = []
+            for i in range(len(self.split)):
+                f = self.split.bag_file(i)
+                # f32 payload, else an int8 STORE's raw payloads (read-through
+                # eligible only on the int8 wire; still gives exact lengths)
+                self._payloads.append(resolve_payload(f) or resolve_payload_q8(f))
         return self._payloads
 
     def _bag_lengths(self) -> list | None:
@@ -339,8 +344,14 @@ class BagBatcher:
         ok = native_lib.available()
         eligible = "unchecked"
         if ok:
+            from toad_tpu.data.native_bags import Q8PayloadInfo
+
             payloads = self._resolve_payloads()
             eligible = all(p is not None for p in payloads)
+            # int8-STORE bags (Q8PayloadInfo) read through natively only on
+            # the int8 wire; any other wire needs the numpy dequant fallback
+            if eligible and self.transfer_dtype != "int8":
+                eligible = not any(isinstance(p, Q8PayloadInfo) for p in payloads)
             # every bag must agree on the feature dim (and match feature_dim if
             # pinned) — a mixed-dim store must fail loudly in the numpy path,
             # not pread misaligned bytes here
@@ -360,8 +371,14 @@ class BagBatcher:
 
     def _assemble_native(self, group: list[int], bucket: int) -> BagBatch:
         from toad_tpu import native as native_lib
+        from toad_tpu.data.native_bags import Q8PayloadInfo
 
         b = self.batch_size
+        # on the int8 wire, int8-STORE bags (Q8PayloadInfo) read through
+        # raw while f32 bags quantize-on-read — sort stores last so each
+        # kind packs a contiguous slice of the batch buffers
+        if self.transfer_dtype == "int8":
+            group = sorted(group, key=lambda i: isinstance(self._payloads[i], Q8PayloadInfo))
         payloads = [self._payloads[i] for i in group]
         d = payloads[0].dim
         pmask = np.zeros((b, bucket), dtype=np.float32)
@@ -378,10 +395,19 @@ class BagBatcher:
             feats = np.zeros((b, bucket, d), dtype=np.int8)
             # q=0 rows (padding) are exact under any positive scale
             scales = np.full((b, bucket), 1.0 / 127.0, np.float32)
-            native_lib.pack_bags_int8(
-                paths, offsets, nrows, d, bucket,
-                feats[:g], scales[:g], pmask[:g], self.num_workers,
-            )
+            k = next((j for j, p in enumerate(payloads) if isinstance(p, Q8PayloadInfo)), g)
+            if k:  # f32 bags: fused read + quantize
+                native_lib.pack_bags_int8(
+                    paths[:k], offsets[:k], nrows[:k], d, bucket,
+                    feats[:k], scales[:k], pmask[:k], self.num_workers,
+                )
+            if k < g:  # int8-store bags: raw read-through of q + scales
+                native_lib.pack_bags_q8(
+                    paths[k:], offsets[k:],
+                    np.array([p.scales_offset for p in payloads[k:]], np.int64),
+                    nrows[k:], d, bucket,
+                    feats[k:g], scales[k:g], pmask[k:g], self.num_workers,
+                )
         elif self.transfer_dtype == "bfloat16":
             import ml_dtypes
 

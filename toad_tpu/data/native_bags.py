@@ -35,6 +35,85 @@ class PayloadInfo:
     dim: int
 
 
+@dataclass(frozen=True)
+class Q8PayloadInfo:
+    """An int8 bag store's raw payloads (``data/bags.py::save_int8_bag``):
+    the quantized rows and their per-row f32 scales pread straight onto the
+    int8 wire — no host dequantize/requantize round-trip."""
+
+    path: str
+    offset: int  # byte offset of the int8 [nrows, dim] payload
+    scales_offset: int  # byte offset of the f32 [nrows] scales payload
+    nrows: int
+    dim: int
+
+
+def _npy_member_payload(f, header_offset: int):
+    """(descr, shape, data_offset) of an UNCOMPRESSED npy zip member, reading
+    the LOCAL file header (central-directory extra length can differ) then
+    the npy header. Returns None if stored-compression or parse assumptions
+    fail."""
+    f.seek(header_offset)
+    lh = f.read(30)
+    if len(lh) != 30 or lh[:4] != b"PK\x03\x04":
+        return None
+    method = struct.unpack("<H", lh[8:10])[0]
+    if method != 0:  # ZIP_STORED only — np.savez never compresses
+        return None
+    name_len = struct.unpack("<H", lh[26:28])[0]
+    extra_len = struct.unpack("<H", lh[28:30])[0]
+    data_offset = header_offset + 30 + name_len + extra_len
+    f.seek(data_offset)
+    if f.read(6) != b"\x93NUMPY":
+        return None
+    major = f.read(1)[0]
+    f.read(1)
+    if major == 1:
+        (hlen,) = struct.unpack("<H", f.read(2))
+    else:
+        (hlen,) = struct.unpack("<I", f.read(4))
+    header = f.read(hlen).decode("latin1")
+    payload_offset = f.tell()
+    try:
+        meta = ast.literal_eval(header)
+    except (ValueError, SyntaxError):
+        return None
+    if meta.get("fortran_order"):
+        return None
+    return meta.get("descr"), tuple(meta.get("shape", ())), payload_offset
+
+
+def resolve_payload_q8(path: str | os.PathLike) -> Q8PayloadInfo | None:
+    """Q8PayloadInfo for an int8 bag (.npz with ``features_int8`` int8
+    [N, D] + ``scales`` f32 [N]), or None when the file isn't one / isn't
+    laid out for a raw pread (caller falls back to the numpy loader, which
+    dequantizes transparently)."""
+    path = Path(path)
+    try:
+        if path.suffix.lower() != ".npz":
+            return None
+        import zipfile
+
+        with open(path, "rb") as f:
+            with zipfile.ZipFile(f) as zf:
+                infos = {i.filename: i.header_offset for i in zf.infolist()}
+            if "features_int8.npy" not in infos or "scales.npy" not in infos:
+                return None
+            q = _npy_member_payload(f, infos["features_int8.npy"])
+            s = _npy_member_payload(f, infos["scales.npy"])
+        if q is None or s is None:
+            return None
+        q_descr, q_shape, q_off = q
+        s_descr, s_shape, s_off = s
+        if q_descr != "|i1" or len(q_shape) != 2:
+            return None
+        if s_descr != "<f4" or s_shape != (q_shape[0],):
+            return None
+        return Q8PayloadInfo(str(path), q_off, s_off, int(q_shape[0]), int(q_shape[1]))
+    except Exception:
+        return None
+
+
 def _resolve_npy(path: Path) -> PayloadInfo | None:
     with open(path, "rb") as f:
         magic = f.read(6)

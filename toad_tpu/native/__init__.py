@@ -72,7 +72,7 @@ def get_lib() -> ctypes.CDLL | None:
                 os.replace(tmp, so)  # atomic wrt concurrent builders
             lib = ctypes.CDLL(str(so))
             lib.toad_bagio_abi_version.restype = ctypes.c_int32
-            if lib.toad_bagio_abi_version() != 2:
+            if lib.toad_bagio_abi_version() != 3:
                 raise RuntimeError("bagio ABI mismatch")
             _common = [
                 ctypes.POINTER(ctypes.c_char_p),
@@ -94,6 +94,16 @@ def get_lib() -> ctypes.CDLL | None:
             ] + _tail
             lib.toad_pack_bags_int8.restype = ctypes.c_int64
             lib.toad_pack_bags_int8.argtypes = _common + [
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ] + _tail
+            lib.toad_pack_bags_q8.restype = ctypes.c_int64
+            # (paths, q_offsets, s_offsets, nrows, dim, bucket, ...)
+            lib.toad_pack_bags_q8.argtypes = _common[:3] + [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int8),
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
@@ -223,3 +233,37 @@ def pack_bags_int8(
         _p(out_q, ctypes.c_int8), _p(scales, ctypes.c_float), _p(mask, ctypes.c_float), n, nthreads,
     )
     _raise_on_rc(rc, paths, offsets, nrows)
+
+
+def pack_bags_q8(
+    paths: list[str],
+    q_offsets: np.ndarray,
+    s_offsets: np.ndarray,
+    nrows: np.ndarray,
+    dim: int,
+    bucket: int,
+    out_q: np.ndarray,
+    scales: np.ndarray,
+    mask: np.ndarray,
+    nthreads: int = 0,
+) -> None:
+    """Read-through for int8 bag STORES (``data/bags.py::save_int8_bag``):
+    preads the on-disk int8 rows and f32 per-row scales straight into the
+    wire buffers — no dequantize/requantize round-trip. Buffer contracts as
+    ``pack_bags_int8``; `q_offsets`/`s_offsets` locate the two payloads
+    (``data/native_bags.py::resolve_payload_q8``)."""
+    lib, n, c_paths, q_offsets, nrows = _pack_common(paths, q_offsets, nrows, dim, bucket)
+    s_offsets = np.ascontiguousarray(s_offsets, np.int64)
+    if s_offsets.shape != (n,):
+        raise ValueError(f"s_offsets must be shape {(n,)}, got {s_offsets.shape}")
+    if n and int(s_offsets.min()) < 0:
+        raise ValueError("s_offsets must be non-negative file positions")
+    _check_buf("out_q", out_q, (n, bucket, dim), np.int8)
+    _check_buf("scales", scales, (n, bucket), np.float32)
+    _check_buf("mask", mask, (n, bucket), np.float32)
+    rc = lib.toad_pack_bags_q8(
+        c_paths, _p(q_offsets, ctypes.c_int64), _p(s_offsets, ctypes.c_int64),
+        _p(nrows, ctypes.c_int64), dim, bucket,
+        _p(out_q, ctypes.c_int8), _p(scales, ctypes.c_float), _p(mask, ctypes.c_float), n, nthreads,
+    )
+    _raise_on_rc(rc, paths, q_offsets, nrows)

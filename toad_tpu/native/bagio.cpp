@@ -250,7 +250,73 @@ int64_t toad_pack_bags_int8(const char** paths, const int64_t* offsets,
         });
 }
 
+// Read-through for int8 bag STORES (data/bags.py::save_int8_bag .npz): the
+// rows are already quantized on disk, so both the int8 payload and the f32
+// per-row scales pread straight into the wire buffers — zero host
+// conversion of any kind (the dequantize->requantize round-trip the numpy
+// fallback pays is skipped entirely).
+//   q_offsets[j] : byte offset of bag j's int8 [nrows, dim] payload
+//   s_offsets[j] : byte offset of bag j's f32 [nrows] scales payload
+//   out_q  : [nbags, bucket, dim] int8, caller-zeroed
+//   scales : [nbags, bucket] float32, caller-prefilled positive
+//   mask   : [nbags, bucket] float32, caller-zeroed
+int64_t toad_pack_bags_q8(const char** paths, const int64_t* q_offsets,
+                          const int64_t* s_offsets, const int64_t* nrows,
+                          int64_t dim, int64_t bucket, int8_t* out_q,
+                          float* scales, float* mask, int64_t nbags,
+                          int32_t nthreads) {
+    if (nthreads <= 0) {
+        nthreads = static_cast<int32_t>(std::thread::hardware_concurrency());
+        if (nthreads <= 0) nthreads = 4;
+    }
+    if (nthreads > nbags) nthreads = static_cast<int32_t>(nbags > 0 ? nbags : 1);
+
+    std::atomic<int64_t> next(0);
+    std::atomic<int64_t> failed(0);  // 0 = ok, else j+1
+
+    auto worker = [&]() {
+        for (;;) {
+            int64_t j = next.fetch_add(1, std::memory_order_relaxed);
+            if (j >= nbags || failed.load(std::memory_order_relaxed)) return;
+            int fd = ::open(paths[j], O_RDONLY);
+            if (fd < 0) {
+                int64_t expect = 0;
+                failed.compare_exchange_strong(expect, j + 1);
+                return;
+            }
+#ifdef POSIX_FADV_SEQUENTIAL
+            ::posix_fadvise(fd, q_offsets[j], nrows[j] * dim, POSIX_FADV_SEQUENTIAL);
+#endif
+            int err = pread_full(fd, out_q + j * bucket * dim,
+                                 static_cast<size_t>(nrows[j]) * dim, q_offsets[j]);
+            if (!err) {
+                err = pread_full(fd, scales + j * bucket,
+                                 static_cast<size_t>(nrows[j]) * sizeof(float),
+                                 s_offsets[j]);
+            }
+            ::close(fd);
+            if (err != 0) {
+                int64_t expect = 0;
+                failed.compare_exchange_strong(expect, j + 1);
+                return;
+            }
+            float* m = mask + j * bucket;
+            for (int64_t r = 0; r < nrows[j]; ++r) m[r] = 1.0f;
+        }
+    };
+
+    if (nthreads <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> threads;
+        threads.reserve(nthreads);
+        for (int32_t t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+        for (auto& t : threads) t.join();
+    }
+    return failed.load();
+}
+
 // Version/ABI probe for the ctypes loader.
-int32_t toad_bagio_abi_version() { return 2; }
+int32_t toad_bagio_abi_version() { return 3; }
 
 }  // extern "C"
