@@ -812,3 +812,33 @@ def test_http_body_size_cap(model_and_params, dummy_env):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_http_predict_raw_bf16_body(http_service):
+    """bfloat16 raw bodies: half the f32 wire bytes; the decoded rows equal
+    the client-side bf16 cast, so the answer matches posting the f32 rows
+    pre-rounded to bf16 exactly, and tracks the full-f32 answer closely."""
+    import ml_dtypes
+
+    service, port, task = http_service
+    rng = np.random.default_rng(77)
+    feats = rng.standard_normal((40, DIM)).astype(np.float32)
+    f_bf16 = feats.astype(ml_dtypes.bfloat16)
+    hdr = {"X-Toad-Shape": f"40,{DIM}", "X-Toad-Sex": "F", "X-Toad-Top-K": "3"}
+
+    st, out_bf = _post_octet(port, f_bf16.tobytes(), {**hdr, "X-Toad-Dtype": "bfloat16"})
+    assert st == 200, out_bf
+    # f32 body carrying the SAME bf16-rounded values -> byte-identical answer
+    st, out_f32r = _post_octet(port, f_bf16.astype("<f4").tobytes(), hdr)
+    assert st == 200 and out_bf == out_f32r
+    # vs the unrounded f32 rows: same label, probs within bf16 rounding noise
+    st, out_f32 = _post_octet(port, feats.astype("<f4").tobytes(), hdr)
+    assert st == 200
+    assert out_bf["y_hat"] == out_f32["y_hat"]
+    np.testing.assert_allclose(
+        [p for _, p in out_bf["topk"]], [p for _, p in out_f32["topk"]], atol=2e-2
+    )
+
+    # byte-count validation: bf16 needs n*dim*2
+    st, out = _post_octet(port, f_bf16.tobytes()[:-2], {**hdr, "X-Toad-Dtype": "bf16"})
+    assert st == 400 and "bf16 needs" in out["error"]

@@ -32,9 +32,10 @@ API:
   on the 1-core serving host instead of a ~43 MB base64 decode + JSON
   parse). Request metadata rides in headers:
     - ``X-Toad-Shape: <n_patches>,<dim>`` (required)
-    - ``X-Toad-Dtype: float32`` (default) | ``int8`` — for ``int8`` the body
-      is ``n*dim`` int8 row bytes followed by ``n`` little-endian f32
-      per-row scales (int8 serving mode only)
+    - ``X-Toad-Dtype: float32`` (default) | ``bfloat16`` | ``int8`` —
+      ``bfloat16`` halves the f32 wire (numerically invisible under bf16
+      compute); for ``int8`` the body is ``n*dim`` int8 row bytes followed
+      by ``n`` little-endian f32 per-row scales (int8 serving mode only)
     - ``X-Toad-Sex: F|M|0|1`` (required)
     - ``X-Toad-Top-K: 5`` / ``X-Toad-Attention: 0|1`` (optional)
   The response is the same JSON document as the JSON routes. All POST
@@ -299,6 +300,15 @@ def _decode_raw_request(headers, body: bytes, in_dim: int):
         if len(body) != n * dim * 4:
             raise ValueError(f"body has {len(body)} bytes, shape {n},{dim} f32 needs {n * dim * 4}")
         return np.frombuffer(body, dtype="<f4").reshape(n, dim), None
+    if dtype in ("bfloat16", "bf16"):
+        # half the client->server bytes of f32; under bf16 compute the server
+        # would cast the rows to bf16 before H2D anyway, so the client-side
+        # cast is numerically invisible end-to-end
+        import ml_dtypes
+
+        if len(body) != n * dim * 2:
+            raise ValueError(f"body has {len(body)} bytes, shape {n},{dim} bf16 needs {n * dim * 2}")
+        return np.frombuffer(body, dtype=ml_dtypes.bfloat16).reshape(n, dim), None
     if dtype == "int8":
         if len(body) != n * dim + n * 4:
             raise ValueError(
@@ -307,7 +317,7 @@ def _decode_raw_request(headers, body: bytes, in_dim: int):
         xq = np.frombuffer(body, dtype=np.int8, count=n * dim).reshape(n, dim)
         scales = np.frombuffer(body, dtype="<f4", offset=n * dim)
         return xq, scales
-    raise ValueError(f"unsupported X-Toad-Dtype {dtype!r} (float32 or int8)")
+    raise ValueError(f"unsupported X-Toad-Dtype {dtype!r} (float32, bfloat16, or int8)")
 
 
 class DrainableHTTPServer(ThreadingHTTPServer):
