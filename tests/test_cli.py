@@ -331,3 +331,61 @@ def test_report_cli(tmp_path, capsys):
     row = agg[agg.metric == "cls_test_auc"].iloc[0]
     np.testing.assert_allclose([row["min"], row["max"], row["n"]], [0.7, 0.9, 3])
     np.testing.assert_allclose(row["std"], 0.1, rtol=1e-12)
+
+
+def test_convert_cli(tmp_path, capsys):
+    """convert re-encodes a store (f32 .pt -> int8 .npz here): outputs are
+    exact save_int8_bag twins of the sources, coords carry over, skip_done
+    skips, and in-place / empty-dir / bad-dir calls fail loudly."""
+    from toad_tpu.cli import convert
+    from toad_tpu.data.bags import load_bag, load_bag_quantized
+    from toad_tpu.data.torch_io import save_torch_pickle
+    from toad_tpu.ops.quantize import quantize_rows_np
+
+    src, dst = tmp_path / "src", tmp_path / "dst"
+    src.mkdir()
+    rng = np.random.RandomState(3)
+    bags = {}
+    for i in range(3):
+        bags[f"s{i}"] = rng.randn(20 + i, 16).astype(np.float32)
+        save_torch_pickle(src / f"s{i}.pt", bags[f"s{i}"])
+    # one .h5 with coords: conversion must carry them into the npz
+    import h5py
+
+    coords = rng.randint(0, 999, (11, 2)).astype(np.int64)
+    with h5py.File(src / "withc.h5", "w") as f:
+        f.create_dataset("features", data=rng.randn(11, 16).astype(np.float32))
+        f.create_dataset("coords", data=coords)
+
+    convert.main(["--data_dir", str(src), "--out_dir", str(dst)])
+    out = capsys.readouterr().out
+    assert "converted 4 bags" in out and "smaller" in out
+    for name, feats in bags.items():
+        xq, s, c = load_bag_quantized(dst / f"{name}.npz")
+        q_ref, s_ref = quantize_rows_np(feats)
+        np.testing.assert_array_equal(xq, q_ref)
+        np.testing.assert_array_equal(s, s_ref)
+        assert c is None
+    _, c = load_bag(dst / "withc.npz", with_coords=True)
+    np.testing.assert_array_equal(c, coords)
+
+    # skip_done: nothing rewritten
+    convert.main(["--data_dir", str(src), "--out_dir", str(dst), "--skip_done"])
+    assert "converted 0 bags" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="not in-place"):
+        convert.main(["--data_dir", str(src), "--out_dir", str(src)])
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no bag files"):
+        convert.main(["--data_dir", str(empty), "--out_dir", str(dst)])
+    with pytest.raises(SystemExit, match="not a directory"):
+        convert.main(["--data_dir", str(tmp_path / "nope"), "--out_dir", str(dst)])
+
+    # round-trip the other way: int8 store -> f32 .npy (transparent dequant)
+    back = tmp_path / "back"
+    convert.main(["--data_dir", str(dst), "--out_dir", str(back), "--format", "npy"])
+    xq, s, _ = load_bag_quantized(dst / "s0.npz")
+    np.testing.assert_allclose(
+        np.load(back / "s0.npy"), xq.astype(np.float32) * s[:, None], rtol=0, atol=0
+    )

@@ -22,6 +22,7 @@ COMMANDS = {
     "export": ("toad_tpu.cli.export", "checkpoint -> reference torch state_dict layout"),
     "make-dummy": ("toad_tpu.cli.make_dummy", "synthetic dataset fixtures"),
     "validate": ("toad_tpu.cli.validate", "pre-flight dataset + bag-store checks"),
+    "convert": ("toad_tpu.cli.convert", "re-encode a bag store (e.g. f32 .pt -> int8 .npz)"),
     "report": ("toad_tpu.cli.report", "aggregate k-fold metrics (mean/std across folds)"),
 }
 
