@@ -46,7 +46,9 @@ def test_batcher_over_patient_bags(dummy_env):
                 n_concat = sum(len(np.asarray(pb.parent.load_bag(int(k)))) for k in pb.groups[int(b.indices[j])])
                 assert int(b.patch_mask[j].sum()) == min(n_concat, b.bucket)
     assert total == len(pb)
-    assert batcher.native_active is False  # multi-file bags use the numpy path
+    # r4: multi-file bags pack through the native SEGMENT path (one pread
+    # per slide file at its cumulative row offset) when every part resolves
+    assert batcher.native_active is True
 
 
 def test_training_with_patient_bags(dummy_env, tmp_path):
@@ -142,3 +144,64 @@ def test_evaluate_cli_patient_bags_calibrate(dummy_env, tmp_path):
 
     fdf = pd.read_csv(out / "fold_0.csv")
     assert fdf["slide_id"].str.contains("PATIENT").all()
+
+
+def test_patient_bags_native_all_wires(dummy_env):
+    """Native segmented packing equals the numpy path on every wire dtype:
+    the exact concat layout, masks, and (int8) scales per patient bag."""
+    ds = _ds(dummy_env)
+    pb = PatientBagSplit(ds.subset(np.arange(ds.n_slides)))
+    for wire in ("float32", "bfloat16", "int8"):
+        kw = dict(batch_size=3, bucket_sizes=(256, 512, 1024), prefetch=0,
+                  mode="sequential", transfer_dtype=wire)
+        b_nat = BagBatcher(pb, native="on", **kw)
+        nat = list(b_nat)
+        assert b_nat.native_active is True, wire
+        py = list(BagBatcher(pb, native="off", **kw))
+        assert len(nat) == len(py) > 0
+        for a, c in zip(nat, py):
+            assert a.features.dtype == c.features.dtype
+            np.testing.assert_array_equal(np.asarray(a.features), np.asarray(c.features))
+            np.testing.assert_array_equal(a.patch_mask, c.patch_mask)
+            if wire == "int8":
+                np.testing.assert_array_equal(a.scales, c.scales)
+
+
+def test_patient_bags_native_max_bag_size_truncates_mid_segment(dummy_env):
+    """max_bag_size smaller than a patient's total rows must truncate the
+    CONCATENATED bag (possibly mid-slide-file), exactly like the numpy path."""
+    ds = _ds(dummy_env)
+    pb = PatientBagSplit(ds.subset(np.arange(ds.n_slides)))
+    multi = next(i for i, g in enumerate(pb.groups) if len(g) > 1)
+    total = pb.load_bag(multi).shape[0]
+    first = np.asarray(pb.parent.load_bag(int(pb.groups[multi][0]))).shape[0]
+    cap = first + max(1, (total - first) // 2)  # cuts inside a later segment
+    kw = dict(batch_size=1, bucket_sizes=(cap,), max_bag_size=cap, prefetch=0,
+              mode="sequential")
+    for a, c in zip(BagBatcher(pb, native="on", **kw), BagBatcher(pb, native="off", **kw)):
+        np.testing.assert_array_equal(np.asarray(a.features), np.asarray(c.features))
+        np.testing.assert_array_equal(a.patch_mask, c.patch_mask)
+
+
+def test_patient_bags_native_int8_store_segments(dummy_env, tmp_path):
+    """Patient bags whose slides live in an int8 STORE: segments read
+    through raw on the int8 wire and match the python dequant+requant."""
+    from toad_tpu.data.bags import save_int8_bag
+    from toad_tpu.data.wsi_dataset import WSIBagDataset
+
+    ds = _ds(dummy_env)
+    store = tmp_path / "store"
+    for i in range(ds.n_slides):
+        bag = np.asarray(ds.subset([i]).load_bag(0), np.float32)
+        save_int8_bag(store / f"{ds.slide_ids[i]}.npz", bag)
+    ds_q = WSIBagDataset(dummy_env["task"], data_dir=str(store), print_info=False)
+    pb = PatientBagSplit(ds_q.subset(np.arange(ds_q.n_slides)))
+    kw = dict(batch_size=3, bucket_sizes=(256, 512, 1024), prefetch=0,
+              mode="sequential", transfer_dtype="int8")
+    b_nat = BagBatcher(pb, native="on", **kw)
+    nat = list(b_nat)
+    assert b_nat.native_active is True
+    for a, c in zip(nat, BagBatcher(pb, native="off", **kw)):
+        np.testing.assert_array_equal(np.asarray(a.features), np.asarray(c.features))
+        np.testing.assert_array_equal(a.scales, c.scales)
+        np.testing.assert_array_equal(a.patch_mask, c.patch_mask)

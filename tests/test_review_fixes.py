@@ -198,17 +198,23 @@ def test_y_hat_matches_argmax_on_ties():
     assert pred.topk[0][0] == pred.y_hat or pred.y_prob[pred.topk[0][0]] == pred.y_prob[pred.y_hat]
 
 
-def test_patient_bags_fall_back_under_native_on(dummy_env):
-    """PatientBagSplit has no per-bag file (one bag spans several files), so
-    the documented automatic numpy fallback must apply even under
-    native='on' — not a RuntimeError from the prefetch worker."""
+def test_patient_bags_pack_natively(dummy_env):
+    """PatientBagSplit packs through the native segment path (one pread per
+    slide file at its cumulative row offset) since r4 — native='on' must
+    succeed AND produce exactly the numpy fallback's batches."""
     from toad_tpu.data.wsi_dataset import PatientBagSplit
 
     ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
     pb = PatientBagSplit(ds.subset(np.arange(20)))
-    b = BagBatcher(pb, batch_size=2, bucket_sizes=(256, 512, 1024), native="on")
-    batches = list(b)
-    assert batches and b.native_active is False
+    kw = dict(batch_size=2, bucket_sizes=(256, 512, 1024), prefetch=0, mode="sequential")
+    b_nat = BagBatcher(pb, native="on", **kw)
+    batches = list(b_nat)
+    assert batches and b_nat.native_active is True
+    for a, c in zip(batches, BagBatcher(pb, native="off", **kw)):
+        np.testing.assert_array_equal(np.asarray(a.features), np.asarray(c.features))
+        np.testing.assert_array_equal(a.patch_mask, c.patch_mask)
+        np.testing.assert_array_equal(a.label, c.label)
+        np.testing.assert_array_equal(a.indices, c.indices)
 
 
 def test_bucket_none_with_batching_warns(dummy_env):

@@ -226,15 +226,32 @@ class BagBatcher:
         the container and parses headers, so doubling it doubles the startup
         stall on big splits). None when the split has no ``bag_file``;
         entries are None for individually unresolvable bags."""
-        if self._payloads is None and hasattr(self.split, "bag_file"):
-            from toad_tpu.data.native_bags import resolve_payload, resolve_payload_q8
+        if self._payloads is not None:
+            return self._payloads
+        from toad_tpu.data.native_bags import (
+            SegmentedPayload,
+            resolve_payload,
+            resolve_payload_q8,
+        )
 
+        def _one(f):
+            # f32 payload, else an int8 STORE's raw payloads (read-through
+            # eligible only on the int8 wire; still gives exact lengths)
+            return resolve_payload(f) or resolve_payload_q8(f)
+
+        if hasattr(self.split, "bag_file"):
+            self._payloads = [_one(self.split.bag_file(i)) for i in range(len(self.split))]
+        elif hasattr(self.split, "groups") and hasattr(getattr(self.split, "parent", None), "bag_file"):
+            # multi-file bags (PatientBagSplit): one segment per slide file,
+            # concat order = groups order (== load_bag's concatenation)
             self._payloads = []
-            for i in range(len(self.split)):
-                f = self.split.bag_file(i)
-                # f32 payload, else an int8 STORE's raw payloads (read-through
-                # eligible only on the int8 wire; still gives exact lengths)
-                self._payloads.append(resolve_payload(f) or resolve_payload_q8(f))
+            for g in self.split.groups:
+                parts = [_one(self.split.parent.bag_file(int(j))) for j in g]
+                if any(p is None for p in parts) or len({p.dim for p in parts}) != 1:
+                    self._payloads.append(None)
+                else:
+                    self._payloads.append(SegmentedPayload(
+                        tuple(parts), sum(p.nrows for p in parts), parts[0].dim))
         return self._payloads
 
     def _bag_lengths(self) -> list | None:
@@ -335,23 +352,24 @@ class BagBatcher:
         from toad_tpu import native as native_lib
         from toad_tpu.data.native_bags import resolve_payload
 
-        # Splits without per-bag files (PatientBagSplit: one bag spans several
-        # files) are structurally ineligible — documented automatic fallback,
-        # even under native='on' (which forces native only where it CAN apply).
-        if not hasattr(self.split, "bag_file"):
-            self.native_active = False
-            return False
         ok = native_lib.available()
         eligible = "unchecked"
         if ok:
-            from toad_tpu.data.native_bags import Q8PayloadInfo
+            from toad_tpu.data.native_bags import Q8PayloadInfo, SegmentedPayload
 
             payloads = self._resolve_payloads()
-            eligible = all(p is not None for p in payloads)
-            # int8-STORE bags (Q8PayloadInfo) read through natively only on
-            # the int8 wire; any other wire needs the numpy dequant fallback
+            # None: the split exposes neither per-bag files (bag_file) nor
+            # per-file groups (PatientBagSplit's parent slides) — fall back
+            eligible = payloads is not None and all(p is not None for p in payloads)
+            # int8-STORE payloads (Q8PayloadInfo, incl. inside patient-bag
+            # segments) read through natively only on the int8 wire; any
+            # other wire needs the numpy dequant fallback
             if eligible and self.transfer_dtype != "int8":
-                eligible = not any(isinstance(p, Q8PayloadInfo) for p in payloads)
+                def _any_q8(p):
+                    parts = p.parts if isinstance(p, SegmentedPayload) else (p,)
+                    return any(isinstance(q, Q8PayloadInfo) for q in parts)
+
+                eligible = not any(_any_q8(p) for p in payloads)
             # every bag must agree on the feature dim (and match feature_dim if
             # pinned) — a mixed-dim store must fail loudly in the numpy path,
             # not pread misaligned bytes here
@@ -371,55 +389,79 @@ class BagBatcher:
 
     def _assemble_native(self, group: list[int], bucket: int) -> BagBatch:
         from toad_tpu import native as native_lib
-        from toad_tpu.data.native_bags import Q8PayloadInfo
+        from toad_tpu.data.native_bags import Q8PayloadInfo, SegmentedPayload
 
         b = self.batch_size
-        # on the int8 wire, int8-STORE bags (Q8PayloadInfo) read through
-        # raw while f32 bags quantize-on-read — sort stores last so each
-        # kind packs a contiguous slice of the batch buffers
-        if self.transfer_dtype == "int8":
-            group = sorted(group, key=lambda i: isinstance(self._payloads[i], Q8PayloadInfo))
-        payloads = [self._payloads[i] for i in group]
-        d = payloads[0].dim
+        d = self._payloads[group[0]].dim
         pmask = np.zeros((b, bucket), dtype=np.float32)
         cap = bucket if self.max_bag_size is None else min(bucket, self.max_bag_size)
-        paths = [p.path for p in payloads]
-        offsets = np.array([p.offset for p in payloads], np.int64)
-        nrows = np.array([min(p.nrows, cap) for p in payloads], np.int64)
-        g = len(group)
+        # flatten bags to segments (one per contiguous on-disk payload; a
+        # patient-concat bag contributes one per slide file at its cumulative
+        # row offset), truncating at cap exactly like the numpy path's
+        # max_bag_size clip of the concatenated bag. f32 segments take the
+        # wire-fused packer (cast/quantize inside the C++ read); int8-STORE
+        # segments (only reachable on the int8 wire — _native_ready) read
+        # through raw. dst_rows make slot layout explicit, so the two packer
+        # calls interleave freely.
+        f32_segs: list = []  # (path, offset, take, dst_row)
+        q8_segs: list = []  # (path, q_offset, s_offset, take, dst_row)
+        for slot, i in enumerate(group):
+            p = self._payloads[i]
+            parts = p.parts if isinstance(p, SegmentedPayload) else (p,)
+            r0 = 0
+            for part in parts:
+                take = min(part.nrows, cap - r0)
+                if take <= 0:
+                    break
+                dst = slot * bucket + r0
+                if isinstance(part, Q8PayloadInfo):
+                    q8_segs.append((part.path, part.offset, part.scales_offset, take, dst))
+                else:
+                    f32_segs.append((part.path, part.offset, take, dst))
+                r0 += take
         scales = None
-        # pack into the leading len(group) slots; trailing slots stay zero
-        # pads. The wire conversion is FUSED into the C++ read (one
-        # cache-hot pass) — _convert sees the final dtype and passes through.
+        # The wire conversion is FUSED into the C++ read (one cache-hot
+        # pass) — _convert sees the final dtype and passes through.
         if self.transfer_dtype == "int8":
             feats = np.zeros((b, bucket, d), dtype=np.int8)
             # q=0 rows (padding) are exact under any positive scale
             scales = np.full((b, bucket), 1.0 / 127.0, np.float32)
-            k = next((j for j, p in enumerate(payloads) if isinstance(p, Q8PayloadInfo)), g)
-            if k:  # f32 bags: fused read + quantize
-                native_lib.pack_bags_int8(
-                    paths[:k], offsets[:k], nrows[:k], d, bucket,
-                    feats[:k], scales[:k], pmask[:k], self.num_workers,
+            if f32_segs:  # fused read + quantize
+                native_lib.pack_segs_int8(
+                    [s[0] for s in f32_segs],
+                    np.array([s[1] for s in f32_segs], np.int64),
+                    np.array([s[2] for s in f32_segs], np.int64),
+                    np.array([s[3] for s in f32_segs], np.int64),
+                    d, feats, scales, pmask, self.num_workers,
                 )
-            if k < g:  # int8-store bags: raw read-through of q + scales
-                native_lib.pack_bags_q8(
-                    paths[k:], offsets[k:],
-                    np.array([p.scales_offset for p in payloads[k:]], np.int64),
-                    nrows[k:], d, bucket,
-                    feats[k:g], scales[k:g], pmask[k:g], self.num_workers,
+            if q8_segs:  # int8-store: raw read-through of q + scales
+                native_lib.pack_segs_q8(
+                    [s[0] for s in q8_segs],
+                    np.array([s[1] for s in q8_segs], np.int64),
+                    np.array([s[2] for s in q8_segs], np.int64),
+                    np.array([s[3] for s in q8_segs], np.int64),
+                    np.array([s[4] for s in q8_segs], np.int64),
+                    d, feats, scales, pmask, self.num_workers,
                 )
         elif self.transfer_dtype == "bfloat16":
             import ml_dtypes
 
             feats = np.zeros((b, bucket, d), dtype=ml_dtypes.bfloat16)
-            native_lib.pack_bags_bf16(
-                paths, offsets, nrows, d, bucket,
-                feats[:g].view(np.uint16), pmask[:g], self.num_workers,
+            native_lib.pack_segs_bf16(
+                [s[0] for s in f32_segs],
+                np.array([s[1] for s in f32_segs], np.int64),
+                np.array([s[2] for s in f32_segs], np.int64),
+                np.array([s[3] for s in f32_segs], np.int64),
+                d, feats.view(np.uint16), pmask, self.num_workers,
             )
         else:
             feats = np.zeros((b, bucket, d), dtype=np.float32)
-            native_lib.pack_bags(
-                paths, offsets, nrows, d, bucket, feats[:g], pmask[:g], self.num_workers
+            native_lib.pack_segs(
+                [s[0] for s in f32_segs],
+                np.array([s[1] for s in f32_segs], np.int64),
+                np.array([s[2] for s in f32_segs], np.int64),
+                np.array([s[3] for s in f32_segs], np.int64),
+                d, feats, pmask, self.num_workers,
             )
         bmask = np.zeros((b,), dtype=np.float32)
         label = np.zeros((b,), dtype=np.int32)

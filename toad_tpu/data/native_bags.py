@@ -36,6 +36,18 @@ class PayloadInfo:
 
 
 @dataclass(frozen=True)
+class SegmentedPayload:
+    """A multi-file bag's payloads in concatenation order (patient-concat
+    bags: one slide file per segment, ``wsi_dataset.py::PatientBagSplit``).
+    ``nrows`` is the total; the batcher packs each part at its cumulative
+    row offset via the ``pack_segs*`` entry points."""
+
+    parts: tuple  # PayloadInfo | Q8PayloadInfo per file
+    nrows: int
+    dim: int
+
+
+@dataclass(frozen=True)
 class Q8PayloadInfo:
     """An int8 bag store's raw payloads (``data/bags.py::save_int8_bag``):
     the quantized rows and their per-row f32 scales pread straight onto the

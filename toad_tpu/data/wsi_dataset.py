@@ -325,9 +325,11 @@ class PatientBagSplit:
     is (max); ``sex`` is constant per patient (first slide's value).
 
     Exposes the same contract as :class:`WSIBagSplit` so :class:`BagBatcher`,
-    the trainer, and the eval engine work unchanged. (No ``bag_file``: a
-    patient bag spans several files, so the native zero-copy loader falls
-    back to the threaded numpy path automatically.)
+    the trainer, and the eval engine work unchanged. (No ``bag_file`` — a
+    patient bag spans several files — but the native zero-copy loader packs
+    it anyway: ``groups`` + ``parent.bag_file`` resolve one SEGMENT per
+    slide file, pread at cumulative row offsets by ``pack_segs*``,
+    ``data/batching.py::_assemble_native``.)
     """
 
     def __init__(self, split: "WSIBagSplit", voting: str | None = None) -> None:

@@ -72,7 +72,7 @@ def get_lib() -> ctypes.CDLL | None:
                 os.replace(tmp, so)  # atomic wrt concurrent builders
             lib = ctypes.CDLL(str(so))
             lib.toad_bagio_abi_version.restype = ctypes.c_int32
-            if lib.toad_bagio_abi_version() != 3:
+            if lib.toad_bagio_abi_version() != 4:
                 raise RuntimeError("bagio ABI mismatch")
             _common = [
                 ctypes.POINTER(ctypes.c_char_p),
@@ -103,6 +103,35 @@ def get_lib() -> ctypes.CDLL | None:
             lib.toad_pack_bags_q8.argtypes = _common[:3] + [
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ] + _tail
+            # segment-granular entries (multi-file bags, e.g. patient-concat):
+            # (paths, offsets, nrows, dst_rows, dim, <outputs>, nseg, nthreads)
+            _seg_common = _common[:3] + [ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+            lib.toad_pack_segs.restype = ctypes.c_int64
+            lib.toad_pack_segs.argtypes = _seg_common + [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ] + _tail
+            lib.toad_pack_segs_bf16.restype = ctypes.c_int64
+            lib.toad_pack_segs_bf16.argtypes = _seg_common + [
+                ctypes.POINTER(ctypes.c_uint16),
+                ctypes.POINTER(ctypes.c_float),
+            ] + _tail
+            lib.toad_pack_segs_int8.restype = ctypes.c_int64
+            lib.toad_pack_segs_int8.argtypes = _seg_common + [
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ] + _tail
+            # (paths, q_offsets, s_offsets, nrows, dst_rows, dim, ...)
+            lib.toad_pack_segs_q8.restype = ctypes.c_int64
+            lib.toad_pack_segs_q8.argtypes = _common[:3] + [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int8),
                 ctypes.POINTER(ctypes.c_float),
@@ -265,5 +294,99 @@ def pack_bags_q8(
         c_paths, _p(q_offsets, ctypes.c_int64), _p(s_offsets, ctypes.c_int64),
         _p(nrows, ctypes.c_int64), dim, bucket,
         _p(out_q, ctypes.c_int8), _p(scales, ctypes.c_float), _p(mask, ctypes.c_float), n, nthreads,
+    )
+    _raise_on_rc(rc, paths, q_offsets, nrows)
+
+
+def _check_dst_rows(dst_rows, nrows: np.ndarray, n: int, b: int, bucket: int) -> np.ndarray:
+    """Validate segment destination rows against the [b, bucket] batch
+    geometry: every segment must land inside ONE bag slot (row_start +
+    nrows <= bucket) and inside the buffer. Guards raw C writes."""
+    dst_rows = np.ascontiguousarray(dst_rows, np.int64)
+    if dst_rows.shape != (n,):
+        raise ValueError(f"dst_rows must be shape {(n,)}, got {dst_rows.shape}")
+    if n == 0:
+        return dst_rows
+    if int(dst_rows.min()) < 0:
+        raise ValueError("dst_rows must be non-negative")
+    row_in_bag = dst_rows % bucket
+    if int((row_in_bag + nrows).max()) > bucket:
+        raise ValueError("a segment crosses its bag slot (row_start + nrows > bucket)")
+    if int((dst_rows + nrows).max()) > b * bucket:
+        raise ValueError("a segment lands past the end of the batch buffer")
+    return dst_rows
+
+
+def pack_segs(paths, offsets, nrows, dst_rows, dim, out, mask, nthreads=0) -> None:
+    """Segment-granular :func:`pack_bags`: entry j preads into flattened row
+    ``dst_rows[j]`` of the [B, bucket, dim] buffer. Multi-file bags
+    (patient-concat: one slide file per segment) pass one entry per file
+    with cumulative row starts; the mask rows set are the union."""
+    b, bucket = mask.shape if mask.ndim == 2 else (0, 0)
+    lib, n, c_paths, offsets, nrows = _pack_common(paths, offsets, nrows, dim, bucket)
+    _check_buf("out", out, (b, bucket, dim), np.float32)
+    _check_buf("mask", mask, (b, bucket), np.float32)
+    dst_rows = _check_dst_rows(dst_rows, nrows, n, b, bucket)
+    rc = lib.toad_pack_segs(
+        c_paths, _p(offsets, ctypes.c_int64), _p(nrows, ctypes.c_int64),
+        _p(dst_rows, ctypes.c_int64), dim,
+        _p(out, ctypes.c_float), _p(mask, ctypes.c_float), n, nthreads,
+    )
+    _raise_on_rc(rc, paths, offsets, nrows)
+
+
+def pack_segs_bf16(paths, offsets, nrows, dst_rows, dim, out, mask, nthreads=0) -> None:
+    """Segment-granular :func:`pack_bags_bf16` (out = uint16 view of bf16)."""
+    b, bucket = mask.shape if mask.ndim == 2 else (0, 0)
+    lib, n, c_paths, offsets, nrows = _pack_common(paths, offsets, nrows, dim, bucket)
+    _check_buf("out", out, (b, bucket, dim), np.uint16)
+    _check_buf("mask", mask, (b, bucket), np.float32)
+    dst_rows = _check_dst_rows(dst_rows, nrows, n, b, bucket)
+    rc = lib.toad_pack_segs_bf16(
+        c_paths, _p(offsets, ctypes.c_int64), _p(nrows, ctypes.c_int64),
+        _p(dst_rows, ctypes.c_int64), dim,
+        _p(out, ctypes.c_uint16), _p(mask, ctypes.c_float), n, nthreads,
+    )
+    _raise_on_rc(rc, paths, offsets, nrows)
+
+
+def pack_segs_int8(paths, offsets, nrows, dst_rows, dim, out_q, scales, mask, nthreads=0) -> None:
+    """Segment-granular :func:`pack_bags_int8` (fused read + quantize).
+    Per-row quantization is segment-oblivious, so a patient bag quantized
+    segment-by-segment equals quantizing the concatenated bag."""
+    b, bucket = mask.shape if mask.ndim == 2 else (0, 0)
+    lib, n, c_paths, offsets, nrows = _pack_common(paths, offsets, nrows, dim, bucket)
+    _check_buf("out_q", out_q, (b, bucket, dim), np.int8)
+    _check_buf("scales", scales, (b, bucket), np.float32)
+    _check_buf("mask", mask, (b, bucket), np.float32)
+    dst_rows = _check_dst_rows(dst_rows, nrows, n, b, bucket)
+    rc = lib.toad_pack_segs_int8(
+        c_paths, _p(offsets, ctypes.c_int64), _p(nrows, ctypes.c_int64),
+        _p(dst_rows, ctypes.c_int64), dim,
+        _p(out_q, ctypes.c_int8), _p(scales, ctypes.c_float), _p(mask, ctypes.c_float),
+        n, nthreads,
+    )
+    _raise_on_rc(rc, paths, offsets, nrows)
+
+
+def pack_segs_q8(paths, q_offsets, s_offsets, nrows, dst_rows, dim, out_q, scales, mask,
+                 nthreads=0) -> None:
+    """Segment-granular :func:`pack_bags_q8` (int8-store read-through)."""
+    b, bucket = mask.shape if mask.ndim == 2 else (0, 0)
+    lib, n, c_paths, q_offsets, nrows = _pack_common(paths, q_offsets, nrows, dim, bucket)
+    s_offsets = np.ascontiguousarray(s_offsets, np.int64)
+    if s_offsets.shape != (n,):
+        raise ValueError(f"s_offsets must be shape {(n,)}, got {s_offsets.shape}")
+    if n and int(s_offsets.min()) < 0:
+        raise ValueError("s_offsets must be non-negative file positions")
+    _check_buf("out_q", out_q, (b, bucket, dim), np.int8)
+    _check_buf("scales", scales, (b, bucket), np.float32)
+    _check_buf("mask", mask, (b, bucket), np.float32)
+    dst_rows = _check_dst_rows(dst_rows, nrows, n, b, bucket)
+    rc = lib.toad_pack_segs_q8(
+        c_paths, _p(q_offsets, ctypes.c_int64), _p(s_offsets, ctypes.c_int64),
+        _p(nrows, ctypes.c_int64), _p(dst_rows, ctypes.c_int64), dim,
+        _p(out_q, ctypes.c_int8), _p(scales, ctypes.c_float), _p(mask, ctypes.c_float),
+        n, nthreads,
     )
     _raise_on_rc(rc, paths, q_offsets, nrows)

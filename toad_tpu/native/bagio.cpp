@@ -75,11 +75,15 @@ inline float quantize_row(const float* x, int8_t* q, int64_t dim) {
     return scale;
 }
 
-// Shared work loop for the converting packers: stream each bag's payload
+// Shared work loop for the converting packers: stream each entry's payload
 // through a chunk-sized f32 scratch buffer (so the fused convert runs
 // cache-hot, one pass over the data instead of numpy's read-then-abs-max-
 // divide-rint-clip passes), handing each chunk to `emit(row0, nrows_chunk,
-// scratch)`.
+// scratch)`. An "entry" is one contiguous on-disk payload: a whole bag for
+// the toad_pack_bags_* wrappers, or one SEGMENT of a multi-file bag (e.g. a
+// patient-concat bag, one slide file per segment) for toad_pack_segs_* —
+// the emit callbacks address the destination via dst_rows[j], so segment
+// granularity is invisible here.
 template <typename Emit>
 int64_t pack_convert(const char** paths, const int64_t* offsets,
                      const int64_t* nrows, int64_t dim, int64_t nbags,
@@ -144,25 +148,28 @@ int64_t pack_convert(const char** paths, const int64_t* offsets,
 
 extern "C" {
 
-// Fill a padded batch from raw bag payloads.
-//   paths[j]   : file containing bag j
-//   offsets[j] : byte offset of bag j's float32 payload within the file
-//   nrows[j]   : rows to read for bag j (already clipped to <= bucket)
-//   dim        : feature dimension D
-//   bucket     : padded row count per bag
-//   out        : [nbags, bucket, dim] float32, caller-zeroed
-//   mask       : [nbags, bucket]      float32, caller-zeroed
-//   nthreads   : worker threads (<=0 -> hardware_concurrency)
-// Returns 0 on success, or (j+1) for the first bag whose read failed.
-int64_t toad_pack_bags(const char** paths, const int64_t* offsets,
-                       const int64_t* nrows, int64_t dim, int64_t bucket,
-                       float* out, float* mask, int64_t nbags,
+// Fill a padded batch from raw contiguous payloads, segment-granular.
+//   paths[j]    : file containing segment j
+//   offsets[j]  : byte offset of segment j's float32 payload within the file
+//   nrows[j]    : rows to read for segment j
+//   dst_rows[j] : destination row index into the FLATTENED [nbags*bucket]
+//                 batch (bag_slot*bucket + row_start_within_bag) — whole
+//                 bags pass bag_slot*bucket; multi-file bags (patient-concat)
+//                 pass one entry per slide file with cumulative row starts
+//   dim         : feature dimension D
+//   out         : [nbags, bucket, dim] float32 viewed flat, caller-zeroed
+//   mask        : [nbags, bucket]      float32 viewed flat, caller-zeroed
+//   nthreads    : worker threads (<=0 -> hardware_concurrency)
+// Returns 0 on success, or (j+1) for the first segment whose read failed.
+int64_t toad_pack_segs(const char** paths, const int64_t* offsets,
+                       const int64_t* nrows, const int64_t* dst_rows,
+                       int64_t dim, float* out, float* mask, int64_t nseg,
                        int32_t nthreads) {
     if (nthreads <= 0) {
         nthreads = static_cast<int32_t>(std::thread::hardware_concurrency());
         if (nthreads <= 0) nthreads = 4;
     }
-    if (nthreads > nbags) nthreads = static_cast<int32_t>(nbags > 0 ? nbags : 1);
+    if (nthreads > nseg) nthreads = static_cast<int32_t>(nseg > 0 ? nseg : 1);
 
     std::atomic<int64_t> next(0);
     std::atomic<int64_t> failed(0);  // 0 = ok, else j+1
@@ -170,7 +177,7 @@ int64_t toad_pack_bags(const char** paths, const int64_t* offsets,
     auto worker = [&]() {
         for (;;) {
             int64_t j = next.fetch_add(1, std::memory_order_relaxed);
-            if (j >= nbags || failed.load(std::memory_order_relaxed)) return;
+            if (j >= nseg || failed.load(std::memory_order_relaxed)) return;
             int fd = ::open(paths[j], O_RDONLY);
             if (fd < 0) {
                 int64_t expect = 0;
@@ -181,7 +188,7 @@ int64_t toad_pack_bags(const char** paths, const int64_t* offsets,
             ::posix_fadvise(fd, offsets[j], nrows[j] * dim * sizeof(float),
                             POSIX_FADV_SEQUENTIAL);
 #endif
-            float* dst = out + j * bucket * dim;
+            float* dst = out + dst_rows[j] * dim;
             int err = pread_full(fd, dst,
                                  static_cast<size_t>(nrows[j]) * dim * sizeof(float),
                                  offsets[j]);
@@ -191,7 +198,7 @@ int64_t toad_pack_bags(const char** paths, const int64_t* offsets,
                 failed.compare_exchange_strong(expect, j + 1);
                 return;
             }
-            float* m = mask + j * bucket;
+            float* m = mask + dst_rows[j];
             for (int64_t r = 0; r < nrows[j]; ++r) m[r] = 1.0f;
         }
     };
@@ -207,23 +214,44 @@ int64_t toad_pack_bags(const char** paths, const int64_t* offsets,
     return failed.load();
 }
 
+// Whole-bag convenience wrapper: bag j lands at batch slot j.
+int64_t toad_pack_bags(const char** paths, const int64_t* offsets,
+                       const int64_t* nrows, int64_t dim, int64_t bucket,
+                       float* out, float* mask, int64_t nbags,
+                       int32_t nthreads) {
+    std::vector<int64_t> dst_rows(static_cast<size_t>(nbags > 0 ? nbags : 0));
+    for (int64_t j = 0; j < nbags; ++j) dst_rows[j] = j * bucket;
+    return toad_pack_segs(paths, offsets, nrows, dst_rows.data(), dim, out,
+                          mask, nbags, nthreads);
+}
+
 // Like toad_pack_bags, but converts to bfloat16 on the fly (fused read +
 // cast): the bf16 wire halves H2D bytes, and doing the cast here removes a
 // full numpy pass over the batch on the (1-core) host.
 //   out  : [nbags, bucket, dim] uint16 (bf16 bits), caller-zeroed
 //   mask : [nbags, bucket] float32, caller-zeroed
+int64_t toad_pack_segs_bf16(const char** paths, const int64_t* offsets,
+                            const int64_t* nrows, const int64_t* dst_rows,
+                            int64_t dim, uint16_t* out, float* mask,
+                            int64_t nseg, int32_t nthreads) {
+    return pack_convert(
+        paths, offsets, nrows, dim, nseg, nthreads,
+        [=](int64_t j, int64_t r0, int64_t rows, const float* src) {
+            uint16_t* dst = out + (dst_rows[j] + r0) * dim;
+            for (int64_t i = 0; i < rows * dim; ++i) dst[i] = f32_to_bf16(src[i]);
+            float* m = mask + dst_rows[j] + r0;
+            for (int64_t r = 0; r < rows; ++r) m[r] = 1.0f;
+        });
+}
+
 int64_t toad_pack_bags_bf16(const char** paths, const int64_t* offsets,
                             const int64_t* nrows, int64_t dim, int64_t bucket,
                             uint16_t* out, float* mask, int64_t nbags,
                             int32_t nthreads) {
-    return pack_convert(
-        paths, offsets, nrows, dim, nbags, nthreads,
-        [=](int64_t j, int64_t r0, int64_t rows, const float* src) {
-            uint16_t* dst = out + (j * bucket + r0) * dim;
-            for (int64_t i = 0; i < rows * dim; ++i) dst[i] = f32_to_bf16(src[i]);
-            float* m = mask + j * bucket + r0;
-            for (int64_t r = 0; r < rows; ++r) m[r] = 1.0f;
-        });
+    std::vector<int64_t> dst_rows(static_cast<size_t>(nbags > 0 ? nbags : 0));
+    for (int64_t j = 0; j < nbags; ++j) dst_rows[j] = j * bucket;
+    return toad_pack_segs_bf16(paths, offsets, nrows, dst_rows.data(), dim,
+                               out, mask, nbags, nthreads);
 }
 
 // Like toad_pack_bags, but emits the int8 wire (fused read + per-row dynamic
@@ -233,21 +261,31 @@ int64_t toad_pack_bags_bf16(const char** paths, const int64_t* offsets,
 //   scales : [nbags, bucket] float32, caller-prefilled with a positive value
 //            (padding rows keep it; q=0 rows are exact under any scale)
 //   mask   : [nbags, bucket] float32, caller-zeroed
-int64_t toad_pack_bags_int8(const char** paths, const int64_t* offsets,
-                            const int64_t* nrows, int64_t dim, int64_t bucket,
-                            int8_t* out_q, float* scales, float* mask,
-                            int64_t nbags, int32_t nthreads) {
+int64_t toad_pack_segs_int8(const char** paths, const int64_t* offsets,
+                            const int64_t* nrows, const int64_t* dst_rows,
+                            int64_t dim, int8_t* out_q, float* scales,
+                            float* mask, int64_t nseg, int32_t nthreads) {
     return pack_convert(
-        paths, offsets, nrows, dim, nbags, nthreads,
+        paths, offsets, nrows, dim, nseg, nthreads,
         [=](int64_t j, int64_t r0, int64_t rows, const float* src) {
-            int8_t* dst = out_q + (j * bucket + r0) * dim;
-            float* s = scales + j * bucket + r0;
-            float* m = mask + j * bucket + r0;
+            int8_t* dst = out_q + (dst_rows[j] + r0) * dim;
+            float* s = scales + dst_rows[j] + r0;
+            float* m = mask + dst_rows[j] + r0;
             for (int64_t r = 0; r < rows; ++r) {
                 s[r] = quantize_row(src + r * dim, dst + r * dim, dim);
                 m[r] = 1.0f;
             }
         });
+}
+
+int64_t toad_pack_bags_int8(const char** paths, const int64_t* offsets,
+                            const int64_t* nrows, int64_t dim, int64_t bucket,
+                            int8_t* out_q, float* scales, float* mask,
+                            int64_t nbags, int32_t nthreads) {
+    std::vector<int64_t> dst_rows(static_cast<size_t>(nbags > 0 ? nbags : 0));
+    for (int64_t j = 0; j < nbags; ++j) dst_rows[j] = j * bucket;
+    return toad_pack_segs_int8(paths, offsets, nrows, dst_rows.data(), dim,
+                               out_q, scales, mask, nbags, nthreads);
 }
 
 // Read-through for int8 bag STORES (data/bags.py::save_int8_bag .npz): the
@@ -260,16 +298,16 @@ int64_t toad_pack_bags_int8(const char** paths, const int64_t* offsets,
 //   out_q  : [nbags, bucket, dim] int8, caller-zeroed
 //   scales : [nbags, bucket] float32, caller-prefilled positive
 //   mask   : [nbags, bucket] float32, caller-zeroed
-int64_t toad_pack_bags_q8(const char** paths, const int64_t* q_offsets,
+int64_t toad_pack_segs_q8(const char** paths, const int64_t* q_offsets,
                           const int64_t* s_offsets, const int64_t* nrows,
-                          int64_t dim, int64_t bucket, int8_t* out_q,
-                          float* scales, float* mask, int64_t nbags,
+                          const int64_t* dst_rows, int64_t dim, int8_t* out_q,
+                          float* scales, float* mask, int64_t nseg,
                           int32_t nthreads) {
     if (nthreads <= 0) {
         nthreads = static_cast<int32_t>(std::thread::hardware_concurrency());
         if (nthreads <= 0) nthreads = 4;
     }
-    if (nthreads > nbags) nthreads = static_cast<int32_t>(nbags > 0 ? nbags : 1);
+    if (nthreads > nseg) nthreads = static_cast<int32_t>(nseg > 0 ? nseg : 1);
 
     std::atomic<int64_t> next(0);
     std::atomic<int64_t> failed(0);  // 0 = ok, else j+1
@@ -277,7 +315,7 @@ int64_t toad_pack_bags_q8(const char** paths, const int64_t* q_offsets,
     auto worker = [&]() {
         for (;;) {
             int64_t j = next.fetch_add(1, std::memory_order_relaxed);
-            if (j >= nbags || failed.load(std::memory_order_relaxed)) return;
+            if (j >= nseg || failed.load(std::memory_order_relaxed)) return;
             int fd = ::open(paths[j], O_RDONLY);
             if (fd < 0) {
                 int64_t expect = 0;
@@ -287,10 +325,10 @@ int64_t toad_pack_bags_q8(const char** paths, const int64_t* q_offsets,
 #ifdef POSIX_FADV_SEQUENTIAL
             ::posix_fadvise(fd, q_offsets[j], nrows[j] * dim, POSIX_FADV_SEQUENTIAL);
 #endif
-            int err = pread_full(fd, out_q + j * bucket * dim,
+            int err = pread_full(fd, out_q + dst_rows[j] * dim,
                                  static_cast<size_t>(nrows[j]) * dim, q_offsets[j]);
             if (!err) {
-                err = pread_full(fd, scales + j * bucket,
+                err = pread_full(fd, scales + dst_rows[j],
                                  static_cast<size_t>(nrows[j]) * sizeof(float),
                                  s_offsets[j]);
             }
@@ -300,7 +338,7 @@ int64_t toad_pack_bags_q8(const char** paths, const int64_t* q_offsets,
                 failed.compare_exchange_strong(expect, j + 1);
                 return;
             }
-            float* m = mask + j * bucket;
+            float* m = mask + dst_rows[j];
             for (int64_t r = 0; r < nrows[j]; ++r) m[r] = 1.0f;
         }
     };
@@ -316,7 +354,19 @@ int64_t toad_pack_bags_q8(const char** paths, const int64_t* q_offsets,
     return failed.load();
 }
 
+int64_t toad_pack_bags_q8(const char** paths, const int64_t* q_offsets,
+                          const int64_t* s_offsets, const int64_t* nrows,
+                          int64_t dim, int64_t bucket, int8_t* out_q,
+                          float* scales, float* mask, int64_t nbags,
+                          int32_t nthreads) {
+    std::vector<int64_t> dst_rows(static_cast<size_t>(nbags > 0 ? nbags : 0));
+    for (int64_t j = 0; j < nbags; ++j) dst_rows[j] = j * bucket;
+    return toad_pack_segs_q8(paths, q_offsets, s_offsets, nrows,
+                             dst_rows.data(), dim, out_q, scales, mask, nbags,
+                             nthreads);
+}
+
 // Version/ABI probe for the ctypes loader.
-int32_t toad_bagio_abi_version() { return 3; }
+int32_t toad_bagio_abi_version() { return 4; }
 
 }  // extern "C"
