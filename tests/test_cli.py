@@ -356,16 +356,27 @@ def test_convert_cli(tmp_path, capsys):
     with h5py.File(src / "withc.h5", "w") as f:
         f.create_dataset("features", data=rng.randn(11, 16).astype(np.float32))
         f.create_dataset("coords", data=coords)
+    # a featurize-layout coords SIDECAR is metadata, not a bag: must be
+    # skipped, not quantized into a junk s9.coords.npz
+    np.save(src / "s9.npy", rng.randn(7, 16).astype(np.float32))
+    np.save(src / "s9.coords.npy", rng.randint(0, 99, (7, 2)).astype(np.int64))
+    bags["s9"] = np.load(src / "s9.npy")
 
     convert.main(["--data_dir", str(src), "--out_dir", str(dst)])
     out = capsys.readouterr().out
-    assert "converted 4 bags" in out and "smaller" in out
+    assert "converted 5 bags" in out and "smaller" in out
+    assert not (dst / "s9.coords.npz").exists()  # sidecar skipped, not converted
+    # the s9 sidecar's coords reach the npz through load_bag(with_coords=True)
+    from toad_tpu.data.bags import load_bag as _lb
+
+    _, s9c = _lb(dst / "s9.npz", with_coords=True)
+    np.testing.assert_array_equal(s9c, np.load(src / "s9.coords.npy"))
     for name, feats in bags.items():
         xq, s, c = load_bag_quantized(dst / f"{name}.npz")
         q_ref, s_ref = quantize_rows_np(feats)
         np.testing.assert_array_equal(xq, q_ref)
         np.testing.assert_array_equal(s, s_ref)
-        assert c is None
+        assert c is None or name == "s9"  # s9's sidecar coords carry over
     _, c = load_bag(dst / "withc.npz", with_coords=True)
     np.testing.assert_array_equal(c, coords)
 
@@ -382,10 +393,18 @@ def test_convert_cli(tmp_path, capsys):
     with pytest.raises(SystemExit, match="not a directory"):
         convert.main(["--data_dir", str(tmp_path / "nope"), "--out_dir", str(dst)])
 
-    # round-trip the other way: int8 store -> f32 .npy (transparent dequant)
+    # round-trip the other way: int8 store -> f32 .npy (transparent dequant);
+    # the size message must report growth, not "0.2x smaller"
     back = tmp_path / "back"
     convert.main(["--data_dir", str(dst), "--out_dir", str(back), "--format", "npy"])
+    assert "larger" in capsys.readouterr().out
     xq, s, _ = load_bag_quantized(dst / "s0.npz")
     np.testing.assert_allclose(
         np.load(back / "s0.npy"), xq.astype(np.float32) * s[:, None], rtol=0, atol=0
     )
+
+    # two sources sharing a stem would silently clobber one output: loud error
+    np.save(src / "dup.npy", bags["s0"])
+    (src / "dup.npz").write_bytes((dst / "s0.npz").read_bytes())
+    with pytest.raises(SystemExit, match="duplicate bag stem"):
+        convert.main(["--data_dir", str(src), "--out_dir", str(tmp_path / "d2")])

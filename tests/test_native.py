@@ -401,3 +401,28 @@ def test_batcher_mixed_f32_and_int8_store(tmp_path):
             np.testing.assert_array_equal(fq, np.asarray(batch.features[r]))
             np.testing.assert_array_equal(fs, batch.scales[r])
             np.testing.assert_array_equal(fm, batch.patch_mask[r])
+
+
+def test_structureless_split_falls_back_under_native_on(tmp_path):
+    """A split exposing neither bag_file nor groups (only the load_bag
+    contract) is STRUCTURALLY ineligible: documented silent fallback even
+    under native='on' — not a RuntimeError."""
+    from toad_tpu.data.batching import BagBatcher
+
+    class MinimalSplit:
+        labels = np.zeros(3, np.int32)
+        sites = np.zeros(3, np.int32)
+        sexes = np.zeros(3, np.int32)
+
+        def __len__(self):
+            return 3
+
+        def load_bag(self, i):
+            return np.full((8, 16), float(i), np.float32)
+
+        def class_weights(self):
+            return np.ones(3)
+
+    b = BagBatcher(MinimalSplit(), batch_size=2, bucket_sizes=(16,), prefetch=0, native="on")
+    batches = list(b)
+    assert len(batches) == 2 and b.native_active is False

@@ -210,6 +210,8 @@ def test_featurize_cli_data_shards(tmp_path, encoder_params, monkeypatch):
         fcli.main(base + ["--feat_dir", str(tmp_path / "f0"), "--data_shards", "0"])
     with pytest.raises(SystemExit):
         fcli.main(base + ["--feat_dir", str(tmp_path / "f9"), "--data_shards", "999"])
+    with pytest.raises(SystemExit, match="not divisible"):
+        fcli.main(base + ["--feat_dir", str(tmp_path / "f3"), "--data_shards", "3"])
 
 
 def test_featurize_cli(tmp_path, encoder_params, monkeypatch):

@@ -44,9 +44,24 @@ def main(argv=None) -> None:
 
     int8 = args.format == "int8"
     ext = ".npz" if int8 else f".{args.format}"
-    files = sorted(p for p in src.iterdir() if p.suffix.lower() in BAG_EXTS)
+    # skip coords sidecars (write_bag's .npy layout): they are per-bag
+    # metadata, not bags — load_bag(with_coords=True) picks them up below
+    files = sorted(
+        p for p in src.iterdir()
+        if p.suffix.lower() in BAG_EXTS and not p.name.lower().endswith(".coords.npy")
+    )
     if not files:
         raise SystemExit(f"no bag files ({'/'.join(BAG_EXTS)}) in {src}")
+    # two source files sharing a stem (s0.pt + s0.npz: e.g. a partially
+    # converted store) would silently overwrite each other's output
+    stems: dict[str, Path] = {}
+    for f in files:
+        if f.stem in stems:
+            raise SystemExit(
+                f"duplicate bag stem {f.stem!r} ({stems[f.stem].name} and {f.name}) "
+                f"would collide at {f.stem}{ext} — clean up the source store first"
+            )
+        stems[f.stem] = f
     dst.mkdir(parents=True, exist_ok=True)
 
     import numpy as np
@@ -63,7 +78,10 @@ def main(argv=None) -> None:
         bytes_in += f.stat().st_size
         bytes_out += out.stat().st_size
         n_done += 1
-    ratio = f", {bytes_in / bytes_out:.1f}x smaller" if bytes_out else ""
+    ratio = ""
+    if bytes_out and bytes_in:
+        ratio = (f", {bytes_in / bytes_out:.1f}x smaller" if bytes_out <= bytes_in
+                 else f", {bytes_out / bytes_in:.1f}x larger")
     print(f"converted {n_done} bags -> {dst} ({args.format}"
           f"{ratio}); skipped {n_skipped}")
 

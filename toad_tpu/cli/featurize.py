@@ -83,6 +83,10 @@ def main(argv=None):
         devs = jax.devices()
         if args.data_shards > len(devs):
             raise SystemExit(f"--data_shards {args.data_shards} > available devices {len(devs)}")
+        if args.batch_size % args.data_shards:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} is not divisible by --data_shards {args.data_shards}"
+            )
         from jax.sharding import Mesh
 
         # 1-D data-parallel mesh over exactly the requested devices; the

@@ -352,15 +352,20 @@ class BagBatcher:
         from toad_tpu import native as native_lib
         from toad_tpu.data.native_bags import resolve_payload
 
+        # Splits exposing neither per-bag files (bag_file) nor per-file
+        # groups (PatientBagSplit's parent slides) are STRUCTURALLY
+        # ineligible — documented automatic fallback, even under native='on'
+        # (which forces native only where it CAN apply).
+        if self._resolve_payloads() is None:
+            self.native_active = False
+            return False
         ok = native_lib.available()
         eligible = "unchecked"
         if ok:
             from toad_tpu.data.native_bags import Q8PayloadInfo, SegmentedPayload
 
             payloads = self._resolve_payloads()
-            # None: the split exposes neither per-bag files (bag_file) nor
-            # per-file groups (PatientBagSplit's parent slides) — fall back
-            eligible = payloads is not None and all(p is not None for p in payloads)
+            eligible = all(p is not None for p in payloads)
             # int8-STORE payloads (Q8PayloadInfo, incl. inside patient-bag
             # segments) read through natively only on the int8 wire; any
             # other wire needs the numpy dequant fallback

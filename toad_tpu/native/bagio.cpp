@@ -144,6 +144,52 @@ int64_t pack_convert(const char** paths, const int64_t* offsets,
     return failed.load();
 }
 
+// Thread-pooled per-entry driver shared by the raw (non-converting)
+// packers: opens entry j's file, hands (j, fd) to `read_entry` (which does
+// the pread(s)), and marks the mask rows at dst_rows[j] on success. Keeps
+// the fetch_add work loop / first-failure protocol / spawn-join logic in
+// ONE place (pack_convert owns the converting variant).
+template <typename ReadEntry>
+int64_t pack_direct(const char** paths, const int64_t* nrows,
+                    const int64_t* dst_rows, float* mask, int64_t nseg,
+                    int32_t nthreads, ReadEntry read_entry) {
+    if (nthreads <= 0) {
+        nthreads = static_cast<int32_t>(std::thread::hardware_concurrency());
+        if (nthreads <= 0) nthreads = 4;
+    }
+    if (nthreads > nseg) nthreads = static_cast<int32_t>(nseg > 0 ? nseg : 1);
+
+    std::atomic<int64_t> next(0);
+    std::atomic<int64_t> failed(0);  // 0 = ok, else j+1
+
+    auto worker = [&]() {
+        for (;;) {
+            int64_t j = next.fetch_add(1, std::memory_order_relaxed);
+            if (j >= nseg || failed.load(std::memory_order_relaxed)) return;
+            int fd = ::open(paths[j], O_RDONLY);
+            int err = fd < 0 ? (errno ? errno : EIO) : read_entry(j, fd);
+            if (fd >= 0) ::close(fd);
+            if (err != 0) {
+                int64_t expect = 0;
+                failed.compare_exchange_strong(expect, j + 1);
+                return;
+            }
+            float* m = mask + dst_rows[j];
+            for (int64_t r = 0; r < nrows[j]; ++r) m[r] = 1.0f;
+        }
+    };
+
+    if (nthreads <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> threads;
+        threads.reserve(nthreads);
+        for (int32_t t = 0; t < nthreads; ++t) threads.emplace_back(worker);
+        for (auto& t : threads) t.join();
+    }
+    return failed.load();
+}
+
 }  // namespace
 
 extern "C" {
@@ -165,53 +211,16 @@ int64_t toad_pack_segs(const char** paths, const int64_t* offsets,
                        const int64_t* nrows, const int64_t* dst_rows,
                        int64_t dim, float* out, float* mask, int64_t nseg,
                        int32_t nthreads) {
-    if (nthreads <= 0) {
-        nthreads = static_cast<int32_t>(std::thread::hardware_concurrency());
-        if (nthreads <= 0) nthreads = 4;
-    }
-    if (nthreads > nseg) nthreads = static_cast<int32_t>(nseg > 0 ? nseg : 1);
-
-    std::atomic<int64_t> next(0);
-    std::atomic<int64_t> failed(0);  // 0 = ok, else j+1
-
-    auto worker = [&]() {
-        for (;;) {
-            int64_t j = next.fetch_add(1, std::memory_order_relaxed);
-            if (j >= nseg || failed.load(std::memory_order_relaxed)) return;
-            int fd = ::open(paths[j], O_RDONLY);
-            if (fd < 0) {
-                int64_t expect = 0;
-                failed.compare_exchange_strong(expect, j + 1);
-                return;
-            }
+    return pack_direct(
+        paths, nrows, dst_rows, mask, nseg, nthreads, [=](int64_t j, int fd) {
 #ifdef POSIX_FADV_SEQUENTIAL
             ::posix_fadvise(fd, offsets[j], nrows[j] * dim * sizeof(float),
                             POSIX_FADV_SEQUENTIAL);
 #endif
-            float* dst = out + dst_rows[j] * dim;
-            int err = pread_full(fd, dst,
-                                 static_cast<size_t>(nrows[j]) * dim * sizeof(float),
-                                 offsets[j]);
-            ::close(fd);
-            if (err != 0) {
-                int64_t expect = 0;
-                failed.compare_exchange_strong(expect, j + 1);
-                return;
-            }
-            float* m = mask + dst_rows[j];
-            for (int64_t r = 0; r < nrows[j]; ++r) m[r] = 1.0f;
-        }
-    };
-
-    if (nthreads <= 1) {
-        worker();
-    } else {
-        std::vector<std::thread> threads;
-        threads.reserve(nthreads);
-        for (int32_t t = 0; t < nthreads; ++t) threads.emplace_back(worker);
-        for (auto& t : threads) t.join();
-    }
-    return failed.load();
+            return pread_full(fd, out + dst_rows[j] * dim,
+                              static_cast<size_t>(nrows[j]) * dim * sizeof(float),
+                              offsets[j]);
+        });
 }
 
 // Whole-bag convenience wrapper: bag j lands at batch slot j.
@@ -303,55 +312,18 @@ int64_t toad_pack_segs_q8(const char** paths, const int64_t* q_offsets,
                           const int64_t* dst_rows, int64_t dim, int8_t* out_q,
                           float* scales, float* mask, int64_t nseg,
                           int32_t nthreads) {
-    if (nthreads <= 0) {
-        nthreads = static_cast<int32_t>(std::thread::hardware_concurrency());
-        if (nthreads <= 0) nthreads = 4;
-    }
-    if (nthreads > nseg) nthreads = static_cast<int32_t>(nseg > 0 ? nseg : 1);
-
-    std::atomic<int64_t> next(0);
-    std::atomic<int64_t> failed(0);  // 0 = ok, else j+1
-
-    auto worker = [&]() {
-        for (;;) {
-            int64_t j = next.fetch_add(1, std::memory_order_relaxed);
-            if (j >= nseg || failed.load(std::memory_order_relaxed)) return;
-            int fd = ::open(paths[j], O_RDONLY);
-            if (fd < 0) {
-                int64_t expect = 0;
-                failed.compare_exchange_strong(expect, j + 1);
-                return;
-            }
+    return pack_direct(
+        paths, nrows, dst_rows, mask, nseg, nthreads, [=](int64_t j, int fd) {
 #ifdef POSIX_FADV_SEQUENTIAL
             ::posix_fadvise(fd, q_offsets[j], nrows[j] * dim, POSIX_FADV_SEQUENTIAL);
 #endif
             int err = pread_full(fd, out_q + dst_rows[j] * dim,
                                  static_cast<size_t>(nrows[j]) * dim, q_offsets[j]);
-            if (!err) {
-                err = pread_full(fd, scales + dst_rows[j],
-                                 static_cast<size_t>(nrows[j]) * sizeof(float),
-                                 s_offsets[j]);
-            }
-            ::close(fd);
-            if (err != 0) {
-                int64_t expect = 0;
-                failed.compare_exchange_strong(expect, j + 1);
-                return;
-            }
-            float* m = mask + dst_rows[j];
-            for (int64_t r = 0; r < nrows[j]; ++r) m[r] = 1.0f;
-        }
-    };
-
-    if (nthreads <= 1) {
-        worker();
-    } else {
-        std::vector<std::thread> threads;
-        threads.reserve(nthreads);
-        for (int32_t t = 0; t < nthreads; ++t) threads.emplace_back(worker);
-        for (auto& t : threads) t.join();
-    }
-    return failed.load();
+            if (err) return err;
+            return pread_full(fd, scales + dst_rows[j],
+                              static_cast<size_t>(nrows[j]) * sizeof(float),
+                              s_offsets[j]);
+        });
 }
 
 int64_t toad_pack_bags_q8(const char** paths, const int64_t* q_offsets,
