@@ -465,13 +465,17 @@ def bench_e2e_wsi_vit() -> dict:
 def bench_serve() -> dict:
     """Judged serving artifact (VERDICT r3 next #5): loopback raw-wire
     ``/predict`` (application/octet-stream + X-Toad-* headers) through the
-    real HTTP server and DynamicBatcher at modest concurrency. Payloads are
-    host-resident like real serving, so the number includes the relay H2D —
+    real HTTP server and DynamicBatcher at modest concurrency. Two client
+    wire configs, same server and weather: f32 bodies (the default) and
+    bf16 bodies (half the bytes; the recommended client config under bf16
+    compute, where it is end-to-end numerically invisible). Payloads are
+    host-resident like real serving, so the numbers include the relay H2D —
     same disclaimer as the disk-fed fields."""
     import http.client
     import threading
 
     import jax
+    import ml_dtypes
 
     from toad_tpu.config import ModelConfig
     from toad_tpu.models.toad_mil import ToadMIL
@@ -485,15 +489,19 @@ def bench_serve() -> dict:
     service = InferenceService(params, cfg, scfg)
     server, port = serve_in_thread(service)
     rng = np.random.default_rng(0)
-    bags = [rng.standard_normal((bag_n, DIM)).astype("<f4").tobytes() for _ in range(4)]
-    lat: list[float] = []
+    f32 = [rng.standard_normal((bag_n, DIM)).astype("<f4") for _ in range(4)]
+    wires = {
+        "f32": ("float32", [b.tobytes() for b in f32]),
+        "bf16": ("bfloat16", [b.astype(ml_dtypes.bfloat16).tobytes() for b in f32]),
+    }
     lock = threading.Lock()
 
-    def request(body: bytes, sex: int) -> None:
+    def request(body: bytes, dtype: str, sex: int) -> None:
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
         conn.request("POST", "/predict", body, {
             "Content-Type": "application/octet-stream",
             "X-Toad-Shape": f"{bag_n},{DIM}",
+            "X-Toad-Dtype": dtype,
             "X-Toad-Sex": str(sex),
         })
         r = conn.getresponse()
@@ -502,31 +510,34 @@ def bench_serve() -> dict:
         if r.status != 200:
             raise RuntimeError(f"serve bench: HTTP {r.status}: {body_out[:200]!r}")
 
+    out = {}
     try:
-        request(bags[0], 0)  # warmup: compile the bucket
+        request(wires["f32"][1][0], "float32", 0)  # warmup: compile the bucket
+        for name, (dtype, bags) in wires.items():
+            lat: list[float] = []
 
-        def client(tid: int) -> None:
-            for i in range(per_thread):
-                t0 = time.perf_counter()
-                request(bags[(tid + i) % len(bags)], (tid + i) % 2)
-                dt = time.perf_counter() - t0
-                with lock:
-                    lat.append(dt)
+            def client(tid: int) -> None:
+                for i in range(per_thread):
+                    t0 = time.perf_counter()
+                    request(bags[(tid + i) % len(bags)], dtype, (tid + i) % 2)
+                    dt = time.perf_counter() - t0
+                    with lock:
+                        lat.append(dt)
 
-        threads = [threading.Thread(target=client, args=(t,)) for t in range(concurrency)]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.perf_counter() - t0
+            threads = [threading.Thread(target=client, args=(t,)) for t in range(concurrency)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            suffix = "" if name == "f32" else "_bf16"
+            out[f"serve_raw{suffix}_req_per_sec"] = len(lat) / wall
+            out[f"serve_raw{suffix}_p50_ms"] = float(np.percentile(np.asarray(lat) * 1e3, 50))
     finally:
         server.shutdown()
         service.close()
-    return {
-        "serve_raw_req_per_sec": len(lat) / wall,
-        "serve_raw_p50_ms": float(np.percentile(np.asarray(lat) * 1e3, 50)),
-    }
+    return out
 
 
 def _ensure_io_fixture(n_slides: int):
@@ -902,6 +913,16 @@ def main() -> None:
         ),
         "serve_raw_p50_ms": (
             round(ours["serve_raw_p50_ms"], 1) if "serve_raw_p50_ms" in ours else None
+        ),
+        # same load with bf16 client bodies (half the wire bytes; the
+        # recommended client config under bf16 compute)
+        "serve_raw_bf16_req_per_sec": (
+            round(ours["serve_raw_bf16_req_per_sec"], 1)
+            if "serve_raw_bf16_req_per_sec" in ours else None
+        ),
+        "serve_raw_bf16_p50_ms": (
+            round(ours["serve_raw_bf16_p50_ms"], 1)
+            if "serve_raw_bf16_p50_ms" in ours else None
         ),
         # disk-fed path: on-disk .pt bags -> BagBatcher -> H2D -> forward
         # (wall-clock incl. torch-zip parse + relay H2D; page-cache warm).
