@@ -426,3 +426,45 @@ def test_structureless_split_falls_back_under_native_on(tmp_path):
     b = BagBatcher(MinimalSplit(), batch_size=2, bucket_sizes=(16,), prefetch=0, native="on")
     batches = list(b)
     assert len(batches) == 2 and b.native_active is False
+
+
+def test_compressed_int8_store_falls_back_correctly(tmp_path):
+    """A user-made savez_COMPRESSED int8 store: resolve_payload_q8 must
+    return None (deflated members can't be pread raw) and the batcher's
+    numpy fallback must still produce the right int8-wire batch."""
+    from toad_tpu.data.batching import BagBatcher
+    from toad_tpu.data.native_bags import resolve_payload_q8
+    from toad_tpu.ops.quantize import quantize_rows_np
+
+    rng = np.random.RandomState(13)
+    feats = rng.randn(9, 8).astype(np.float32)
+    xq, scales = quantize_rows_np(feats)
+    p = tmp_path / "c.npz"
+    np.savez_compressed(p, features_int8=xq, scales=scales)
+    assert resolve_payload_q8(p) is None
+
+    class OneBag:
+        labels = np.zeros(1, np.int32)
+        sites = np.zeros(1, np.int32)
+        sexes = np.zeros(1, np.int32)
+
+        def __len__(self):
+            return 1
+
+        def bag_file(self, i):
+            return p
+
+        def load_bag(self, i):
+            from toad_tpu.data.bags import load_bag
+
+            return load_bag(p)
+
+        def class_weights(self):
+            return np.ones(1)
+
+    b = BagBatcher(OneBag(), batch_size=1, bucket_sizes=(16,), prefetch=0,
+                   transfer_dtype="int8", native="auto")
+    batch = next(iter(b))
+    assert b.native_active is False  # compressed member -> ineligible
+    np.testing.assert_array_equal(np.asarray(batch.features[0, :9]), xq)
+    np.testing.assert_array_equal(batch.scales[0, :9], scales)
