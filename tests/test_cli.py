@@ -166,6 +166,57 @@ def test_evaluate_split_all(cli_env):
         os.chdir(cwd)
 
 
+def test_train_fold_devices_cli(cli_env, tmp_path):
+    """--fold_devices 2 trains both folds concurrently (one per CPU device)
+    and writes the same artifacts/summary schema as the sequential driver."""
+    from toad_tpu.cli import create_splits, train
+
+    root = cli_env
+    task_json = str(root / "tasks" / "dummy_mtl_concat.json")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        split_dir = create_splits.main(
+            ["--task", task_json, "--k", "2", "--seed", "7", "--val_frac", "0.15", "--test_frac", "0.2",
+             "--split_code", "pf"]
+        )
+        df = train.main(
+            [
+                "--task", task_json,
+                "--data_root_dir", str(root / "bags"),
+                "--exp_code", "pfsmoke",
+                "--k", "2",
+                "--max_epochs", "2",
+                "--batch_size", "4",
+                "--encoding_size", "64",
+                "--split_dir", str(split_dir),
+                "--results_dir", str(tmp_path),
+                "--fold_devices", "2",
+            ]
+        )
+        assert len(df) == 2 and list(df["folds"]) == [0, 1]
+        results_dir = tmp_path / "pfsmoke_s1"
+        for i in range(2):
+            assert (results_dir / f"s_{i}_checkpoint").exists()
+            assert (results_dir / f"split_{i}_results.pkl").exists()
+        assert (results_dir / "summary.csv").exists()
+    finally:
+        os.chdir(cwd)
+
+
+def test_train_fold_devices_refuses_mesh(cli_env):
+    """Flag-combination errors fire before any dataset/backend work."""
+    from toad_tpu.cli import train
+
+    root = cli_env
+    task_json = str(root / "tasks" / "dummy_mtl_concat.json")
+    base = ["--task", task_json, "--exp_code", "pfbad", "--fold_devices", "2"]
+    with pytest.raises(ValueError, match="data_shards"):
+        train.main(base + ["--data_shards", "2"])
+    with pytest.raises(ValueError, match="profile"):
+        train.main(base + ["--profile", "/tmp/nope"])
+
+
 def test_train_missing_splits_errors(cli_env):
     from toad_tpu.cli import train
 

@@ -1,0 +1,139 @@
+"""Fold-parallel CV training (train/parallel_folds.py): one fold per device.
+
+The contract is *placement only*: every fold's computation is the unchanged
+sequential FoldTrainer math committed to its own device, so per-fold results
+must be bit-identical to a sequential run (same PRNGKey(seed) per fold —
+reference re-seeds per fold, main_mtl_concat.py:48 — and same private
+batcher RNG). Verified here on the 8-device virtual CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
+from toad_tpu.data.splits import generate_splits
+from toad_tpu.data.wsi_dataset import WSIBagDataset
+from toad_tpu.train.loop import FoldTrainer
+from toad_tpu.train.parallel_folds import resolve_fold_devices, train_folds_parallel
+
+
+def _cfg(dim: int, max_epochs: int = 2, **kw) -> TrainConfig:
+    return TrainConfig(
+        max_epochs=max_epochs,
+        seed=1,
+        model=ModelConfig(in_dim=dim, n_classes=18),
+        optim=OptimConfig(lr=3e-4),
+        data=DataConfig(batch_size=4, bucket_sizes=(64, 128, 256)),
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def fold_jobs(dummy_env):
+    """Three folds' (train, val, test) splits off the shared dummy dataset."""
+    ds = WSIBagDataset(dummy_env["task"], data_dir=str(dummy_env["data_dir"]))
+    counts = np.bincount(ds.labels, minlength=ds.num_classes[0])
+    jobs = []
+    for fold, spec in enumerate(
+        generate_splits(
+            ds.slide_cls_ids,
+            val_num=np.maximum((counts * 0.15).astype(int), 1),
+            test_num=np.maximum((counts * 0.2).astype(int), 1),
+            samples=ds.n_slides,
+            n_splits=3,
+            seed=1,
+        )
+    ):
+        jobs.append((fold, (ds.subset(spec.train), ds.subset(spec.val), ds.subset(spec.test))))
+    return jobs
+
+
+def test_parallel_matches_sequential_bitwise(fold_jobs, tmp_path):
+    cfg = _cfg(64)
+    seq = {}
+    for fold, splits in fold_jobs[:2]:
+        trainer = FoldTrainer(cfg, fold=fold, results_dir=tmp_path / "seq", writer=None)
+        seq[fold] = trainer.train(*splits, log_fn=lambda s: None)
+
+    par = train_folds_parallel(
+        cfg, fold_jobs[:2], tmp_path / "par", n_devices=2, log_fn=lambda s: None
+    )
+
+    assert sorted(par) == [0, 1]
+    for fold in (0, 1):
+        a, b = seq[fold], par[fold]
+        # scalar metrics identical to the last bit
+        for key in ("cls_test_auc", "cls_val_auc", "cls_test_acc", "site_test_auc"):
+            assert a[key] == b[key], (fold, key, a[key], b[key])
+        # final params bit-identical leaf by leaf
+        la = jax_leaves(a["params"])
+        lb = jax_leaves(b["params"])
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
+
+
+def test_more_folds_than_devices(fold_jobs, tmp_path):
+    """3 folds on 2 devices: the work queue drains without a round barrier."""
+    cfg = _cfg(64, max_epochs=1)
+    par = train_folds_parallel(cfg, fold_jobs, tmp_path, n_devices=2, log_fn=lambda s: None)
+    assert sorted(par) == [0, 1, 2]
+    for r in par.values():
+        assert np.isfinite(r["cls_test_auc"])
+
+
+def test_params_land_on_distinct_devices(fold_jobs, tmp_path):
+    import jax
+
+    cfg = _cfg(64, max_epochs=1)
+    par = train_folds_parallel(cfg, fold_jobs[:2], tmp_path, n_devices=2, log_fn=lambda s: None)
+    devs = {next(iter(jax.tree.leaves(par[f]["params"])[0].devices())) for f in par}
+    assert len(devs) == 2, devs
+
+
+def test_refuses_mesh_combination(fold_jobs, tmp_path):
+    cfg = _cfg(64, data_shards=2)
+    with pytest.raises(ValueError, match="data_shards"):
+        train_folds_parallel(cfg, fold_jobs[:1], tmp_path, n_devices=2)
+
+
+def test_refuses_profile(fold_jobs, tmp_path):
+    cfg = _cfg(64, profile_dir=str(tmp_path / "trace"))
+    with pytest.raises(ValueError, match="profile"):
+        train_folds_parallel(cfg, fold_jobs[:1], tmp_path, n_devices=2)
+
+
+def test_resolve_fold_devices_bounds():
+    import jax
+
+    assert resolve_fold_devices(-1) == jax.local_devices()
+    assert len(resolve_fold_devices(2)) == 2
+    with pytest.raises(ValueError, match="only"):
+        resolve_fold_devices(10_000)
+    with pytest.raises(ValueError, match=">= 1"):
+        resolve_fold_devices(0)
+
+
+def test_worker_error_propagates(fold_jobs, tmp_path):
+    """A fold raising mid-train surfaces as RuntimeError naming the fold."""
+    cfg = _cfg(64, max_epochs=1)
+    fold, (tr, va, te) = fold_jobs[0]
+
+    class Broken:
+        # quacks enough to get past split bookkeeping, then fails in the batcher
+        slide_ids = tr.slide_ids
+
+        def __len__(self):
+            return len(tr)
+
+        def __getattr__(self, name):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="fold 0 failed"):
+        train_folds_parallel(cfg, [(0, (Broken(), va, te))], tmp_path, n_devices=1)

@@ -34,6 +34,7 @@ _EXPORTS = {
     "PatientBagSplit": "toad_tpu.data.wsi_dataset",
     "BagBatcher": "toad_tpu.data.batching",
     "FoldTrainer": "toad_tpu.train.loop",
+    "train_folds_parallel": "toad_tpu.train.parallel_folds",
     "evaluate_checkpoint": "toad_tpu.evaluate.engine",
     "evaluate_split": "toad_tpu.evaluate.engine",
     "bootstrap_result_cis": "toad_tpu.evaluate.engine",

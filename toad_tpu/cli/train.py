@@ -57,6 +57,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true", default=False, help="fused Pallas pooling kernel")
     p.add_argument("--data_shards", type=int, default=1)
     p.add_argument("--bag_shards", type=int, default=1)
+    p.add_argument("--fold_devices", type=int, default=1, metavar="N",
+                   help="train folds concurrently, one per local device (N devices; -1 = all). "
+                        "Bit-identical per fold to the sequential run; incompatible with "
+                        "--data_shards/--bag_shards/--profile")
     p.add_argument("--resume", action="store_true", default=False, help="preemption-tolerant per-epoch state snapshots + resume")
     p.add_argument("--patient_bags", action="store_true", default=False, help="concat each patient's slides into one bag")
     p.add_argument("--bf16_transfer", action="store_true", default=False, help="force bfloat16 feature transfer even under f32 compute (half the H2D bytes; on automatically with --bf16)")
@@ -120,6 +124,13 @@ def config_from_args(args, n_classes: int, bucket_sizes: tuple[int, ...] | None 
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.fold_devices != 1:
+        # fail before any dataset/backend work: fold-parallel owns the
+        # devices whole, one fold per chip (train/parallel_folds.py)
+        if args.data_shards > 1 or args.bag_shards > 1:
+            raise ValueError("--fold_devices cannot combine with --data_shards/--bag_shards")
+        if args.profile:
+            raise ValueError("--profile supports one trace at a time; drop --fold_devices")
     if args.compile_cache:
         from toad_tpu.cli.common import enable_compile_cache
 
@@ -145,26 +156,15 @@ def main(argv=None):
     echo_settings(results_dir / f"experiment_{args.exp_code}.txt", settings)
 
     folds = fold_range(args.k, args.k_start, args.k_end)
-    rows = []
-    for i in folds:
-        fold_summary = results_dir / f"fold_{i}_summary.json"
-        if args.resume and fold_summary.exists():
-            # fold finished in a previous (preempted) run — don't retrain it
-            import json as _json
 
-            rows.append(_json.loads(fold_summary.read_text()))
-            print(f"fold {i}: already complete ({fold_summary}), skipping")
-            continue
-        seed_everything(args.seed)
+    def load_fold_splits(i: int):
         splits = dataset.return_splits_from_csv(split_dir / f"splits_{i}.csv")
         if any(s is None for s in splits):
             raise ValueError(f"fold {i}: empty split in {split_dir / f'splits_{i}.csv'}")
-        writer = make_writer(str(results_dir / str(i)), enabled=args.log_data)
-        trainer = FoldTrainer(cfg, fold=i, results_dir=results_dir, writer=writer)
-        r = trainer.train(*splits)
-        writer.close()
-        save_pkl(results_dir / f"split_{i}_results.pkl", r["results"])
-        row = {
+        return splits
+
+    def summary_row(i: int, r: dict) -> dict:
+        return {
             "folds": i,
             "cls_test_auc": r["cls_test_auc"],
             "cls_val_auc": r["cls_val_auc"],
@@ -175,11 +175,54 @@ def main(argv=None):
             "site_test_acc": r["site_test_acc"],
             "site_val_acc": r["site_val_acc"],
         }
-        rows.append(row)
+
+    def finish_fold(i: int, r: dict) -> dict:
+        save_pkl(results_dir / f"split_{i}_results.pkl", r["results"])
+        row = summary_row(i, r)
         if args.resume:
             import json as _json
 
-            fold_summary.write_text(_json.dumps(row))
+            (results_dir / f"fold_{i}_summary.json").write_text(_json.dumps(row))
+        return row
+
+    rows_by_fold: dict[int, dict] = {}
+    pending: list[int] = []
+    for i in folds:
+        fold_summary = results_dir / f"fold_{i}_summary.json"
+        if args.resume and fold_summary.exists():
+            # fold finished in a previous (preempted) run — don't retrain it
+            import json as _json
+
+            rows_by_fold[i] = _json.loads(fold_summary.read_text())
+            print(f"fold {i}: already complete ({fold_summary}), skipping")
+        else:
+            pending.append(i)
+
+    if args.fold_devices != 1 and pending:
+        # one fold per local device, concurrently (train/parallel_folds.py);
+        # per-fold results are bit-identical to the sequential path
+        from toad_tpu.train.parallel_folds import train_folds_parallel
+
+        results = train_folds_parallel(
+            cfg,
+            [(i, load_fold_splits(i)) for i in pending],
+            results_dir,
+            n_devices=args.fold_devices,
+            make_fold_writer=lambda i: make_writer(str(results_dir / str(i)), enabled=args.log_data),
+        )
+        for i in pending:
+            rows_by_fold[i] = finish_fold(i, results[i])
+    else:
+        for i in pending:
+            seed_everything(args.seed)
+            splits = load_fold_splits(i)
+            writer = make_writer(str(results_dir / str(i)), enabled=args.log_data)
+            trainer = FoldTrainer(cfg, fold=i, results_dir=results_dir, writer=writer)
+            r = trainer.train(*splits)
+            writer.close()
+            rows_by_fold[i] = finish_fold(i, r)
+
+    rows = [rows_by_fold[i] for i in folds]
 
     final_df = pd.DataFrame(rows)
     name = "summary.csv" if len(folds) == args.k else f"summary_partial_{folds.start}_{folds.stop}.csv"

@@ -139,12 +139,19 @@ class EarlyStopping:
 class FoldTrainer:
     """Owns one fold end-to-end (reference ``train``, ``core_utils:87-187``)."""
 
-    def __init__(self, cfg: TrainConfig, fold: int, results_dir: str | os.PathLike, writer=None, mesh=None):
+    def __init__(self, cfg: TrainConfig, fold: int, results_dir: str | os.PathLike, writer=None, mesh=None,
+                 device=None):
         self.cfg = cfg
         self.fold = fold
         self.results_dir = Path(results_dir)
         self.results_dir.mkdir(parents=True, exist_ok=True)
         self.writer = writer
+        # pin this fold's whole computation to one local device (fold-parallel
+        # CV: train/parallel_folds.py runs one fold per chip). Mutually
+        # exclusive with mesh sharding, which owns placement itself.
+        if device is not None and (mesh is not None or cfg.data_shards * cfg.bag_shards > 1):
+            raise ValueError("device= (fold-parallel) cannot combine with mesh/data_shards/bag_shards")
+        self.device = device
         self.model = ToadMIL(cfg.model)
         self.tx = make_optimizer(cfg.optim)
         if cfg.debug_checks:
@@ -190,6 +197,7 @@ class FoldTrainer:
             # unmeshed runs: start H2D in the producer thread so transfer
             # overlaps the previous step; mesh runs place via shard_batch
             device_put=self.mesh is None,
+            device=self.device,
         )
 
     @property
@@ -241,6 +249,11 @@ class FoldTrainer:
         rng, init_key = jax.random.split(rng)
         params = self.model.init(init_key)
         opt_state = self.tx.init(params)
+        if self.device is not None:
+            # commit the whole training state in one tree: optax scalars
+            # (e.g. adam's count) are created on the default device, and a
+            # mixed-device state would fail jit dispatch on this fold's chip
+            params, opt_state, rng = jax.device_put((params, opt_state, rng), self.device)
         if self.mesh is not None:
             from toad_tpu.parallel.sharding import replicate
 
@@ -287,6 +300,8 @@ class FoldTrainer:
 
                 params = replicate(self.mesh, params)
                 opt_state = replicate(self.mesh, opt_state)
+            if self.device is not None:
+                params, opt_state, rng = jax.device_put((params, opt_state, rng), self.device)
             log_fn(f"[fold {self.fold}] resumed from epoch {start_epoch - 1} ({self.resume_path})")
 
         for epoch in range(start_epoch, cfg.max_epochs):
@@ -383,7 +398,7 @@ class FoldTrainer:
 
                 params = replicate(self.mesh, state["params"])
             else:
-                params = jax.device_put(state["params"])
+                params = jax.device_put(state["params"], self.device)
         else:
             save_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(cfg.max_epochs - 1)})
 
