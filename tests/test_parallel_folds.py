@@ -120,6 +120,42 @@ def test_resolve_fold_devices_bounds():
         resolve_fold_devices(0)
 
 
+def test_resume_after_crash_under_device(fold_jobs, tmp_path):
+    """The device-pinned resume path (restore → device_put of the whole state)
+    continues bit-identically after a crash, like the sequential trainer."""
+    import jax
+
+    class Boom(Exception):
+        pass
+
+    fold, splits = fold_jobs[0]
+    cfg = _cfg(64, max_epochs=3, resume=True)
+    dev = jax.local_devices()[1]
+
+    straight = FoldTrainer(cfg, fold=fold, results_dir=tmp_path / "a", device=dev).train(
+        *splits, log_fn=lambda s: None
+    )
+
+    def crashing_log(s):
+        if "epoch 1: train" in s:
+            raise Boom()
+
+    trainer_b = FoldTrainer(cfg, fold=fold, results_dir=tmp_path / "b", device=dev)
+    with pytest.raises(Boom):
+        trainer_b.train(*splits, log_fn=crashing_log)
+    assert trainer_b.resume_path.exists()
+
+    logs = []
+    resumed = FoldTrainer(cfg, fold=fold, results_dir=tmp_path / "b", device=dev).train(
+        *splits, log_fn=logs.append
+    )
+    assert any("resumed from epoch 0" in line for line in logs)
+    for a, b in zip(jax.tree.leaves(straight["params"]), jax.tree.leaves(resumed["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the resumed state actually lives on the pinned device
+    assert next(iter(jax.tree.leaves(resumed["params"])[0].devices())) == dev
+
+
 def test_worker_error_propagates(fold_jobs, tmp_path):
     """A fold raising mid-train surfaces as RuntimeError naming the fold."""
     cfg = _cfg(64, max_epochs=1)
