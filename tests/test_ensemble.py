@@ -1,0 +1,147 @@
+"""Mean-of-folds ensemble prediction (pipeline/infer.py::EnsembleInference).
+
+The reference's eval loop runs one checkpoint per pass and aggregates only
+metrics across folds (eval_mtl_concat.py:105,117-138); the ensemble averages
+probabilities — the standard CV deployment pattern.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from toad_tpu.config import ModelConfig
+from toad_tpu.models.toad_mil import ToadMIL
+from toad_tpu.pipeline.infer import EnsembleInference, SlideInference, find_fold_checkpoints
+from toad_tpu.train.checkpoint import save_checkpoint
+
+CFG = ModelConfig(in_dim=64, n_classes=18)
+BUCKETS = (64, 128, 256)
+
+
+@pytest.fixture(scope="module")
+def members(tmp_path_factory):
+    """Two differently-initialized param trees + their on-disk checkpoints
+    in the cli/train.py results layout."""
+    model = ToadMIL(CFG)
+    params = [model.init(jax.random.PRNGKey(k)) for k in (0, 1)]
+    results_dir = tmp_path_factory.mktemp("models")
+    for i, p in enumerate(params):
+        save_checkpoint(results_dir / f"s_{i}_checkpoint", {"params": p, "epoch": np.int64(0)})
+    return params, results_dir
+
+
+@pytest.fixture(scope="module")
+def bag():
+    rng = np.random.RandomState(0)
+    return rng.randn(100, 64).astype(np.float32)
+
+
+def test_singleton_ensemble_equals_single(members, bag):
+    params, _ = members
+    single = SlideInference(params[0], CFG, bucket_sizes=BUCKETS).predict(bag, sex=1)
+    ens = EnsembleInference(params[:1], CFG, bucket_sizes=BUCKETS).predict(bag, sex=1)
+    np.testing.assert_allclose(ens.y_prob, single.y_prob, rtol=1e-6)
+    assert ens.y_hat == single.y_hat
+    assert ens.topk[0][0] == single.topk[0][0]
+
+
+def test_mean_of_members(members, bag):
+    params, _ = members
+    singles = [SlideInference(p, CFG, bucket_sizes=BUCKETS).predict(bag, sex=0) for p in params]
+    ens = EnsembleInference(params, CFG, bucket_sizes=BUCKETS).predict(bag, sex=0)
+    np.testing.assert_allclose(
+        ens.y_prob, np.mean([s.y_prob for s in singles], axis=0), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        ens.site_prob, np.mean([s.site_prob for s in singles], axis=0), rtol=1e-6
+    )
+    # attention: mean of the members' softmaxed pooling weights — a proper
+    # distribution over the real rows
+    assert ens.attention.shape == (100,)
+    np.testing.assert_allclose(ens.attention.sum(), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(ens.site_attention.sum(), 1.0, rtol=1e-6)
+
+
+def test_shared_compiled_forward(members, bag):
+    """All members run through ONE jit — k checkpoints, zero extra compiles."""
+    params, _ = members
+    ens = EnsembleInference(params, CFG, bucket_sizes=BUCKETS)
+    ens.predict(bag, sex=0)
+    sizes = ens._inf._fwd._cache_size()
+    assert sizes == 1, sizes
+
+
+def test_from_models_dir(members, bag):
+    params, results_dir = members
+    ens = EnsembleInference.from_models_dir(results_dir, CFG, bucket_sizes=BUCKETS)
+    assert len(ens.members) == 2
+    direct = EnsembleInference(params, CFG, bucket_sizes=BUCKETS).predict(bag, sex=1)
+    loaded = ens.predict(bag, sex=1)
+    np.testing.assert_allclose(loaded.y_prob, direct.y_prob, rtol=1e-6)
+
+
+def test_from_models_dir_empty(tmp_path):
+    with pytest.raises(FileNotFoundError, match="no s_<k>_checkpoint"):
+        EnsembleInference.from_models_dir(tmp_path, CFG)
+
+
+def test_find_fold_checkpoints_ordering(tmp_path):
+    for name in ("s_10_checkpoint", "s_2_checkpoint.pt", "s_0_checkpoint", "other.pt", "s_x_checkpoint"):
+        (tmp_path / name).mkdir() if "pt" not in name else (tmp_path / name).touch()
+    found = find_fold_checkpoints(tmp_path)
+    assert [f for f, _ in found] == [0, 2, 10]
+
+
+def test_int8_ensemble(members, bag):
+    params, _ = members
+    f32 = EnsembleInference(params, CFG, bucket_sizes=BUCKETS).predict(bag, sex=0)
+    q = EnsembleInference(params, CFG, bucket_sizes=BUCKETS, int8=True).predict(bag, sex=0)
+    np.testing.assert_allclose(q.y_prob, f32.y_prob, atol=0.02)
+    assert q.y_hat == f32.y_hat
+
+
+def test_ensemble_infer_feature_bag(members, bag, tmp_path):
+    """EnsembleInference is duck-compatible with the bag-level entry point."""
+    from toad_tpu.pipeline.infer import infer_feature_bag
+
+    params, _ = members
+    np.save(tmp_path / "slideX.npy", bag)
+    ens = EnsembleInference(params, CFG, bucket_sizes=BUCKETS)
+    pred, coords = infer_feature_bag(ens, tmp_path / "slideX.npy", sex=1)
+    direct = ens.predict(bag, sex=1)
+    np.testing.assert_allclose(pred.y_prob, direct.y_prob, rtol=1e-6)
+    assert coords is None
+
+
+def test_predict_cli_ensemble(members, bag, tmp_path):
+    """--ensemble over a results dir and over a comma list agree."""
+    import pandas as pd
+
+    from toad_tpu.cli import predict
+
+    params, results_dir = members
+    data_dir = tmp_path / "bags"
+    data_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(3):
+        np.save(data_dir / f"s{i}.npy", rng.randn(80 + i, 64).astype(np.float32))
+
+    out1 = tmp_path / "ens_dir.csv"
+    predict.main([
+        "--ckpt", str(results_dir), "--ensemble",
+        "--data_dir", str(data_dir), "--out", str(out1),
+        "--encoding_size", "64", "--sex", "F", "--buckets", "128,256",
+    ])
+    out2 = tmp_path / "ens_list.csv"
+    predict.main([
+        "--ckpt", f"{results_dir / 's_0_checkpoint'},{results_dir / 's_1_checkpoint'}",
+        "--ensemble",
+        "--data_dir", str(data_dir), "--out", str(out2),
+        "--encoding_size", "64", "--sex", "F", "--buckets", "128,256",
+    ])
+    a, b = pd.read_csv(out1), pd.read_csv(out2)
+    assert list(a["slide_id"]) == ["s0", "s1", "s2"]
+    pcols = [c for c in a.columns if c.startswith("p_")]
+    np.testing.assert_allclose(a[pcols].values, b[pcols].values, rtol=1e-6)
+    np.testing.assert_allclose(a[pcols].sum(axis=1), 1.0, rtol=1e-5)

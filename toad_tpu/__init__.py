@@ -46,6 +46,7 @@ _EXPORTS = {
     "auto_bucket_ladder": "toad_tpu.data.batching",
     "bag_shape": "toad_tpu.data.bags",
     "SlideInference": "toad_tpu.pipeline.infer",
+    "EnsembleInference": "toad_tpu.pipeline.infer",
     "InferenceService": "toad_tpu.serve.server",
     "DynamicBatcher": "toad_tpu.serve.batcher",
     "ServeConfig": "toad_tpu.serve.batcher",

@@ -35,6 +35,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="quantized pooling fast path (int8 MXU GEMMs; heads stay f32)")
     p.add_argument("--temperature", type=float, default=1.0,
                    help="calibrated softmax temperature for class probabilities (fit with evaluate --calibrate)")
+    p.add_argument("--ensemble", action="store_true", default=False,
+                   help="mean-of-folds CV ensemble: --ckpt is a training results dir "
+                        "(every s_<k>_checkpoint in it joins) or a comma-separated "
+                        "checkpoint list; probabilities are the mean of the members' softmax")
     from toad_tpu.cli.common import add_buckets_arg
     add_buckets_arg(p)
     return p
@@ -80,9 +84,20 @@ def main(argv=None):
     from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag
 
     from toad_tpu.cli.common import resolve_buckets
-    inference = SlideInference.from_checkpoint(
-        args.ckpt, model_cfg, int8=args.int8, temperature=args.temperature,
-        bucket_sizes=resolve_buckets(args.buckets))
+    kw = dict(int8=args.int8, temperature=args.temperature,
+              bucket_sizes=resolve_buckets(args.buckets))
+    if args.ensemble:
+        from toad_tpu.pipeline.infer import EnsembleInference
+
+        if "," in args.ckpt:
+            inference = EnsembleInference.from_checkpoints(
+                [s.strip() for s in args.ckpt.split(",") if s.strip()], model_cfg, **kw)
+        else:
+            inference = EnsembleInference.from_models_dir(args.ckpt, model_cfg, **kw)
+        n_members = len(inference.members)
+        print(f"ensemble: {n_members} fold checkpoints")
+    else:
+        inference = SlideInference.from_checkpoint(args.ckpt, model_cfg, **kw)
 
     inv = None
     if args.task:

@@ -104,6 +104,14 @@ class SlideInference:
         """One bag [N, D] -> prediction. N is padded up to the nearest bucket;
         bags longer than the largest bucket are head-truncated to it (same
         policy as the training batcher)."""
+        logits, site_logits, attention, n = self._run(self.params, features, sex)
+        return self._finish(logits, site_logits, attention, n)
+
+    def _run(self, params, features: np.ndarray, sex: int, qparams=None):
+        """Raw forward for one bag with the given parameter tree. ``params``
+        is a traced jit argument, so any same-shaped tree (another fold's
+        checkpoint — :class:`EnsembleInference`) reuses this object's single
+        compiled program."""
         bucket = bucket_for(int(features.shape[0]), self.buckets)
         feats32 = np.asarray(features, np.float32)
         n = min(int(feats32.shape[0]), bucket)  # real rows (attention slice)
@@ -115,7 +123,7 @@ class SlideInference:
             # the host abs/max/rint pass over the zero padding would up to
             # double the work on this 1-core host for just-over-bucket bags.
             xq_rows, sx_rows = quantize_rows_np(feats32[:n])
-            return self.predict_quantized(xq_rows, sx_rows, sex)
+            return self._run_quantized(params, xq_rows, sx_rows, sex, qparams=qparams)
         # the SAME pad/truncate policy as the training batcher, by construction
         bag, bag_mask = _pad_bag(feats32, bucket)
         if self.model.config.compute_dtype == "bfloat16":
@@ -126,15 +134,19 @@ class SlideInference:
 
             bag = bag.astype(ml_dtypes.bfloat16)
         logits, site_logits, attention = self._fwd(
-            self.params, jnp.asarray(bag[None]), jnp.asarray(bag_mask[None]),
+            params, jnp.asarray(bag[None]), jnp.asarray(bag_mask[None]),
             jnp.asarray([sex], jnp.int32)
         )
-        return self._finish(logits, site_logits, attention, n)
+        return logits, site_logits, attention, n
 
     def predict_quantized(self, xq_rows: np.ndarray, sx_rows: np.ndarray, sex: int) -> SlidePrediction:
         """Pre-quantized rows [n, D] int8 + [n] f32 scales -> prediction,
         skipping the host quantization pass entirely (bags stored with
         ``data/bags.py::save_int8_bag`` feed this directly). int8 mode only."""
+        logits, site_logits, attention, n = self._run_quantized(self.params, xq_rows, sx_rows, sex)
+        return self._finish(logits, site_logits, attention, n)
+
+    def _run_quantized(self, params, xq_rows: np.ndarray, sx_rows: np.ndarray, sex: int, qparams=None):
         if not self.int8:
             raise ValueError("predict_quantized requires SlideInference(int8=True)")
         bucket = bucket_for(int(xq_rows.shape[0]), self.buckets)
@@ -146,10 +158,11 @@ class SlideInference:
         mask = np.zeros((1, bucket), np.float32)
         mask[0, :n] = 1.0
         logits, site_logits, attention = self._fwd_int8(
-            self.params, self.qparams, jnp.asarray(xq[None]), jnp.asarray(sx[None]),
+            params, self.qparams if qparams is None else qparams,
+            jnp.asarray(xq[None]), jnp.asarray(sx[None]),
             jnp.asarray(mask), jnp.asarray([sex], jnp.int32)
         )
-        return self._finish(logits, site_logits, attention, n)
+        return logits, site_logits, attention, n
 
     def _finish(self, logits, site_logits, attention, n: int) -> SlidePrediction:
         y_prob = np.asarray(jax.nn.softmax(np.asarray(logits[0]) / self.temperature))
@@ -168,6 +181,127 @@ class SlideInference:
             site_attention=attn[0, 1, :n],
             topk=[(int(i), float(y_prob[i])) for i in order],
         )
+
+
+class EnsembleInference:
+    """Average-of-folds ensemble: mean softmax over k fold checkpoints.
+
+    The standard deployment pattern for a k-fold CV experiment — and one the
+    reference cannot express: its eval loop runs one checkpoint per pass and
+    only aggregates *metrics* across folds (``eval_mtl_concat.py:105,117-138``),
+    never probabilities. Here every member shares ONE compiled forward (the
+    parameter tree is a traced jit argument in :class:`SlideInference`), so an
+    ensemble costs k dispatches of the same XLA program, zero extra compiles.
+
+    Combination rule: per-member temperature-scaled class softmax, then the
+    arithmetic mean; argmax/top-k rank the mean. Attention comes back as the
+    mean of the members' softmaxed pooling weights over the real rows (raw
+    attention logits are not comparable across members)."""
+
+    def __init__(
+        self,
+        params_list: Sequence[Any],
+        model_cfg: ModelConfig,
+        bucket_sizes: Sequence[int] | None = None,
+        int8: bool = False,
+        temperature: float = 1.0,
+    ):
+        if not params_list:
+            raise ValueError("EnsembleInference needs at least one checkpoint")
+        self._inf = SlideInference(
+            params_list[0], model_cfg, bucket_sizes=bucket_sizes, int8=int8,
+            temperature=temperature,
+        )
+        if int8:
+            from toad_tpu.ops.quantize import quantize_pool_params
+
+            self.members = [
+                (p, jax.tree.map(jnp.asarray, quantize_pool_params(p))) for p in params_list
+            ]
+        else:
+            self.members = [(p, None) for p in params_list]
+
+    @classmethod
+    def from_checkpoints(
+        cls, ckpt_paths: Sequence[str | os.PathLike], model_cfg: ModelConfig, **kw
+    ) -> "EnsembleInference":
+        """Each path may be an Orbax directory or a reference torch
+        ``s_{fold}_checkpoint.pt`` (same sniffing as
+        :meth:`SlideInference.from_checkpoint`)."""
+        from toad_tpu.train.checkpoint import load_params_any
+
+        return cls([load_params_any(p, model_cfg) for p in ckpt_paths], model_cfg, **kw)
+
+    @classmethod
+    def from_models_dir(
+        cls, models_dir: str | os.PathLike, model_cfg: ModelConfig, **kw
+    ) -> "EnsembleInference":
+        """All ``s_{k}_checkpoint`` members found in a training results dir
+        (the layout ``cli/train.py`` writes), sorted by fold index."""
+        found = find_fold_checkpoints(models_dir)
+        if not found:
+            raise FileNotFoundError(f"no s_<k>_checkpoint members under {models_dir}")
+        return cls.from_checkpoints([p for _, p in found], model_cfg, **kw)
+
+    # int8/buckets/temperature come from the shared SlideInference
+    @property
+    def int8(self) -> bool:
+        return self._inf.int8
+
+    @property
+    def buckets(self):
+        return self._inf.buckets
+
+    def predict(self, features: np.ndarray, sex: int) -> SlidePrediction:
+        runs = [self._inf._run(p, features, sex, qparams=qp) for p, qp in self.members]
+        return self._combine(runs)
+
+    def predict_quantized(self, xq_rows: np.ndarray, sx_rows: np.ndarray, sex: int) -> SlidePrediction:
+        runs = [
+            self._inf._run_quantized(p, xq_rows, sx_rows, sex, qparams=qp)
+            for p, qp in self.members
+        ]
+        return self._combine(runs)
+
+    def _combine(self, runs) -> SlidePrediction:
+        preds = [self._inf._finish(lo, so, at, n) for lo, so, at, n in runs]
+        y_prob = np.mean([p.y_prob for p in preds], axis=0)
+        site_prob = np.mean([p.site_prob for p in preds], axis=0)
+
+        def _mean_weights(key: str) -> np.ndarray:
+            # softmax each member's raw attention over the real rows, then mean
+            ws = []
+            for p in preds:
+                a = np.asarray(getattr(p, key), np.float64)
+                a = np.exp(a - a.max())
+                ws.append(a / a.sum())
+            return np.mean(ws, axis=0)
+
+        order = np.argsort(-y_prob, kind="stable")
+        return SlidePrediction(
+            y_hat=int(y_prob.argmax()),
+            y_prob=y_prob,
+            site_hat=int(site_prob.argmax()),
+            site_prob=site_prob,
+            attention=_mean_weights("attention"),
+            site_attention=_mean_weights("site_attention"),
+            topk=[(int(i), float(y_prob[i])) for i in order],
+        )
+
+
+def find_fold_checkpoints(models_dir: str | os.PathLike) -> list[tuple[int, "os.PathLike"]]:
+    """``(fold, path)`` for every ``s_{k}_checkpoint[.pt]`` in a results dir,
+    sorted by fold (the ``cli/train.py`` / reference layout —
+    ``eval_mtl_concat.py:105``)."""
+    import re
+    from pathlib import Path
+
+    out = []
+    for p in Path(models_dir).iterdir():
+        m = re.fullmatch(r"s_(\d+)_checkpoint(\.pt)?", p.name)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
 
 
 def infer_patch_file(
