@@ -114,6 +114,66 @@ def test_ensemble_infer_feature_bag(members, bag, tmp_path):
     assert coords is None
 
 
+def test_evaluate_cli_ensemble(tmp_path):
+    """evaluate --split all --ensemble: per-slide mean of the fold probability
+    matrices, scored with the engine's metric semantics, appended as an
+    'ensemble' summary row."""
+    import os
+
+    import pandas as pd
+
+    from toad_tpu.cli import evaluate, make_dummy
+
+    root = tmp_path / "env"
+    make_dummy.main([
+        "--out_dir", str(root), "--n_patients", "30", "--max_slides_per_patient", "1",
+        "--min_patches", "32", "--max_patches", "96", "--dim", "64", "--seed", "3",
+    ])
+    task_json = str(root / "tasks" / "dummy_mtl_concat.json")
+
+    models_dir = tmp_path / "results" / "ens_s1"
+    models_dir.mkdir(parents=True)
+    model = ToadMIL(CFG)
+    for i in (0, 1):
+        save_checkpoint(models_dir / f"s_{i}_checkpoint",
+                        {"params": model.init(jax.random.PRNGKey(i)), "epoch": np.int64(0)})
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        df = evaluate.main([
+            "--task", task_json, "--data_root_dir", str(root / "bags"),
+            "--results_dir", str(tmp_path / "results"), "--models_exp_code", "ens_s1",
+            "--save_exp_code", "ens_eval", "--k", "2", "--split", "all",
+            "--encoding_size", "64", "--batch_size", "4", "--ensemble",
+            "--buckets", "128,256",
+        ])
+        assert list(df["folds"]) == [0, 1, "ensemble"]
+        save_dir = tmp_path / "eval_results" / "EVAL_ens_eval"
+        e = pd.read_csv(save_dir / "ensemble.csv")
+        f0 = pd.read_csv(save_dir / "fold_0.csv")
+        f1 = pd.read_csv(save_dir / "fold_1.csv")
+        pcols = [c for c in e.columns if c.startswith("p_")]
+        np.testing.assert_allclose(
+            e[pcols].to_numpy(), (f0[pcols].to_numpy() + f1[pcols].to_numpy()) / 2, atol=1e-8
+        )
+        assert (e["Y_hat"] == e[pcols].to_numpy().argmax(axis=1)).all()
+        ens_row = df[df["folds"] == "ensemble"].iloc[0]
+        assert np.isfinite(ens_row["cls_test_auc"])
+    finally:
+        os.chdir(cwd)
+
+    # guards: wrong split / single fold refuse before any work
+    with pytest.raises(SystemExit, match="split all"):
+        evaluate.main(["--task", task_json, "--data_root_dir", str(root / "bags"),
+                       "--results_dir", str(tmp_path / "results"), "--models_exp_code", "ens_s1",
+                       "--k", "2", "--split", "test", "--ensemble"])
+    with pytest.raises(SystemExit, match="two folds"):
+        evaluate.main(["--task", task_json, "--data_root_dir", str(root / "bags"),
+                       "--results_dir", str(tmp_path / "results"), "--models_exp_code", "ens_s1",
+                       "--k", "2", "--fold", "0", "--split", "all", "--ensemble"])
+
+
 def test_predict_cli_ensemble(members, bag, tmp_path):
     """--ensemble over a results dir and over a comma list agree."""
     import pandas as pd

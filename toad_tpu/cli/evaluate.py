@@ -55,6 +55,11 @@ def make_parser() -> argparse.ArgumentParser:
                    help="fit temperature scaling on the fold's val split and report "
                         "ECE/NLL before/after on the evaluated split "
                         "(fold_{k}_calibration.json); argmax/top-k are unchanged")
+    p.add_argument("--ensemble", action="store_true", default=False,
+                   help="also score the mean-of-folds ensemble (per-slide average of the "
+                        "folds' class/site probabilities): writes ensemble.csv and appends an "
+                        "'ensemble' row to summary.csv. Requires --split all, so every fold "
+                        "scores the same slides (per-fold test splits are disjoint)")
     return p
 
 
@@ -101,9 +106,16 @@ def main(argv=None):
         raise SystemExit(
             f"empty fold window: k={args.k} k_start={args.k_start} k_end={args.k_end}"
         )
+    if args.ensemble:
+        if args.split != "all":
+            raise SystemExit("--ensemble requires --split all (per-fold test splits are "
+                             "disjoint, so their probabilities cannot be averaged per slide)")
+        if len(folds) < 2:
+            raise SystemExit("--ensemble needs at least two folds in the window")
     split_index = {"train": 0, "val": 1, "test": 2, "all": -1}[args.split]
 
     rows = []
+    fold_dfs = []
     for fold in folds:
         if split_index < 0:
             split = dataset.subset(range(dataset.n_slides))
@@ -132,6 +144,8 @@ def main(argv=None):
             print(f"class {ci} auc: {auc}")
         print(f"fold {fold}: cls_auc {res.cls_auc:.4f} acc {res.cls_acc:.4f} site_auc {res.site_auc:.4f}")
         res.df.to_csv(save_dir / f"fold_{fold}.csv", index=False)
+        if args.ensemble:
+            fold_dfs.append(res.df)
 
         # confusion matrix (true rows x predicted cols, canonical class names)
         # — the reference only prints per-class TPR (core_utils:242-259)
@@ -216,6 +230,60 @@ def main(argv=None):
                 **ci_cols,
             }
         )
+
+    if args.ensemble:
+        import numpy as np
+
+        from toad_tpu.evaluate.metrics import binary_auc, micro_ovr_auc, ovr_aucs, topk_accuracy
+
+        n_cls = task.n_classes[0]
+        pcols = [f"p_{c}" for c in range(n_cls)]
+        base = fold_dfs[0]
+        for d in fold_dfs[1:]:
+            if list(d["slide_id"]) != list(base["slide_id"]):
+                raise RuntimeError("fold outputs score different slides; cannot ensemble")
+        probs = np.mean([d[pcols].to_numpy() for d in fold_dfs], axis=0)
+        site_p = np.mean([d["site_p"].to_numpy() for d in fold_dfs], axis=0)
+        labels = base["Y"].to_numpy().astype(int)
+        sites = base["site"].to_numpy().astype(int)
+        y_hat = probs.argmax(axis=1)
+        site_hat = (site_p >= 0.5).astype(int)
+
+        # same metric semantics as the per-fold engine (sentinels, top-k
+        # ladder, macro=nanmean-of-OVR vs --micro_average)
+        if len(np.unique(labels)) <= 1:
+            cls_auc = -1.0
+        elif n_cls == 2:
+            cls_auc = binary_auc(labels, probs[:, 1])
+        elif args.micro_average:
+            cls_auc = micro_ovr_auc(labels, probs, n_cls)
+        else:
+            cls_auc = float(np.nanmean(ovr_aucs(labels, probs, n_cls)))
+        site_auc = -1.0 if len(np.unique(sites)) <= 1 else binary_auc(sites, site_p)
+        ks = (1, 3, 5) if n_cls > 5 else ((1, 3) if n_cls > 2 else (1,))
+        topk = topk_accuracy(probs, labels, ks)
+
+        edf = base[["slide_id", "sex", "Y"]].copy()
+        edf["Y_hat"] = y_hat
+        edf["site"] = base["site"].to_numpy()
+        edf["site_hat"] = site_hat
+        for c in range(n_cls):
+            edf[f"p_{c}"] = probs[:, c]
+        edf["site_p"] = site_p
+        edf.to_csv(save_dir / "ensemble.csv", index=False)
+        rows.append(
+            {
+                "folds": "ensemble",
+                "cls_test_auc": cls_auc,
+                "cls_test_acc": float((y_hat == labels).mean()),
+                "cls_top3_acc": topk.get(3, float("nan")),
+                "cls_top5_acc": topk.get(5, float("nan")),
+                "site_test_auc": site_auc,
+                "site_test_acc": float((site_hat == sites).mean()),
+            }
+        )
+        print(f"ensemble ({len(fold_dfs)} folds): cls_auc {cls_auc:.4f} "
+              f"acc {rows[-1]['cls_test_acc']:.4f} site_auc {site_auc:.4f}")
 
     final_df = pd.DataFrame(rows)
     name = "summary.csv" if len(folds) == args.k else f"summary_partial_{folds[0]}_{folds[-1]}.csv"
