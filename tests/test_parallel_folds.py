@@ -156,6 +156,69 @@ def test_resume_after_crash_under_device(fold_jobs, tmp_path):
     assert next(iter(jax.tree.leaves(resumed["params"])[0].devices())) == dev
 
 
+def test_cli_resume_composes_with_fold_devices(dummy_env, tmp_path, monkeypatch, capsys):
+    """`train --resume --fold_devices 2` survives a mid-experiment preemption:
+    folds completed before the crash persisted their summaries immediately
+    (on_result fires per fold, not after the whole fan-out), the restart skips
+    them, resumes the interrupted fold from its epoch snapshot, and the final
+    summary is bit-identical to an uninterrupted run."""
+    import toad_tpu.train.parallel_folds as pf
+    from toad_tpu.cli import create_splits, train as train_cli
+
+    task_json = dummy_env["root"] / "task_pfresume.json"
+    task_json.write_text(dummy_env["task"].to_json())
+    monkeypatch.chdir(tmp_path)
+    create_splits.main(["--task", str(task_json), "--k", "2", "--seed", "1",
+                        "--val_frac", "0.15", "--test_frac", "0.2"])
+    split_dir = str(tmp_path / "splits" / f"{dummy_env['task'].name}_100")
+
+    def cli_args(results_dir):
+        return ["--task", str(task_json), "--data_root_dir", str(dummy_env["data_dir"]),
+                "--exp_code", "pfres", "--k", "2", "--max_epochs", "2",
+                "--encoding_size", str(dummy_env["dim"]), "--batch_size", "4",
+                "--split_dir", split_dir, "--results_dir", results_dir,
+                "--resume", "--fold_devices", "2"]
+
+    df_a = train_cli.main(cli_args(str(tmp_path / "ra")))
+
+    # preemption analog: fold 1 dies the moment its epoch-1 train line logs
+    # (fold 0 runs to completion on its own device before the error surfaces)
+    class Boom(Exception):
+        pass
+
+    real_trainer = pf.FoldTrainer
+
+    class CrashyTrainer(real_trainer):
+        def train(self, *splits, log_fn=print):
+            if self.fold == 1:
+                inner = log_fn
+
+                def log_fn(s):
+                    inner(s)
+                    if "epoch 1: train" in s:
+                        raise Boom()
+
+            return super().train(*splits, log_fn=log_fn)
+
+    monkeypatch.setattr(pf, "FoldTrainer", CrashyTrainer)
+    with pytest.raises(RuntimeError, match="fold 1 failed"):
+        train_cli.main(cli_args(str(tmp_path / "rb")))
+    monkeypatch.setattr(pf, "FoldTrainer", real_trainer)
+
+    rb = tmp_path / "rb" / "pfres_s1"
+    assert (rb / "fold_0_summary.json").exists()  # persisted despite the crash
+    assert not (rb / "fold_1_summary.json").exists()
+    assert (rb / "s_1_resume").exists()  # epoch-0 snapshot to resume from
+
+    capsys.readouterr()
+    df_b = train_cli.main(cli_args(str(tmp_path / "rb")))
+    out = capsys.readouterr().out
+    assert out.count("already complete") == 1  # fold 0 skipped, not retrained
+    assert "[fold 1] resumed from epoch 0" in out
+    for col in ("cls_test_auc", "cls_val_auc", "site_test_auc", "cls_test_acc"):
+        assert df_b[col].tolist() == df_a[col].tolist(), col
+
+
 def test_worker_error_propagates(fold_jobs, tmp_path):
     """A fold raising mid-train surfaces as RuntimeError naming the fold."""
     cfg = _cfg(64, max_epochs=1)

@@ -203,15 +203,17 @@ def main(argv=None):
         # per-fold results are bit-identical to the sequential path
         from toad_tpu.train.parallel_folds import train_folds_parallel
 
-        results = train_folds_parallel(
+        # persist each fold's artifacts the moment it finishes (not after the
+        # whole fan-out): a preemption then loses only in-flight folds, and
+        # --resume restarts skip the completed ones
+        train_folds_parallel(
             cfg,
             [(i, load_fold_splits(i)) for i in pending],
             results_dir,
             n_devices=args.fold_devices,
             make_fold_writer=lambda i: make_writer(str(results_dir / str(i)), enabled=args.log_data),
+            on_result=lambda i, r: rows_by_fold.__setitem__(i, finish_fold(i, r)),
         )
-        for i in pending:
-            rows_by_fold[i] = finish_fold(i, results[i])
     else:
         for i in pending:
             seed_everything(args.seed)

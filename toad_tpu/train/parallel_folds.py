@@ -60,6 +60,7 @@ def train_folds_parallel(
     n_devices: int = -1,
     log_fn: Callable[[str], None] = print,
     make_fold_writer: Callable[[int], Any] | None = None,
+    on_result: Callable[[int, dict], None] | None = None,
 ) -> dict[int, dict]:
     """Train every ``(fold, (train, val, test))`` job, folds fanned out over
     local devices. Returns ``{fold: FoldTrainer.train() result}``.
@@ -69,6 +70,12 @@ def train_folds_parallel(
     devices each worker picks up the next fold as soon as its current one
     finishes (no barrier between "rounds", unlike a static fold->device map,
     which would idle chips behind the slowest early-stopping fold).
+
+    ``on_result(fold, result)`` fires (serialized under a lock) the moment a
+    fold finishes — even if another fold later errors out. The CLI uses it to
+    persist per-fold artifacts incrementally so a preemption mid-experiment
+    loses only the in-flight folds (matching sequential-mode behavior), not
+    every completed-but-unsummarized one.
     """
     if cfg.data_shards * cfg.bag_shards > 1:
         raise ValueError(
@@ -107,6 +114,8 @@ def train_folds_parallel(
                     writer.close()
                 with lock:
                     results[fold] = r
+                    if on_result is not None:
+                        on_result(fold, r)
             except BaseException as e:  # noqa: BLE001 — re-raised after join
                 with lock:
                     errors.append((fold, e))
