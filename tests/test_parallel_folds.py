@@ -219,6 +219,45 @@ def test_cli_resume_composes_with_fold_devices(dummy_env, tmp_path, monkeypatch,
         assert df_b[col].tolist() == df_a[col].tolist(), col
 
 
+def test_cli_evaluate_fold_devices_matches_sequential(tmp_path, monkeypatch):
+    """`evaluate --fold_devices 2` is placement-only, like train: fold CSVs,
+    the ensemble CSV, and the summary are identical to the sequential run."""
+    import jax
+    import pandas as pd
+
+    from toad_tpu.cli import evaluate, make_dummy
+    from toad_tpu.config import ModelConfig
+    from toad_tpu.models.toad_mil import ToadMIL
+    from toad_tpu.train.checkpoint import save_checkpoint
+
+    root = tmp_path / "env"
+    make_dummy.main(["--out_dir", str(root), "--n_patients", "24",
+                     "--max_slides_per_patient", "1", "--min_patches", "32",
+                     "--max_patches", "96", "--dim", "64", "--seed", "5"])
+    task_json = str(root / "tasks" / "dummy_mtl_concat.json")
+    models_dir = tmp_path / "results" / "pfe_s1"
+    models_dir.mkdir(parents=True)
+    model = ToadMIL(ModelConfig(in_dim=64, n_classes=18))
+    for i in (0, 1):
+        save_checkpoint(models_dir / f"s_{i}_checkpoint",
+                        {"params": model.init(jax.random.PRNGKey(i)), "epoch": np.int64(0)})
+
+    monkeypatch.chdir(tmp_path)
+    base = ["--task", task_json, "--data_root_dir", str(root / "bags"),
+            "--results_dir", str(tmp_path / "results"), "--models_exp_code", "pfe_s1",
+            "--k", "2", "--split", "all", "--encoding_size", "64", "--batch_size", "4",
+            "--buckets", "128,256", "--ensemble"]
+    df_seq = evaluate.main(base + ["--save_exp_code", "seq"])
+    df_par = evaluate.main(base + ["--save_exp_code", "par", "--fold_devices", "2"])
+
+    for col in df_seq.columns:
+        assert df_seq[col].tolist() == df_par[col].tolist(), col
+    for name in ("fold_0.csv", "fold_1.csv", "ensemble.csv"):
+        a = pd.read_csv(tmp_path / "eval_results" / "EVAL_seq" / name)
+        b = pd.read_csv(tmp_path / "eval_results" / "EVAL_par" / name)
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_worker_error_propagates(fold_jobs, tmp_path):
     """A fold raising mid-train surfaces as RuntimeError naming the fold."""
     cfg = _cfg(64, max_epochs=1)

@@ -60,6 +60,10 @@ def make_parser() -> argparse.ArgumentParser:
                         "folds' class/site probabilities): writes ensemble.csv and appends an "
                         "'ensemble' row to summary.csv. Requires --split all, so every fold "
                         "scores the same slides (per-fold test splits are disjoint)")
+    p.add_argument("--fold_devices", type=int, default=1, metavar="N",
+                   help="evaluate folds concurrently, one per local device (N devices; "
+                        "-1 = all). Per-fold outputs are identical to the sequential run; "
+                        "fold log blocks flush atomically in completion order")
     return p
 
 
@@ -114,9 +118,10 @@ def main(argv=None):
             raise SystemExit("--ensemble needs at least two folds in the window")
     split_index = {"train": 0, "val": 1, "test": 2, "all": -1}[args.split]
 
-    rows = []
-    fold_dfs = []
-    for fold in folds:
+    def run_fold(fold, _payload=None, device=None, log=print):
+        """Everything one fold needs: eval pass + per-fold artifacts. Pure
+        per-fold state (thread-safe), so --fold_devices can fan it out one
+        fold per device; ``device=None`` is the sequential path unchanged."""
         if split_index < 0:
             split = dataset.subset(range(dataset.n_slides))
         else:
@@ -139,13 +144,12 @@ def main(argv=None):
             int8=args.int8,
             bucket_sizes=buckets,
             transfer_dtype=args.transfer_dtype,
+            device=device,
         )
         for ci, auc in enumerate(res.cls_aucs):
-            print(f"class {ci} auc: {auc}")
-        print(f"fold {fold}: cls_auc {res.cls_auc:.4f} acc {res.cls_acc:.4f} site_auc {res.site_auc:.4f}")
+            log(f"class {ci} auc: {auc}")
+        log(f"fold {fold}: cls_auc {res.cls_auc:.4f} acc {res.cls_acc:.4f} site_auc {res.site_auc:.4f}")
         res.df.to_csv(save_dir / f"fold_{fold}.csv", index=False)
-        if args.ensemble:
-            fold_dfs.append(res.df)
 
         # confusion matrix (true rows x predicted cols, canonical class names)
         # — the reference only prints per-class TPR (core_utils:242-259)
@@ -185,6 +189,7 @@ def main(argv=None):
                     models_dir / checkpoint_name(fold), val_split, model_cfg,
                     batch_size=args.batch_size, max_bag_size=args.max_bag_size, int8=args.int8,
                     bucket_sizes=buckets, transfer_dtype=args.transfer_dtype,
+                    device=device,
                 )
             pcols = [f"p_{c}" for c in range(n_cls)]
             rep = calibration_report(
@@ -197,9 +202,9 @@ def main(argv=None):
                 rep["note"] = ("evaluated split CONTAINS the calibration (val) slides "
                                "(partially self-calibrated)")
             (save_dir / f"fold_{fold}_calibration.json").write_text(json.dumps(rep, indent=2))
-            print(f"fold {fold}: temperature {rep['temperature']:.3f}, "
-                  f"ece {rep['ece_before']:.4f} -> {rep['ece_after']:.4f}, "
-                  f"nll {rep['nll_before']:.4f} -> {rep['nll_after']:.4f}")
+            log(f"fold {fold}: temperature {rep['temperature']:.3f}, "
+                f"ece {rep['ece_before']:.4f} -> {rep['ece_after']:.4f}, "
+                f"nll {rep['nll_before']:.4f} -> {rep['nll_after']:.4f}")
 
         ci_cols = {}
         if args.bootstrap > 0:
@@ -213,23 +218,36 @@ def main(argv=None):
             )
             (save_dir / f"fold_{fold}_ci.json").write_text(json.dumps(cis, indent=2))
             for m, ci in cis.items():
-                print(f"fold {fold}: {m} 95% CI [{ci['lo']:.4f}, {ci['hi']:.4f}] "
-                      f"(mean {ci['mean']:.4f}, {ci['n_valid']}/{ci['n_boot']} valid draws)")
+                log(f"fold {fold}: {m} 95% CI [{ci['lo']:.4f}, {ci['hi']:.4f}] "
+                    f"(mean {ci['mean']:.4f}, {ci['n_valid']}/{ci['n_boot']} valid draws)")
             ci_cols = {
                 f"{m}_ci_lo": ci["lo"] for m, ci in cis.items()
             } | {f"{m}_ci_hi": ci["hi"] for m, ci in cis.items()}
-        rows.append(
-            {
-                "folds": fold,
-                "cls_test_auc": res.cls_auc,
-                "cls_test_acc": res.cls_acc,
-                "cls_top3_acc": res.topk.get(3, float("nan")),
-                "cls_top5_acc": res.topk.get(5, float("nan")),
-                "site_test_auc": res.site_auc,
-                "site_test_acc": res.site_acc,
-                **ci_cols,
-            }
+        row = {
+            "folds": fold,
+            "cls_test_auc": res.cls_auc,
+            "cls_test_acc": res.cls_acc,
+            "cls_top3_acc": res.topk.get(3, float("nan")),
+            "cls_top5_acc": res.topk.get(5, float("nan")),
+            "site_test_auc": res.site_auc,
+            "site_test_acc": res.site_acc,
+            **ci_cols,
+        }
+        return row, res.df
+
+    if args.fold_devices != 1:
+        # one fold per local device (same work-queue engine as train
+        # --fold_devices); per-fold outputs identical to the sequential run
+        from toad_tpu.train.parallel_folds import map_folds_over_devices
+
+        by_fold = map_folds_over_devices(
+            [(fold, None) for fold in folds], run_fold, n_devices=args.fold_devices
         )
+    else:
+        by_fold = {fold: run_fold(fold) for fold in folds}
+
+    rows = [by_fold[fold][0] for fold in folds]
+    fold_dfs = [by_fold[fold][1] for fold in folds]
 
     if args.ensemble:
         import numpy as np

@@ -57,9 +57,19 @@ def evaluate_split(
     eval_step=None,
     int8: bool = False,
     transfer_dtype: str = "auto",
+    device=None,
 ) -> EvalResult:
-    """Run a full no-grad pass over `split` and assemble reference-schema outputs."""
+    """Run a full no-grad pass over `split` and assemble reference-schema outputs.
+
+    ``device`` pins the whole pass (params and every batch) to one local
+    device — the placement hook fold-parallel evaluation uses to run one fold
+    per chip (``cli/evaluate.py --fold_devices``); ``None`` keeps JAX's
+    default device."""
     n_classes = n_classes if n_classes is not None else model.config.n_classes
+    if device is not None:
+        import jax
+
+        params = jax.device_put(params, device)
     # the int8 wire ships pre-quantized rows+scales, which only a step WE
     # build here knows how to consume — a caller-supplied eval_step (e.g. a
     # reused compiled f32 step) must keep getting float features, or it would
@@ -82,6 +92,7 @@ def evaluate_split(
         # previous batch's forward (single-device path; mesh eval goes
         # through run_eval_pass(put=...) which owns placement)
         device_put=True,
+        device=device,
         # 'auto': int8 wire for quantized eval (rows quantized in the
         # producer thread — 4x fewer H2D bytes, same quantizer as the
         # on-device path); else bf16 wire when (and only when) the model
@@ -183,6 +194,7 @@ def evaluate_checkpoint(
     int8: bool = False,
     bucket_sizes=None,
     transfer_dtype: str = "auto",
+    device=None,
 ) -> EvalResult:
     """Load a checkpoint (params-only, tolerant of extra state) and evaluate.
 
@@ -207,4 +219,5 @@ def evaluate_checkpoint(
         # 'float32' reproduces the legacy wire exactly (bf16/int8 'auto'
         # picks can shift border values; see PARITY.md int8 wire note)
         transfer_dtype=transfer_dtype,
+        device=device,
     )

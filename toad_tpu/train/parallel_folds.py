@@ -53,6 +53,87 @@ def resolve_fold_devices(n_requested: int) -> list:
     return devs[:n_requested]
 
 
+def map_folds_over_devices(
+    jobs: Iterable[tuple[int, Any]],
+    fn: Callable[[int, Any, Any, Callable[[str], None]], Any],
+    n_devices: int = -1,
+    log_fn: Callable[[str], None] = print,
+    on_result: Callable[[int, Any], None] | None = None,
+    what: str = "fold",
+    stream_logs: bool = False,
+) -> dict[int, Any]:
+    """Run ``fn(fold, payload, device, log)`` for every ``(fold, payload)``
+    job, fanned out over local devices — the generic engine behind
+    fold-parallel training AND evaluation.
+
+    One pinned worker thread per device drives a shared work queue (a device
+    never runs two folds at once; free devices pick up the next fold with no
+    round barrier). ``log`` passed to ``fn`` buffers that fold's lines and
+    flushes them atomically through ``log_fn`` when the fold finishes, so
+    concurrent folds' output never interleaves (``stream_logs=True`` instead
+    emits lines live under the lock — right for long training runs, whose
+    per-epoch lines are the progress display). ``on_result(fold, result)``
+    fires under the same lock the moment each fold completes — even if a
+    later fold errors — so callers can persist per-fold artifacts
+    incrementally. The first error is re-raised (as ``RuntimeError`` naming
+    the fold) after all workers drain.
+    """
+    devices = resolve_fold_devices(n_devices)
+    job_q: queue.Queue = queue.Queue()
+    n_jobs = 0
+    for job in jobs:
+        job_q.put(job)
+        n_jobs += 1
+    results: dict[int, Any] = {}
+    errors: list[tuple[int, BaseException]] = []
+    lock = threading.Lock()
+
+    def locked_log(msg: str) -> None:
+        with lock:
+            log_fn(msg)
+
+    def worker(dev) -> None:
+        while True:
+            try:
+                fold, payload = job_q.get_nowait()
+            except queue.Empty:
+                return
+            lines: list[str] = []
+            log = locked_log if stream_logs else lines.append
+            try:
+                r = fn(fold, payload, dev, log)
+                with lock:
+                    for line in lines:
+                        log_fn(line)
+                    results[fold] = r
+                    if on_result is not None:
+                        on_result(fold, r)
+            except BaseException as e:  # noqa: BLE001 — re-raised after join
+                with lock:
+                    for line in lines:
+                        log_fn(line)
+                    errors.append((fold, e))
+                return
+
+    threads = [
+        threading.Thread(target=worker, args=(d,), name=f"{what}-worker-{i}", daemon=True)
+        for i, d in enumerate(devices[: max(1, min(len(devices), n_jobs))])
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    if errors:
+        fold, err = errors[0]
+        raise RuntimeError(f"{what} {fold} failed under fold-parallel execution") from err
+    missing = n_jobs - len(results)
+    if missing:
+        # a worker died without recording an error (should be unreachable)
+        raise RuntimeError(f"{missing} {what}s did not complete")
+    return results
+
+
 def train_folds_parallel(
     cfg: TrainConfig,
     jobs: Iterable[tuple[int, Sequence]],
@@ -85,56 +166,17 @@ def train_folds_parallel(
     if cfg.profile_dir:
         raise ValueError("--profile supports one trace at a time; run it with fold_devices=1")
 
-    devices = resolve_fold_devices(n_devices)
-    job_q: queue.Queue = queue.Queue()
-    n_jobs = 0
-    for job in jobs:
-        job_q.put(job)
-        n_jobs += 1
-    results: dict[int, dict] = {}
-    errors: list[tuple[int, BaseException]] = []
-    lock = threading.Lock()
+    def train_one(fold: int, splits: Sequence, dev, log: Callable[[str], None]) -> dict:
+        writer = make_fold_writer(fold) if make_fold_writer is not None else None
+        trainer = FoldTrainer(cfg, fold=fold, results_dir=results_dir, writer=writer, device=dev)
+        log(f"[fold {fold}] -> {dev}")
+        r = trainer.train(*splits, log_fn=log)
+        if writer is not None:
+            writer.close()
+        return r
 
-    def locked_log(msg: str) -> None:
-        with lock:
-            log_fn(msg)
-
-    def worker(dev) -> None:
-        while True:
-            try:
-                fold, splits = job_q.get_nowait()
-            except queue.Empty:
-                return
-            try:
-                writer = make_fold_writer(fold) if make_fold_writer is not None else None
-                trainer = FoldTrainer(cfg, fold=fold, results_dir=results_dir, writer=writer, device=dev)
-                locked_log(f"[fold {fold}] -> {dev}")
-                r = trainer.train(*splits, log_fn=locked_log)
-                if writer is not None:
-                    writer.close()
-                with lock:
-                    results[fold] = r
-                    if on_result is not None:
-                        on_result(fold, r)
-            except BaseException as e:  # noqa: BLE001 — re-raised after join
-                with lock:
-                    errors.append((fold, e))
-                return
-
-    threads = [
-        threading.Thread(target=worker, args=(d,), name=f"fold-worker-{i}", daemon=True)
-        for i, d in enumerate(devices[: max(1, min(len(devices), n_jobs))])
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-
-    if errors:
-        fold, err = errors[0]
-        raise RuntimeError(f"fold {fold} failed under fold-parallel training") from err
-    missing = n_jobs - len(results)
-    if missing:
-        # a worker died without recording an error (should be unreachable)
-        raise RuntimeError(f"{missing} folds did not complete")
-    return results
+    # stream_logs: per-epoch lines ARE the progress display on long runs
+    return map_folds_over_devices(
+        jobs, train_one, n_devices=n_devices, log_fn=log_fn,
+        on_result=on_result, stream_logs=True,
+    )
