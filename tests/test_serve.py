@@ -842,3 +842,142 @@ def test_http_predict_raw_bf16_body(http_service):
     # byte-count validation: bf16 needs n*dim*2
     st, out = _post_octet(port, f_bf16.tobytes()[:-2], {**hdr, "X-Toad-Dtype": "bf16"})
     assert st == 400 and "bf16 needs" in out["error"]
+
+
+# -- mean-of-folds ensemble serving ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ensemble_members(model_and_params):
+    cfg, params = model_and_params
+    return cfg, [params, ToadMIL(cfg).init(jax.random.PRNGKey(7))]
+
+
+def test_ensemble_batcher_matches_ensemble_inference(ensemble_members):
+    """Stacked-vmap ensemble serving reproduces EnsembleInference: per-member
+    class softmax -> mean, and attention = mean of the members' softmaxed
+    pooling weights (sums to 1 over the real rows)."""
+    from toad_tpu.pipeline.infer import EnsembleInference
+
+    cfg, members = ensemble_members
+    ens = EnsembleInference(members, cfg, bucket_sizes=BUCKETS)
+    rng = np.random.default_rng(3)
+    bags = _bags(rng, 6)
+    sc = ServeConfig(max_batch=8, max_wait_ms=20, bucket_sizes=BUCKETS, need_attention=True)
+    with DynamicBatcher(members, cfg, sc) as b:
+        assert b.n_members == 2
+        futures = [b.submit(f, s) for f, s in bags]
+        preds = [f.result(timeout=120) for f in futures]
+    for (feats, sex), pred in zip(bags, preds):
+        ref = ens.predict(feats, sex)
+        np.testing.assert_allclose(pred.y_prob, ref.y_prob, atol=1e-5)
+        np.testing.assert_allclose(pred.site_prob, ref.site_prob, atol=1e-5)
+        np.testing.assert_allclose(pred.attention, ref.attention, atol=1e-5)
+        np.testing.assert_allclose(pred.attention.sum(), 1.0, atol=1e-5)
+        assert pred.y_hat == ref.y_hat and pred.site_hat == ref.site_hat
+
+
+def test_ensemble_temperature_applied_per_member(ensemble_members):
+    """T is applied per member BEFORE the mean (the mean of T-scaled softmaxes
+    is not the T-scaled mean) — same rule as predict --ensemble."""
+    from toad_tpu.pipeline.infer import EnsembleInference
+
+    cfg, members = ensemble_members
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((40, DIM)).astype(np.float32)
+    ref = EnsembleInference(members, cfg, bucket_sizes=BUCKETS, temperature=2.0).predict(feats, 1)
+    with DynamicBatcher(members, cfg, ServeConfig(bucket_sizes=BUCKETS, temperature=2.0)) as b:
+        pred = b.predict(feats, 1)
+    np.testing.assert_allclose(pred.y_prob, ref.y_prob, atol=1e-5)
+    assert pred.y_hat == ref.y_hat
+
+
+def test_ensemble_int8_batcher(ensemble_members):
+    """int8 ensemble: per-member quantized trunks stacked for the vmapped
+    forward; probabilities track the f32 ensemble within quant noise."""
+    cfg, members = ensemble_members
+    rng = np.random.default_rng(5)
+    feats = rng.standard_normal((50, DIM)).astype(np.float32)
+    with DynamicBatcher(members, cfg, ServeConfig(bucket_sizes=BUCKETS, int8=True)) as bq:
+        assert bq.n_members == 2
+        pq = bq.predict(feats, 0)
+    with DynamicBatcher(members, cfg, ServeConfig(bucket_sizes=BUCKETS)) as bf:
+        pf = bf.predict(feats, 0)
+    np.testing.assert_allclose(pq.y_prob, pf.y_prob, atol=0.01)
+    assert pq.y_hat == pf.y_hat
+
+
+def test_ensemble_mesh_serving(ensemble_members):
+    """ensemble x ('data','bag') mesh compose: the member axis vmaps over
+    GSPMD-sharded batches and matches single-device ensemble serving."""
+    from toad_tpu.parallel.mesh import make_mesh
+
+    cfg, members = ensemble_members
+    mesh = make_mesh(4, 2)
+    rng = np.random.default_rng(6)
+    bags = _bags(rng, 5)
+    sc = ServeConfig(max_batch=8, max_wait_ms=20, bucket_sizes=BUCKETS)
+    with DynamicBatcher(members, cfg, sc, mesh=mesh) as bm, DynamicBatcher(members, cfg, sc) as b1:
+        fm = [bm.submit(f, s) for f, s in bags]
+        f1 = [b1.submit(f, s) for f, s in bags]
+        for a, b in zip(fm, f1):
+            pa, pb = a.result(timeout=120), b.result(timeout=120)
+            np.testing.assert_allclose(pa.y_prob, pb.y_prob, atol=1e-4)
+            assert pa.y_hat == pb.y_hat
+
+
+def test_ensemble_service_from_results_dir(tmp_path, ensemble_members):
+    """from_checkpoint(ensemble=True) over a cli/train.py-layout results dir;
+    /stats reports the member count and /predict serves the ensemble mean."""
+    from toad_tpu.pipeline.infer import EnsembleInference
+    from toad_tpu.train.checkpoint import save_checkpoint
+
+    cfg, members = ensemble_members
+    for i, p in enumerate(members):
+        save_checkpoint(tmp_path / f"s_{i}_checkpoint", {"params": p, "epoch": np.int64(0)})
+    service = InferenceService.from_checkpoint(
+        tmp_path, cfg, ServeConfig(bucket_sizes=BUCKETS), ensemble=True
+    )
+    server, port = serve_in_thread(service)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/stats")
+        st = json.loads(conn.getresponse().read())
+        assert st["config"]["ensemble_members"] == 2
+        rng = np.random.default_rng(8)
+        feats = rng.standard_normal((30, DIM)).astype(np.float32)
+        body = json.dumps({"features_b64": base64.b64encode(feats.astype("<f4").tobytes()).decode(),
+                           "shape": [30, DIM], "sex": "F"})
+        conn.request("POST", "/predict", body, {"Content-Type": "application/json"})
+        out = json.loads(conn.getresponse().read())
+        ref = EnsembleInference(members, cfg, bucket_sizes=BUCKETS).predict(feats, 0)
+        np.testing.assert_allclose(out["y_prob"], ref.y_prob, atol=1e-5)
+        assert out["y_hat"] == ref.y_hat
+        conn.close()
+    finally:
+        server.shutdown()
+        service.close()
+    # and a dir with no members refuses loudly
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError, match="s_<k>_checkpoint"):
+        InferenceService.from_checkpoint(
+            tmp_path / "empty", cfg, ServeConfig(bucket_sizes=BUCKETS), ensemble=True
+        )
+
+
+def test_ensemble_pallas_forward_lowers_for_tpu(ensemble_members):
+    """Mosaic-lowering guard: the ensemble forward with the fused Pallas
+    pooling kernel must lower for platform 'tpu'. vmap over the stacked
+    member params does NOT lower (Mosaic rejects batched weight-operand
+    blocks — probed on chip), which is why _combine unrolls the member loop;
+    this guards that property in the CPU suite."""
+    cfg, members = ensemble_members
+    pcfg = ModelConfig(in_dim=DIM, n_classes=6, use_pallas=True)
+    with DynamicBatcher(members, pcfg, ServeConfig(bucket_sizes=(128, 256))) as b:
+        feats = np.zeros((2, 128, DIM), np.float32)  # Pallas needs 128-multiple buckets
+        mask = np.ones((2, 128), np.float32)
+        sex = np.zeros((2,), np.int32)
+        for want_attn in (False, True):
+            b._fwd.trace(b.params, feats, mask, sex, need_attention=want_attn).lower(
+                lowering_platforms=("tpu",)
+            )  # raises on Mosaic rejection

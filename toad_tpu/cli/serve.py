@@ -39,7 +39,17 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--temperature", type=float, default=1.0,
         help="calibrated softmax temperature for class probabilities "
-        "(fit with evaluate --calibrate)",
+        "(fit with evaluate --calibrate; for --ensemble it is applied per "
+        "member before the mean, matching predict --ensemble)",
+    )
+    p.add_argument(
+        "--ensemble", action="store_true",
+        help="serve the mean-of-folds CV ensemble: --ckpt is a training "
+        "results dir and every s_<k>_checkpoint becomes a member; all members "
+        "run inside ONE jitted forward, so a request batch still costs one "
+        "dispatch (K x the FLOPs, zero extra compiles). Attention responses "
+        "carry the mean of the members' softmaxed pooling weights instead of "
+        "raw scores",
     )
     from toad_tpu.cli.common import add_buckets_arg
     add_buckets_arg(p)
@@ -120,8 +130,11 @@ def main(argv=None) -> None:
         temperature=args.temperature,
     )
     service = InferenceService.from_checkpoint(
-        args.ckpt, model_cfg, serve_cfg, task=task, mesh=mesh, bag_root=args.bag_root
+        args.ckpt, model_cfg, serve_cfg, task=task, mesh=mesh, bag_root=args.bag_root,
+        ensemble=args.ensemble,
     )
+    if args.ensemble:
+        print(f"ensemble: {service.batcher.n_members} fold checkpoints from {args.ckpt}")
     if args.warmup is not None:
         import time
 

@@ -110,6 +110,24 @@ class DynamicBatcher:
         import jax
 
         self.model = ToadMIL(model_cfg)
+        # mean-of-folds ensemble serving: pass a LIST of member param trees
+        # and the batcher stacks them on a leading axis and runs every member
+        # inside ONE jitted forward (one dispatch per request batch, one
+        # compiled program per shape, K x the FLOPs) instead of K sequential
+        # dispatches. Combination rule matches
+        # pipeline/infer.py::EnsembleInference: per-member temperature-scaled
+        # class softmax -> arithmetic mean; attention -> mean of the members'
+        # masked-softmax pooling weights.
+        members = list(params) if isinstance(params, (list, tuple)) else [params]
+        if not members:
+            raise ValueError("DynamicBatcher needs at least one parameter tree")
+        self.n_members = len(members)
+        if self.n_members > 1:
+            import jax.numpy as jnp
+
+            params = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *members)
+        else:
+            params = members[0]
         if cfg.transfer_dtype == "auto":
             from dataclasses import replace
 
@@ -153,7 +171,15 @@ class DynamicBatcher:
         if cfg.int8:
             from toad_tpu.ops.quantize import quantize_pool_params
 
-            qp = quantize_pool_params(self.params)
+            if self.n_members > 1:
+                import jax.numpy as jnp
+
+                # quantize each member's trunk separately (per-channel scales
+                # are per member), THEN stack for the vmapped forward
+                qps = [quantize_pool_params(m) for m in members]
+                qp = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *qps)
+            else:
+                qp = quantize_pool_params(self.params)
             if mesh is not None:
                 from toad_tpu.parallel.sharding import replicate
 
@@ -161,22 +187,26 @@ class DynamicBatcher:
             self.qparams = jax.device_put(qp) if mesh is None else qp
 
             def fwd_q(params, qparams, feats, scales, mask, sex, need_attention: bool):
-                out = self.model.apply_int8(
-                    params, qparams, feats, scales, mask, sex, need_attention=need_attention
-                )
-                attn = out.attention if need_attention else out.logits  # placeholder arm
-                return out.y_prob, out.site_prob, attn
+                def one(p, q):
+                    out = self.model.apply_int8(
+                        p, q, feats, scales, mask, sex, need_attention=need_attention
+                    )
+                    return out.logits, out.site_prob, (out.attention if need_attention else out.logits)
+
+                return self._combine(one, (params, qparams), mask, need_attention)
 
             self._fwd_int8 = jax.jit(fwd_q, static_argnames=("need_attention",))
         else:
             self.qparams = None
 
             def fwd(params, feats, mask, sex, need_attention: bool):
-                out = self.model.apply(
-                    params, feats, mask, sex, train=False, need_attention=need_attention
-                )
-                attn = out.attention if need_attention else out.logits  # placeholder arm
-                return out.y_prob, out.site_prob, attn
+                def one(p):
+                    out = self.model.apply(
+                        p, feats, mask, sex, train=False, need_attention=need_attention
+                    )
+                    return out.logits, out.site_prob, (out.attention if need_attention else out.logits)
+
+                return self._combine(one, (params,), mask, need_attention)
 
             self._fwd = jax.jit(fwd, static_argnames=("need_attention",))
         self._thread = threading.Thread(target=self._run, name="toad-serve-batcher", daemon=True)
@@ -365,6 +395,49 @@ class DynamicBatcher:
         mask[len(group) :, 0] = 1.0
         return feats, mask, sex, scales
 
+    def _combine(self, one, param_trees, mask, need_attention: bool):
+        """Shared tail of the jitted forwards (traced inside jit).
+
+        Single member: identical to a plain forward — class softmax of the
+        f32 logits (== the model's own ``y_prob``), raw attention scores; the
+        host applies temperature afterwards, as before.
+
+        Ensemble (``n_members > 1``): run ``one`` for every slice of the
+        stacked member axis — an UNROLLED loop inside the trace, not vmap,
+        because the fused Pallas pooling kernel's block specs cannot tile a
+        batched weight operand (Mosaic rejects the [K, ...] blocks; probed on
+        chip). Still one compiled program and one dispatch per request batch;
+        XLA schedules the K independent member forwards itself. Combine with
+        :class:`~toad_tpu.pipeline.infer.EnsembleInference`'s rule —
+        per-member class softmax at the serving temperature, then the
+        arithmetic mean; site softmax mean; attention comes back as the mean
+        of the members' masked-softmax pooling *weights* over the real
+        patches (raw attention logits are not comparable across members)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.n_members == 1:
+            logits, site_prob, attn = one(*param_trees)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1), site_prob, attn
+        outs = [
+            one(*(jax.tree.map(lambda x, k=k: x[k], t) for t in param_trees))
+            for k in range(self.n_members)
+        ]
+        logits = jnp.stack([o[0] for o in outs])  # leading member axis K
+        site_prob = jnp.stack([o[1] for o in outs])
+        attn = jnp.stack([o[2] for o in outs])
+        y_prob = jax.nn.softmax(
+            logits.astype(jnp.float32) / self.cfg.temperature, axis=-1
+        ).mean(axis=0)
+        site_prob = site_prob.astype(jnp.float32).mean(axis=0)
+        if need_attention:
+            a = attn.astype(jnp.float32)  # [K, B, T, N]
+            a = jnp.where(mask[None, :, None, :] > 0, a, jnp.finfo(jnp.float32).min)
+            attn = jax.nn.softmax(a, axis=-1).mean(axis=0)
+        else:
+            attn = attn[0]  # placeholder arm
+        return y_prob, site_prob, attn
+
     def _device_forward(self, feats, mask, sex, want_attn: bool, scales=None):
         import jax
 
@@ -439,7 +512,9 @@ class DynamicBatcher:
             self._batched += b
             self._padded += b_pad - b
         y_prob = np.asarray(y_prob)
-        if self.cfg.temperature != 1.0:
+        if self.cfg.temperature != 1.0 and self.n_members == 1:
+            # ensembles already applied T per member on device (the mean of
+            # per-member T-scaled softmaxes is NOT the T-scaled mean)
             from toad_tpu.evaluate.calibration import apply_temperature
 
             y_prob = apply_temperature(y_prob, self.cfg.temperature)

@@ -97,13 +97,32 @@ class InferenceService:
         task: TaskConfig | None = None,
         mesh=None,
         bag_root: Any = None,
+        ensemble: bool = False,
     ) -> "InferenceService":
         """Orbax checkpoint directory or reference torch ``s_k_checkpoint.pt``
-        (one shared loading policy: :func:`toad_tpu.train.checkpoint.load_params_any`)."""
+        (one shared loading policy: :func:`toad_tpu.train.checkpoint.load_params_any`).
+
+        ``ensemble=True``: ``ckpt_path`` is a training results dir
+        (``cli/train.py`` layout) and every ``s_<k>_checkpoint`` member is
+        served as a mean-of-folds ensemble — the batcher stacks the member
+        params and runs every member inside one jitted forward, so each
+        request batch still costs one dispatch (see
+        :class:`~toad_tpu.serve.batcher.DynamicBatcher`)."""
         from toad_tpu.train.checkpoint import load_params_any
 
+        if ensemble:
+            from toad_tpu.pipeline.infer import find_fold_checkpoints
+
+            found = find_fold_checkpoints(ckpt_path)
+            if not found:
+                raise FileNotFoundError(
+                    f"--ensemble: no s_<k>_checkpoint members under {ckpt_path}"
+                )
+            params = [load_params_any(p, model_cfg) for _, p in found]
+        else:
+            params = load_params_any(ckpt_path, model_cfg)
         return cls(
-            load_params_any(ckpt_path, model_cfg), model_cfg, serve_cfg,
+            params, model_cfg, serve_cfg,
             task=task, mesh=mesh, bag_root=bag_root,
         )
 
@@ -220,6 +239,7 @@ class InferenceService:
                 "int8": cfg.int8,
                 "temperature": cfg.temperature,
                 "transfer_dtype": cfg.transfer_dtype,
+                "ensemble_members": self.batcher.n_members,
             },
         }
 
