@@ -205,3 +205,29 @@ def test_predict_cli_ensemble(members, bag, tmp_path):
     pcols = [c for c in a.columns if c.startswith("p_")]
     np.testing.assert_allclose(a[pcols].values, b[pcols].values, rtol=1e-6)
     np.testing.assert_allclose(a[pcols].sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_infer_cli_ensemble(members, bag, tmp_path, capsys):
+    """infer --ensemble: top-k probabilities equal EnsembleInference's mean,
+    and attention (the heatmap source) is the mean of softmaxed weights."""
+    import json
+
+    from toad_tpu.cli import infer as infer_cli
+
+    params, results_dir = members
+    bag_path = tmp_path / "one.npy"
+    np.save(bag_path, bag)
+
+    infer_cli.main([
+        "--ckpt", str(results_dir), "--ensemble", "--bag", str(bag_path),
+        "--sex", "F", "--encoding_size", "64", "--buckets", "128,256", "--topk", "18",
+    ])
+    out = json.loads(capsys.readouterr().out)
+
+    ens = EnsembleInference(params, CFG, bucket_sizes=(128, 256))
+    ref = ens.predict(bag, 0)
+    assert out["y_hat"] == ref.y_hat
+    got = {int(t["class"]): t["prob"] for t in out["topk"]}
+    for ci, p in ref.topk:
+        assert abs(got[ci] - p) < 1e-5, ci
+    assert out["n_patches"] == len(ref.attention)

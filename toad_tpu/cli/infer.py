@@ -38,6 +38,11 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true", default=False)
     p.add_argument("--int8", action="store_true", default=False,
                    help="quantized pooling fast path (int8 MXU GEMMs; heads stay f32)")
+    p.add_argument("--ensemble", action="store_true", default=False,
+                   help="mean-of-folds ensemble: --ckpt is a training results dir (every "
+                        "s_<k>_checkpoint becomes a member) or a comma-separated checkpoint "
+                        "list; probabilities are the per-member softmax mean and attention "
+                        "(incl. --heatmap) the mean of the members' softmaxed pooling weights")
     p.add_argument("--temperature", type=float, default=1.0,
                    help="calibrated softmax temperature for class probabilities (fit with evaluate --calibrate)")
     from toad_tpu.cli.common import add_buckets_arg
@@ -55,9 +60,19 @@ def main(argv=None):
     from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag, infer_patch_file
 
     from toad_tpu.cli.common import resolve_buckets
-    inference = SlideInference.from_checkpoint(
-        args.ckpt, model_cfg, int8=args.int8, temperature=args.temperature,
-        bucket_sizes=resolve_buckets(args.buckets))
+    kw = dict(int8=args.int8, temperature=args.temperature,
+              bucket_sizes=resolve_buckets(args.buckets))
+    if args.ensemble:
+        # same --ckpt semantics as predict --ensemble (cli/predict.py)
+        from toad_tpu.pipeline.infer import EnsembleInference
+
+        if "," in args.ckpt:
+            inference = EnsembleInference.from_checkpoints(
+                [s.strip() for s in args.ckpt.split(",") if s.strip()], model_cfg, **kw)
+        else:
+            inference = EnsembleInference.from_models_dir(args.ckpt, model_cfg, **kw)
+    else:
+        inference = SlideInference.from_checkpoint(args.ckpt, model_cfg, **kw)
 
     if args.bag:
         pred, coords = infer_feature_bag(inference, args.bag, sex)
