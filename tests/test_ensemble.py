@@ -93,6 +93,38 @@ def test_find_fold_checkpoints_ordering(tmp_path):
     assert [f for f, _ in found] == [0, 2, 10]
 
 
+def test_find_fold_checkpoints_dedups_fold(tmp_path):
+    """A fold with BOTH an Orbax dir and a torch .pt export appears once
+    (Orbax preferred) — otherwise the ensemble mean double-weights it."""
+    (tmp_path / "s_0_checkpoint").mkdir()
+    (tmp_path / "s_0_checkpoint.pt").touch()
+    (tmp_path / "s_1_checkpoint.pt").touch()
+    found = find_fold_checkpoints(tmp_path)
+    assert [f for f, _ in found] == [0, 1]
+    assert found[0][1].name == "s_0_checkpoint"
+    assert found[1][1].name == "s_1_checkpoint.pt"
+
+
+def test_from_spec_dir_with_comma_in_name(members, bag, tmp_path):
+    """from_spec treats an EXISTING path as a models dir even when its name
+    contains a comma (the comma-list split must not misparse it); a
+    non-existent comma string still splits into member paths."""
+    params, results_dir = members
+    odd_dir = tmp_path / "run,v2"
+    odd_dir.mkdir()
+    for i in (0, 1):
+        save_checkpoint(odd_dir / f"s_{i}_checkpoint", {"params": params[i], "epoch": np.int64(0)})
+    ens = EnsembleInference.from_spec(odd_dir, CFG, bucket_sizes=BUCKETS)
+    assert len(ens.members) == 2
+    ref = EnsembleInference(params, CFG, bucket_sizes=BUCKETS).predict(bag, sex=1)
+    np.testing.assert_allclose(ens.predict(bag, sex=1).y_prob, ref.y_prob, rtol=1e-6)
+    lst = EnsembleInference.from_spec(
+        f"{results_dir / 's_0_checkpoint'},{results_dir / 's_1_checkpoint'}",
+        CFG, bucket_sizes=BUCKETS,
+    )
+    assert len(lst.members) == 2
+
+
 def test_int8_ensemble(members, bag):
     params, _ = members
     f32 = EnsembleInference(params, CFG, bucket_sizes=BUCKETS).predict(bag, sex=0)

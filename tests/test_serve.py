@@ -965,6 +965,33 @@ def test_ensemble_service_from_results_dir(tmp_path, ensemble_members):
         )
 
 
+def test_single_member_ensemble_keeps_contract(ensemble_members):
+    """A 1-fold results dir served with --ensemble must keep the documented
+    ensemble semantics (attention = softmaxed pooling weights summing to 1,
+    temperature applied per member on device), not silently degrade to the
+    plain-serving raw-score contract."""
+    from toad_tpu.pipeline.infer import EnsembleInference
+
+    cfg, members = ensemble_members
+    rng = np.random.default_rng(9)
+    feats = rng.standard_normal((40, DIM)).astype(np.float32)
+    ref = EnsembleInference(
+        members[:1], cfg, bucket_sizes=BUCKETS, temperature=2.0
+    ).predict(feats, 1)
+    sc = ServeConfig(bucket_sizes=BUCKETS, need_attention=True, temperature=2.0)
+    with DynamicBatcher(members[:1], cfg, sc) as b:
+        assert b.ensemble and b.n_members == 1
+        pred = b.predict(feats, 1, attention=True)
+    np.testing.assert_allclose(pred.y_prob, ref.y_prob, atol=1e-5)
+    np.testing.assert_allclose(pred.attention, ref.attention, atol=1e-6)
+    np.testing.assert_allclose(pred.attention.sum(), 1.0, atol=1e-5)
+    # the plain (non-list) batcher still returns raw scores — back-compat
+    with DynamicBatcher(members[0], cfg, sc) as b:
+        assert not b.ensemble
+        raw = b.predict(feats, 1, attention=True)
+    assert abs(raw.attention.sum() - 1.0) > 1e-3
+
+
 def test_ensemble_pallas_forward_lowers_for_tpu(ensemble_members):
     """Mosaic-lowering guard: the ensemble forward with the fused Pallas
     pooling kernel must lower for platform 'tpu'. vmap over the stacked

@@ -63,14 +63,10 @@ def main(argv=None):
     kw = dict(int8=args.int8, temperature=args.temperature,
               bucket_sizes=resolve_buckets(args.buckets))
     if args.ensemble:
-        # same --ckpt semantics as predict --ensemble (cli/predict.py)
+        # same --ckpt semantics as predict --ensemble (one shared dispatch)
         from toad_tpu.pipeline.infer import EnsembleInference
 
-        if "," in args.ckpt:
-            inference = EnsembleInference.from_checkpoints(
-                [s.strip() for s in args.ckpt.split(",") if s.strip()], model_cfg, **kw)
-        else:
-            inference = EnsembleInference.from_models_dir(args.ckpt, model_cfg, **kw)
+        inference = EnsembleInference.from_spec(args.ckpt, model_cfg, **kw)
     else:
         inference = SlideInference.from_checkpoint(args.ckpt, model_cfg, **kw)
 

@@ -89,11 +89,7 @@ def main(argv=None):
     if args.ensemble:
         from toad_tpu.pipeline.infer import EnsembleInference
 
-        if "," in args.ckpt:
-            inference = EnsembleInference.from_checkpoints(
-                [s.strip() for s in args.ckpt.split(",") if s.strip()], model_cfg, **kw)
-        else:
-            inference = EnsembleInference.from_models_dir(args.ckpt, model_cfg, **kw)
+        inference = EnsembleInference.from_spec(args.ckpt, model_cfg, **kw)
         n_members = len(inference.members)
         print(f"ensemble: {n_members} fold checkpoints")
     else:

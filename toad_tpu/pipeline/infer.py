@@ -58,7 +58,10 @@ class SlideInference:
         invariant; only the reported confidences change. Site probabilities
         are left raw (the fitted T is for the origin head)."""
         self.model = ToadMIL(model_cfg)
-        self.params = params
+        # commit params to device once: load_params_any returns host numpy
+        # leaves, and a numpy tree passed to jit re-uploads over the (erratic)
+        # H2D relay on every predict() — same rule as DynamicBatcher
+        self.params = jax.device_put(params)
         self.int8 = int8
         if not temperature > 0:
             raise ValueError(f"temperature must be > 0, got {temperature}")
@@ -212,14 +215,22 @@ class EnsembleInference:
             params_list[0], model_cfg, bucket_sizes=bucket_sizes, int8=int8,
             temperature=temperature,
         )
+        # members live on device (same H2D rule as SlideInference.params);
+        # member 0 reuses the inner SlideInference's already-quantized tree
         if int8:
             from toad_tpu.ops.quantize import quantize_pool_params
 
             self.members = [
-                (p, jax.tree.map(jnp.asarray, quantize_pool_params(p))) for p in params_list
+                (
+                    jax.device_put(p),
+                    self._inf.qparams
+                    if i == 0
+                    else jax.tree.map(jnp.asarray, quantize_pool_params(p)),
+                )
+                for i, p in enumerate(params_list)
             ]
         else:
-            self.members = [(p, None) for p in params_list]
+            self.members = [(jax.device_put(p), None) for p in params_list]
 
     @classmethod
     def from_checkpoints(
@@ -242,6 +253,23 @@ class EnsembleInference:
         if not found:
             raise FileNotFoundError(f"no s_<k>_checkpoint members under {models_dir}")
         return cls.from_checkpoints([p for _, p in found], model_cfg, **kw)
+
+    @classmethod
+    def from_spec(
+        cls, ckpt: str | os.PathLike, model_cfg: ModelConfig, **kw
+    ) -> "EnsembleInference":
+        """CLI ``--ckpt`` semantics shared by ``predict/infer --ensemble``:
+        a path that exists on disk is a training results dir (every
+        ``s_<k>_checkpoint`` becomes a member); otherwise a comma-separated
+        list of member checkpoint paths. The existence check runs first so a
+        directory whose *name* contains a comma is never misparsed as a
+        list."""
+        ckpt = os.fspath(ckpt)
+        if "," in ckpt and not os.path.exists(ckpt):
+            return cls.from_checkpoints(
+                [s.strip() for s in ckpt.split(",") if s.strip()], model_cfg, **kw
+            )
+        return cls.from_models_dir(ckpt, model_cfg, **kw)
 
     # int8/buckets/temperature come from the shared SlideInference
     @property
@@ -292,16 +320,22 @@ class EnsembleInference:
 def find_fold_checkpoints(models_dir: str | os.PathLike) -> list[tuple[int, "os.PathLike"]]:
     """``(fold, path)`` for every ``s_{k}_checkpoint[.pt]`` in a results dir,
     sorted by fold (the ``cli/train.py`` / reference layout —
-    ``eval_mtl_concat.py:105``)."""
+    ``eval_mtl_concat.py:105``). When a fold has BOTH an Orbax directory and
+    a torch ``.pt`` export (e.g. a reference dir converted in place), the
+    Orbax one wins — the fold must appear once, or the ensemble mean would
+    silently double-weight it."""
     import re
     from pathlib import Path
 
-    out = []
+    best: dict[int, Path] = {}
     for p in Path(models_dir).iterdir():
         m = re.fullmatch(r"s_(\d+)_checkpoint(\.pt)?", p.name)
         if m:
-            out.append((int(m.group(1)), p))
-    return sorted(out)
+            fold = int(m.group(1))
+            cur = best.get(fold)
+            if cur is None or (cur.name.endswith(".pt") and not m.group(2)):
+                best[fold] = p
+    return sorted(best.items())
 
 
 def infer_patch_file(

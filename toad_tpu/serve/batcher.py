@@ -118,11 +118,16 @@ class DynamicBatcher:
         # pipeline/infer.py::EnsembleInference: per-member temperature-scaled
         # class softmax -> arithmetic mean; attention -> mean of the members'
         # masked-softmax pooling weights.
-        members = list(params) if isinstance(params, (list, tuple)) else [params]
+        # ensemble semantics key off the MODE (a list was passed), not the
+        # member count: a 1-fold results dir served with --ensemble must keep
+        # the documented ensemble contract (softmaxed mean attention weights,
+        # on-device temperature) rather than silently degrading to raw scores
+        self.ensemble = isinstance(params, (list, tuple))
+        members = list(params) if self.ensemble else [params]
         if not members:
             raise ValueError("DynamicBatcher needs at least one parameter tree")
         self.n_members = len(members)
-        if self.n_members > 1:
+        if self.ensemble:
             import jax.numpy as jnp
 
             params = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *members)
@@ -171,7 +176,7 @@ class DynamicBatcher:
         if cfg.int8:
             from toad_tpu.ops.quantize import quantize_pool_params
 
-            if self.n_members > 1:
+            if self.ensemble:
                 import jax.numpy as jnp
 
                 # quantize each member's trunk separately (per-channel scales
@@ -398,11 +403,11 @@ class DynamicBatcher:
     def _combine(self, one, param_trees, mask, need_attention: bool):
         """Shared tail of the jitted forwards (traced inside jit).
 
-        Single member: identical to a plain forward — class softmax of the
-        f32 logits (== the model's own ``y_prob``), raw attention scores; the
-        host applies temperature afterwards, as before.
+        Plain serving (no --ensemble): identical to a plain forward — class
+        softmax of the f32 logits (== the model's own ``y_prob``), raw
+        attention scores; the host applies temperature afterwards, as before.
 
-        Ensemble (``n_members > 1``): run ``one`` for every slice of the
+        Ensemble mode (any member count, including 1): run ``one`` for every slice of the
         stacked member axis — an UNROLLED loop inside the trace, not vmap,
         because the fused Pallas pooling kernel's block specs cannot tile a
         batched weight operand (Mosaic rejects the [K, ...] blocks; probed on
@@ -416,7 +421,7 @@ class DynamicBatcher:
         import jax
         import jax.numpy as jnp
 
-        if self.n_members == 1:
+        if not self.ensemble:
             logits, site_prob, attn = one(*param_trees)
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1), site_prob, attn
         outs = [
@@ -512,7 +517,7 @@ class DynamicBatcher:
             self._batched += b
             self._padded += b_pad - b
         y_prob = np.asarray(y_prob)
-        if self.cfg.temperature != 1.0 and self.n_members == 1:
+        if self.cfg.temperature != 1.0 and not self.ensemble:
             # ensembles already applied T per member on device (the mean of
             # per-member T-scaled softmaxes is NOT the T-scaled mean)
             from toad_tpu.evaluate.calibration import apply_temperature
