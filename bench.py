@@ -486,17 +486,14 @@ def bench_serve() -> dict:
     params = ToadMIL(cfg).init(jax.random.PRNGKey(0))
     scfg = ServeConfig(max_batch=16, max_wait_ms=5.0, bucket_sizes=(bag_n,),
                        transfer_dtype="bfloat16")
-    service = InferenceService(params, cfg, scfg)
-    server, port = serve_in_thread(service)
     rng = np.random.default_rng(0)
     f32 = [rng.standard_normal((bag_n, DIM)).astype("<f4") for _ in range(4)]
     wires = {
         "f32": ("float32", [b.tobytes() for b in f32]),
         "bf16": ("bfloat16", [b.astype(ml_dtypes.bfloat16).tobytes() for b in f32]),
     }
-    lock = threading.Lock()
 
-    def request(body: bytes, dtype: str, sex: int) -> None:
+    def request(port: int, body: bytes, dtype: str, sex: int) -> None:
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
         conn.request("POST", "/predict", body, {
             "Content-Type": "application/octet-stream",
@@ -510,33 +507,59 @@ def bench_serve() -> dict:
         if r.status != 200:
             raise RuntimeError(f"serve bench: HTTP {r.status}: {body_out[:200]!r}")
 
+    def load_segment(port: int, dtype: str, bags: list[bytes]) -> tuple[float, float]:
+        """One loopback load burst: concurrency threads x per_thread requests.
+        Returns (req/s, p50 ms)."""
+        lock = threading.Lock()
+        lat: list[float] = []
+
+        def client(tid: int) -> None:
+            for i in range(per_thread):
+                t0 = time.perf_counter()
+                request(port, bags[(tid + i) % len(bags)], dtype, (tid + i) % 2)
+                dt = time.perf_counter() - t0
+                with lock:
+                    lat.append(dt)
+
+        threads = [threading.Thread(target=client, args=(t,)) for t in range(concurrency)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        return len(lat) / wall, float(np.percentile(np.asarray(lat) * 1e3, 50))
+
     out = {}
+    service = InferenceService(params, cfg, scfg)
+    server, port = serve_in_thread(service)
     try:
-        request(wires["f32"][1][0], "float32", 0)  # warmup: compile the bucket
+        request(port, wires["f32"][1][0], "float32", 0)  # warmup: compile the bucket
         for name, (dtype, bags) in wires.items():
-            lat: list[float] = []
-
-            def client(tid: int) -> None:
-                for i in range(per_thread):
-                    t0 = time.perf_counter()
-                    request(bags[(tid + i) % len(bags)], dtype, (tid + i) % 2)
-                    dt = time.perf_counter() - t0
-                    with lock:
-                        lat.append(dt)
-
-            threads = [threading.Thread(target=client, args=(t,)) for t in range(concurrency)]
-            t0 = time.perf_counter()
-            for t in threads:
-                t.start()
-            for t in threads:
-                t.join()
-            wall = time.perf_counter() - t0
             suffix = "" if name == "f32" else "_bf16"
-            out[f"serve_raw{suffix}_req_per_sec"] = len(lat) / wall
-            out[f"serve_raw{suffix}_p50_ms"] = float(np.percentile(np.asarray(lat) * 1e3, 50))
+            rps, p50 = load_segment(port, dtype, bags)
+            out[f"serve_raw{suffix}_req_per_sec"] = rps
+            out[f"serve_raw{suffix}_p50_ms"] = p50
     finally:
         server.shutdown()
         service.close()
+
+    # mean-of-folds ensemble serving (serve --ensemble, r4): K=4 members in
+    # ONE jitted forward per request batch (serve/batcher.py::_combine).
+    # Members are independently initialized params — a pure perf measurement
+    # of the K x FLOPs dispatch, same bucket/wire as the serve_raw segment so
+    # serve_ensemble4 / serve_raw is a same-weather cost ratio.
+    members = [ToadMIL(cfg).init(jax.random.PRNGKey(k)) for k in range(4)]
+    service_e = InferenceService(members, cfg, scfg)
+    server_e, port_e = serve_in_thread(service_e)
+    try:
+        request(port_e, wires["f32"][1][0], "float32", 0)  # warmup: ensemble compile
+        rps, p50 = load_segment(port_e, "float32", wires["f32"][1])
+        out["serve_ensemble4_req_per_sec"] = rps
+        out["serve_ensemble4_p50_ms"] = p50
+    finally:
+        server_e.shutdown()
+        service_e.close()
     return out
 
 
@@ -923,6 +946,16 @@ def main() -> None:
         "serve_raw_bf16_p50_ms": (
             round(ours["serve_raw_bf16_p50_ms"], 1)
             if "serve_raw_bf16_p50_ms" in ours else None
+        ),
+        # serve --ensemble (r4): 4 members in one jitted forward per request
+        # batch; / serve_raw_req_per_sec is a same-weather K=4 cost ratio
+        "serve_ensemble4_req_per_sec": (
+            round(ours["serve_ensemble4_req_per_sec"], 1)
+            if "serve_ensemble4_req_per_sec" in ours else None
+        ),
+        "serve_ensemble4_p50_ms": (
+            round(ours["serve_ensemble4_p50_ms"], 1)
+            if "serve_ensemble4_p50_ms" in ours else None
         ),
         # disk-fed path: on-disk .pt bags -> BagBatcher -> H2D -> forward
         # (wall-clock incl. torch-zip parse + relay H2D; page-cache warm).
