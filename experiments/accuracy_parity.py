@@ -49,7 +49,8 @@ def build_data(dim: int, seed: int = 0, tmp: Path = Path("/tmp/acc_parity"), n_p
 
 
 def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1,
-                    dropout: bool = False, early_stopping: bool = False):
+                    dropout: bool = False, early_stopping: bool = False,
+                    epoch_log=None):
     """The reference's exact training semantics: its model class, Adam with
     L2 weight decay, one bag per optimizer step, 0.75/0.25 MTL loss
     (core_utils_mtl_concat.py:190-259), shuffled per epoch. With
@@ -84,16 +85,26 @@ def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1,
         model.attention_net[0].bias.data.zero_()
     opt = torch.optim.Adam(model.parameters(), lr=lr, weight_decay=1e-5)
 
-    def val_cls_loss() -> float:
+    def val_cls_loss(want_auc: bool = False):
         model.eval()
         tot = 0.0
+        probs, labs = [], []
         with torch.no_grad():
             for i in np.asarray(spec.val):
                 feats = torch.from_numpy(np.asarray(ds.load_bag(int(i)), np.float32))
                 out = model(feats, torch.tensor([float(ds.sexes[i])]))
                 tot += float(F.cross_entropy(out["logits"], torch.tensor([int(ds.labels[i])])))
+                if want_auc:
+                    probs.append(out["Y_prob"].numpy()[0])
+                    labs.append(int(ds.labels[i]))
         model.train()
-        return tot / max(len(spec.val), 1)
+        mean_loss = tot / max(len(spec.val), 1)
+        if not want_auc:
+            return mean_loss
+        from toad_tpu.evaluate.metrics import macro_ovr_auc
+
+        n_cls = model.classifier.out_features
+        return mean_loss, macro_ovr_auc(np.asarray(labs), np.asarray(probs), n_cls)
 
     train_ids = np.asarray(spec.train)
     rng = np.random.RandomState(seed)
@@ -111,7 +122,11 @@ def train_reference(ds, spec, dim: int, epochs: int, lr: float, seed: int = 1,
             opt.step()
             opt.zero_grad()
         if early_stopping:
-            vl = val_cls_loss()
+            if epoch_log is not None:
+                vl, vauc = val_cls_loss(want_auc=True)
+                epoch_log({"epoch": epoch, "val_cls_loss": round(vl, 4), "val_auc": round(float(vauc), 4)})
+            else:
+                vl = val_cls_loss()
             # reference EarlyStopping (core_utils:63-77): tie-or-better counts
             # as improvement (resets counter, saves); stop needs epoch > 50
             if best_loss is None or vl <= best_loss:
