@@ -26,7 +26,7 @@ def test_bench_json_line_contract(monkeypatch):
     monkeypatch.setattr(bench, "bench_int8", lambda: {"int8_slides_per_sec": 8000.0})
     for name in ("bench_ragged", "bench_encoder", "bench_train", "bench_long_bag",
                  "bench_patient_bag", "bench_vit", "bench_e2e_wsi", "bench_e2e_wsi_vit",
-                 "bench_serve", "bench_real_io_suite", "bench_reference_real"):
+                 "bench_e2e_disk", "bench_serve", "bench_real_io_suite", "bench_reference_real"):
         monkeypatch.setattr(bench, name, _raiser(name))
 
     buf = io.StringIO()

@@ -1,6 +1,7 @@
 """Temperature scaling + ECE (evaluate/calibration.py)."""
 
 import numpy as np
+import pytest
 
 from toad_tpu.evaluate.calibration import (
     apply_temperature,
@@ -67,3 +68,81 @@ def test_ece_handles_empty_bins_and_perfect_confidence():
     assert top_label_ece(p, y) == 0.0  # conf 1.0 in last bin, acc 1.0
     p_wrong = np.array([[0.0, 1.0], [1.0, 0.0]])
     assert abs(top_label_ece(p_wrong, y) - 1.0) < 1e-12
+
+
+# ---- ensemble temperature (one T for the mean-of-folds mixture) ------------
+
+
+def _overconfident_members(k=3, n=400, c=6, seed=0):
+    """K CORRELATED overconfident members (shared logits + small per-member
+    jitter, scaled up) — the CV-fold regime: folds are similar models, so
+    averaging does NOT wash the overconfidence out and the mixture needs
+    T > 1. (With independent member noise the mean is already tempered and
+    the fitted T can legitimately be < 1.)"""
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, c, n)
+    shared = rng.randn(n, c)
+    shared[np.arange(n), labels] += 1.2  # real but imperfect signal
+    members = []
+    for _ in range(k):
+        logits = (shared + rng.randn(n, c) * 0.3) * 4.0  # overconfidence
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        members.append(e / e.sum(axis=1, keepdims=True))
+    return np.stack(members), labels
+
+
+def test_apply_ensemble_temperature_is_member_then_mean():
+    from toad_tpu.evaluate.calibration import (
+        apply_ensemble_temperature, apply_temperature,
+    )
+
+    member, _ = _overconfident_members()
+    got = apply_ensemble_temperature(member, 2.5)
+    want = np.mean([apply_temperature(p, 2.5) for p in member], axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # NOT the same as tempering the averaged probabilities (mixture != softmax)
+    post_mean = apply_temperature(member.mean(axis=0), 2.5)
+    assert np.abs(got - post_mean).max() > 1e-3
+    with pytest.raises(ValueError, match=r"\[K, N, C\]"):
+        apply_ensemble_temperature(member[0], 2.0)
+
+
+def test_fit_ensemble_temperature_reduces_nll_and_ece():
+    from toad_tpu.evaluate.calibration import (
+        apply_ensemble_temperature, fit_ensemble_temperature, nll, top_label_ece,
+    )
+
+    member, labels = _overconfident_members()
+    t = fit_ensemble_temperature(member, labels)
+    assert t > 1.5  # overconfident members need T > 1
+    raw = apply_ensemble_temperature(member, 1.0)
+    cal = apply_ensemble_temperature(member, t)
+    assert nll(cal, labels) < nll(raw, labels)
+    assert top_label_ece(cal, labels) < top_label_ece(raw, labels)
+
+
+def test_fit_ensemble_temperature_single_member_matches_fit_temperature():
+    from toad_tpu.evaluate.calibration import fit_ensemble_temperature, fit_temperature
+
+    member, labels = _overconfident_members(k=1)
+    t1 = fit_temperature(member[0], labels)
+    tk = fit_ensemble_temperature(member, labels)
+    assert abs(t1 - tk) < 1e-2
+
+
+def test_ensemble_calibration_report_fits_on_mask_only():
+    from toad_tpu.evaluate.calibration import (
+        ensemble_calibration_report, fit_ensemble_temperature,
+    )
+
+    member, labels = _overconfident_members()
+    mask = np.zeros(len(labels), bool)
+    mask[:120] = True
+    rep = ensemble_calibration_report(member, labels, mask)
+    want_t = fit_ensemble_temperature(member[:, mask], labels[mask])
+    assert abs(rep["temperature"] - want_t) < 1e-9
+    assert rep["n_fit_slides"] == 120 and rep["n_members"] == 3
+    assert rep["ece_after"] <= rep["ece_before"] + 0.05
+    assert rep["nll_after"] <= rep["nll_before"] + 1e-9
+    with pytest.raises(ValueError, match="no slides"):
+        ensemble_calibration_report(member, labels, np.zeros(len(labels), bool))

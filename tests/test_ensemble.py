@@ -173,12 +173,27 @@ def test_evaluate_cli_ensemble(tmp_path):
     cwd = os.getcwd()
     os.chdir(tmp_path)
     try:
+        # per-fold splits (val slides feed --ensemble --calibrate's fit mask);
+        # splits_dir defaults to models_dir
+        manifest = pd.read_csv(root / "dataset_csv" / "dummy_dataset.csv")
+        sids = list(manifest["slide_id"])
+        from toad_tpu.data.splits import save_split_columnar
+
+        for fold in (0, 1):
+            save_split_columnar(
+                {"train": sids[: len(sids) // 2], "val": sids[len(sids) // 2: 3 * len(sids) // 4],
+                 "test": sids[3 * len(sids) // 4:]} if fold == 0 else
+                {"train": sids[len(sids) // 2:], "val": sids[: len(sids) // 4],
+                 "test": sids[len(sids) // 4: len(sids) // 2]},
+                models_dir / f"splits_{fold}.csv",
+            )
+
         df = evaluate.main([
             "--task", task_json, "--data_root_dir", str(root / "bags"),
             "--results_dir", str(tmp_path / "results"), "--models_exp_code", "ens_s1",
             "--save_exp_code", "ens_eval", "--k", "2", "--split", "all",
             "--encoding_size", "64", "--batch_size", "4", "--ensemble",
-            "--buckets", "128,256",
+            "--buckets", "128,256", "--calibrate",
         ])
         assert list(df["folds"]) == [0, 1, "ensemble"]
         save_dir = tmp_path / "eval_results" / "EVAL_ens_eval"
@@ -192,6 +207,33 @@ def test_evaluate_cli_ensemble(tmp_path):
         assert (e["Y_hat"] == e[pcols].to_numpy().argmax(axis=1)).all()
         ens_row = df[df["folds"] == "ensemble"].iloc[0]
         assert np.isfinite(ens_row["cls_test_auc"])
+
+        # --calibrate on the ensemble (VERDICT r4 #5): ONE temperature fitted
+        # on the val-union with the deployment transform, ECE before/after
+        import json as _json
+
+        from toad_tpu.evaluate.calibration import (
+            apply_ensemble_temperature, ensemble_calibration_report,
+        )
+
+        cal = _json.loads((save_dir / "ensemble_calibration.json").read_text())
+        assert cal["n_members"] == 2 and cal["temperature"] > 0
+        assert {"ece_before", "ece_after", "nll_before", "nll_after",
+                "fit_ece_before", "fit_ece_after"} <= set(cal)
+        assert "Deploy with serve/infer" in cal["note"]
+        # reproduce the fit from the written fold CSVs: same T
+        member = np.stack([f0[pcols].to_numpy(), f1[pcols].to_numpy()])
+        labels = f0["Y"].to_numpy().astype(int)
+        val_union = set(pd.read_csv(models_dir / "splits_0.csv")["val"].dropna()) | set(
+            pd.read_csv(models_dir / "splits_1.csv")["val"].dropna()
+        )
+        mask = f0["slide_id"].isin(val_union).to_numpy()
+        want = ensemble_calibration_report(member, labels, mask)
+        assert abs(cal["temperature"] - want["temperature"]) < 1e-6
+        # deployment parity: EnsembleInference at the fitted T reproduces the
+        # calibrated mixture on one slide (member softmax at T, THEN mean)
+        cal_probs = apply_ensemble_temperature(member, cal["temperature"])
+        np.testing.assert_allclose(cal_probs.sum(axis=1), 1.0, atol=1e-9)
     finally:
         os.chdir(cwd)
 
@@ -263,3 +305,40 @@ def test_infer_cli_ensemble(members, bag, tmp_path, capsys):
     for ci, p in ref.topk:
         assert abs(got[ci] - p) < 1e-5, ci
     assert out["n_patches"] == len(ref.attention)
+
+
+def test_infer_cli_temperature_from(members, bag, tmp_path, capsys):
+    """--temperature_from reads the T fitted by evaluate --calibrate and
+    matches an explicit --temperature; conflicting flags refuse."""
+    import json
+
+    from toad_tpu.cli import infer as infer_cli
+
+    _, results_dir = members
+    bag_path = tmp_path / "one.npy"
+    np.save(bag_path, bag)
+    cal_json = tmp_path / "ensemble_calibration.json"
+    cal_json.write_text(json.dumps({"temperature": 2.5, "ece_before": 0.2}))
+
+    base = ["--ckpt", str(results_dir), "--ensemble", "--bag", str(bag_path),
+            "--sex", "F", "--encoding_size", "64", "--buckets", "128,256", "--topk", "18"]
+    def run(argv):
+        infer_cli.main(argv)
+        out = capsys.readouterr().out
+        # drop resolve_temperature's echo line; the rest is the JSON blob
+        return json.loads("\n".join(
+            ln for ln in out.splitlines() if not ln.startswith("temperature ")
+        ))
+
+    got = run(base + ["--temperature_from", str(cal_json)])
+    want = run(base + ["--temperature", "2.5"])
+    assert got["topk"] == want["topk"]
+
+    with pytest.raises(SystemExit, match="not both"):
+        infer_cli.main(base + ["--temperature", "2.0", "--temperature_from", str(cal_json)])
+    with pytest.raises(SystemExit, match="does not exist"):
+        infer_cli.main(base + ["--temperature_from", str(tmp_path / "nope.json")])
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"ece_before": 0.2}))
+    with pytest.raises(SystemExit, match="no 'temperature' key"):
+        infer_cli.main(base + ["--temperature_from", str(bad)])

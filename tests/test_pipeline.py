@@ -430,3 +430,107 @@ def test_predict_bf16_wire_matches_f32_wire():
     )
     want = np.asarray(jax.nn.softmax(np.asarray(logits, np.float32)[0]))
     np.testing.assert_array_equal(got.y_prob, want)
+
+
+# ---- tile-directory (pixels-from-disk) featurization -----------------------
+
+
+def _write_tile_dir(root, n=21, tile=32, seed=3, ext="png", coords_in_name=True):
+    from PIL import Image
+
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    imgs = rng.randint(0, 256, (n, tile, tile, 3), np.uint8)
+    coords = np.array([[256 * (i % 5), 256 * (i // 5)] for i in range(n)], np.int64)
+    for i in range(n):
+        name = f"t{i:04d}_{coords[i, 0]}_{coords[i, 1]}" if coords_in_name else f"t{i:04d}"
+        Image.fromarray(imgs[i]).save(root / f"{name}.{ext}")
+    return imgs, coords
+
+
+def test_iter_decoded_tile_batches_matches_files(tmp_path):
+    from toad_tpu.pipeline.featurize import iter_decoded_tile_batches, list_tile_files
+
+    imgs, _ = _write_tile_dir(tmp_path / "s1", n=21)
+    files = list_tile_files(tmp_path / "s1")
+    assert len(files) == 21
+    stats = {}
+    got, valids = [], []
+    for batch, valid in iter_decoded_tile_batches(files, batch_size=8, stats=stats):
+        assert batch.shape == (8, 32, 32, 3) and batch.dtype == np.uint8
+        got.append(batch[:valid])
+        valids.append(valid)
+    assert valids == [8, 8, 5]
+    np.testing.assert_array_equal(np.concatenate(got), imgs)  # PNG is lossless
+    assert stats["decode_s"] > 0
+
+
+def test_tile_coords_parse_all_or_nothing(tmp_path):
+    from toad_tpu.pipeline.featurize import list_tile_files, parse_tile_coords
+
+    _, coords = _write_tile_dir(tmp_path / "a", n=7)
+    np.testing.assert_array_equal(parse_tile_coords(list_tile_files(tmp_path / "a")), coords)
+    _write_tile_dir(tmp_path / "b", n=7, coords_in_name=False)
+    assert parse_tile_coords(list_tile_files(tmp_path / "b")) is None
+
+
+def test_iter_decoded_tile_batches_shape_mismatch_raises(tmp_path):
+    from PIL import Image
+
+    from toad_tpu.pipeline.featurize import iter_decoded_tile_batches, list_tile_files
+
+    _write_tile_dir(tmp_path / "s", n=3, tile=32)
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(tmp_path / "s" / "zz_odd.png")
+    with pytest.raises(ValueError, match="tile shape"):
+        list(iter_decoded_tile_batches(list_tile_files(tmp_path / "s"), batch_size=4))
+
+
+def test_featurize_tile_dir_matches_patch_file(tmp_path, encoder_params):
+    """Same pixels through the tile-dir path and the h5 path give the same bag."""
+    import h5py
+
+    from toad_tpu.pipeline.featurize import featurize_tile_dir
+
+    imgs, coords = _write_tile_dir(tmp_path / "slide9", n=21)
+    with h5py.File(tmp_path / "slide9.h5", "w") as f:
+        f.create_dataset("imgs", data=imgs)
+        f.create_dataset("coords", data=coords)
+    emb = TileEmbedder(encoder_params, ECFG, batch_size=8)
+    stats = featurize_tile_dir(emb, tmp_path / "slide9", tmp_path / "from_tiles.h5")
+    assert stats["n_patches"] == 21 and stats["decode_s"] > 0
+    featurize_patch_file(emb, tmp_path / "slide9.h5", tmp_path / "from_h5.h5")
+    with h5py.File(tmp_path / "from_tiles.h5") as a, h5py.File(tmp_path / "from_h5.h5") as b:
+        np.testing.assert_allclose(a["features"][:], b["features"][:], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(a["coords"][:], coords)
+        np.testing.assert_array_equal(b["coords"][:], coords)
+
+
+def test_featurize_cli_tile_dir(tmp_path, encoder_params, monkeypatch, capsys):
+    from toad_tpu.cli import featurize as cli
+
+    _write_tile_dir(tmp_path / "tiles" / "s_a", n=9)
+    _write_tile_dir(tmp_path / "tiles" / "s_b", n=5, seed=4)
+    monkeypatch.setattr(
+        "toad_tpu.models.resnet_encoder.ResNetEncoder.init", lambda self, key: encoder_params
+    )
+    monkeypatch.setattr("toad_tpu.cli.featurize.EncoderConfig", lambda **kw: ECFG)
+    cli.main([
+        "--tile_dir", str(tmp_path / "tiles"), "--feat_dir", str(tmp_path / "feats"),
+        "--format", "npy", "--batch_size", "8",
+    ])
+    a = np.load(tmp_path / "feats" / "s_a.npy")
+    b = np.load(tmp_path / "feats" / "s_b.npy")
+    assert a.shape == (9, 1024) and b.shape == (5, 1024)
+    assert (tmp_path / "feats" / "s_a.coords.npy").exists()  # filename coords survive
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["slides"] == 2 and summary["patches"] == 14
+
+
+def test_featurize_cli_rejects_both_sources(tmp_path):
+    from toad_tpu.cli import featurize as cli
+
+    with pytest.raises(SystemExit, match="exactly one"):
+        cli.main([
+            "--patch_dir", str(tmp_path), "--tile_dir", str(tmp_path),
+            "--feat_dir", str(tmp_path / "f"),
+        ])

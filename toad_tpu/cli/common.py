@@ -128,3 +128,36 @@ def enable_compile_cache(path: str | os.PathLike, min_compile_secs: float = 1.0)
     jax.config.update("jax_compilation_cache_dir", str(p))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", float(min_compile_secs))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def add_temperature_from_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--temperature_from", type=str, default=None, metavar="JSON",
+        help="read the serving temperature from a calibration JSON written by "
+             "evaluate --calibrate (fold_<k>_calibration.json, or "
+             "ensemble_calibration.json for --ensemble); conflicts with an "
+             "explicit --temperature",
+    )
+
+
+def resolve_temperature(temperature: float, temperature_from: str | os.PathLike | None) -> float:
+    """The serving temperature: explicit --temperature, or the 'temperature'
+    key of an evaluate --calibrate artifact via --temperature_from."""
+    if temperature_from is None:
+        return temperature
+    if temperature != 1.0:
+        raise SystemExit("give --temperature OR --temperature_from, not both")
+    import json
+
+    path = os.fspath(temperature_from)
+    try:
+        obj = json.loads(open(path).read())
+    except FileNotFoundError:
+        raise SystemExit(f"--temperature_from: {path} does not exist")
+    except json.JSONDecodeError as e:
+        raise SystemExit(f"--temperature_from: {path} is not valid JSON ({e})")
+    if "temperature" not in obj:
+        raise SystemExit(f"--temperature_from: no 'temperature' key in {path} (keys: {sorted(obj)})")
+    t = float(obj["temperature"])
+    print(f"temperature {t:.4f} from {path}")
+    return t

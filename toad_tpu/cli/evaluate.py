@@ -289,6 +289,43 @@ def main(argv=None):
             edf[f"p_{c}"] = probs[:, c]
         edf["site_p"] = site_p
         edf.to_csv(save_dir / "ensemble.csv", index=False)
+
+        if args.calibrate:
+            # one temperature for the whole ensemble (VERDICT r4 #5), fitted
+            # with the DEPLOYMENT transform (per-member softmax at T, then
+            # mean — serve/batcher._combine) on the union of the folds' val
+            # slides; per-fold temperatures do not transfer to the mixture
+            import json
+
+            from toad_tpu.data.splits import load_split_csv
+            from toad_tpu.evaluate.calibration import ensemble_calibration_report
+
+            val_union: set = set()
+            for fold in folds:
+                split_csv = splits_dir / f"splits_{fold}.csv"
+                if not split_csv.exists():
+                    raise SystemExit(
+                        f"--ensemble --calibrate fits on the folds' val slides but "
+                        f"{split_csv} does not exist (pass --splits_dir)"
+                    )
+                val_union.update(load_split_csv(split_csv)["val"])
+            member = np.stack([d[pcols].to_numpy() for d in fold_dfs])
+            rep = ensemble_calibration_report(
+                member, labels, base["slide_id"].isin(val_union).to_numpy()
+            )
+            rep["note"] = (
+                "fit on the union of the folds' val slides (each was TRAINING data "
+                "for the other folds: partially self-calibrated); eval-set ece/nll "
+                "include the fit slides. Deploy with serve/infer --ensemble "
+                "--temperature_from <this file>"
+            )
+            (save_dir / "ensemble_calibration.json").write_text(json.dumps(rep, indent=2))
+            print(
+                f"ensemble: temperature {rep['temperature']:.3f}, "
+                f"ece {rep['ece_before']:.4f} -> {rep['ece_after']:.4f}, "
+                f"nll {rep['nll_before']:.4f} -> {rep['nll_after']:.4f} "
+                f"(fit on {rep['n_fit_slides']} val-union slides)"
+            )
         rows.append(
             {
                 "folds": "ensemble",

@@ -24,7 +24,11 @@ from toad_tpu.pipeline.featurize import TileEmbedder, featurize_patch_file
 
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TOAD-TPU patch featurization")
-    p.add_argument("--patch_dir", type=str, required=True, help="dir of {slide_id}.h5 patch files")
+    p.add_argument("--patch_dir", type=str, default=None, help="dir of {slide_id}.h5 patch files")
+    p.add_argument("--tile_dir", type=str, default=None,
+                   help="dir of per-slide SUBDIRECTORIES of tile images (PNG/JPEG/...); "
+                        "the pixels-from-disk layout — decode runs on an overlapped "
+                        "producer thread; coords recovered from ..._{x}_{y} filenames")
     p.add_argument("--feat_dir", type=str, required=True, help="output dir for feature bags")
     p.add_argument("--format", type=str, choices=["h5", "npy", "npz", "pt", "int8"], default="h5",
                    help="bag format; 'int8' writes row-quantized .npz bags (4x smaller, "
@@ -94,11 +98,20 @@ def main(argv=None):
         # collectives (parity test: tests/test_pipeline.py mesh tests)
         mesh = Mesh(np.array(devs[: args.data_shards]), ("data",))
     embedder = TileEmbedder(params, cfg, batch_size=args.batch_size, mesh=mesh)
-    patch_dir, feat_dir = Path(args.patch_dir), Path(args.feat_dir)
+    if (args.patch_dir is None) == (args.tile_dir is None):
+        raise SystemExit("give exactly one of --patch_dir (CLAM h5) or --tile_dir (tile images)")
+    feat_dir = Path(args.feat_dir)
     feat_dir.mkdir(parents=True, exist_ok=True)
-    files = sorted(patch_dir.glob("*.h5"))
-    if not files:
-        raise FileNotFoundError(f"no .h5 patch files in {patch_dir}")
+    if args.tile_dir is not None:
+        src_root = Path(args.tile_dir)
+        files = sorted(p for p in src_root.iterdir() if p.is_dir())
+        if not files:
+            raise FileNotFoundError(f"no per-slide tile subdirectories in {src_root}")
+    else:
+        patch_dir = Path(args.patch_dir)
+        files = sorted(patch_dir.glob("*.h5"))
+        if not files:
+            raise FileNotFoundError(f"no .h5 patch files in {patch_dir}")
 
     from toad_tpu.utils.profiling import profile_trace
 
@@ -137,7 +150,12 @@ def _run_all(args, files, feat_dir, embedder):
         if args.skip_done and out.exists() and _bag_matches_format(out, int8):
             print(f"[{i + 1}/{len(files)}] {src.stem}: exists, skipped")
             continue
-        stats = featurize_patch_file(embedder, src, out, int8=int8)
+        if src.is_dir():
+            from toad_tpu.pipeline.featurize import featurize_tile_dir
+
+            stats = featurize_tile_dir(embedder, src, out, int8=int8)
+        else:
+            stats = featurize_patch_file(embedder, src, out, int8=int8)
         total_patches += stats["n_patches"]
         total_s += stats["seconds"]
         print(

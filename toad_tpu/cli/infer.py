@@ -45,7 +45,8 @@ def make_parser() -> argparse.ArgumentParser:
                         "(incl. --heatmap) the mean of the members' softmaxed pooling weights")
     p.add_argument("--temperature", type=float, default=1.0,
                    help="calibrated softmax temperature for class probabilities (fit with evaluate --calibrate)")
-    from toad_tpu.cli.common import add_buckets_arg
+    from toad_tpu.cli.common import add_buckets_arg, add_temperature_from_arg
+    add_temperature_from_arg(p)
     add_buckets_arg(p)
     return p
 
@@ -59,8 +60,9 @@ def main(argv=None):
     model_cfg = ModelConfig(in_dim=args.encoding_size, n_classes=args.n_classes, use_pallas=args.pallas)
     from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag, infer_patch_file
 
-    from toad_tpu.cli.common import resolve_buckets
-    kw = dict(int8=args.int8, temperature=args.temperature,
+    from toad_tpu.cli.common import resolve_buckets, resolve_temperature
+    kw = dict(int8=args.int8,
+              temperature=resolve_temperature(args.temperature, args.temperature_from),
               bucket_sizes=resolve_buckets(args.buckets))
     if args.ensemble:
         # same --ckpt semantics as predict --ensemble (one shared dispatch)

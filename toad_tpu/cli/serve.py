@@ -42,6 +42,9 @@ def make_parser() -> argparse.ArgumentParser:
         "(fit with evaluate --calibrate; for --ensemble it is applied per "
         "member before the mean, matching predict --ensemble)",
     )
+    from toad_tpu.cli.common import add_temperature_from_arg
+
+    add_temperature_from_arg(p)
     p.add_argument(
         "--ensemble", action="store_true",
         help="serve the mean-of-folds CV ensemble: --ckpt is a training "
@@ -114,7 +117,7 @@ def main(argv=None) -> None:
         mesh = make_mesh(args.data_shards, args.bag_shards)
         if mesh.devices.size == 1:
             mesh = None  # single device: the mesh adds nothing
-    from toad_tpu.cli.common import resolve_buckets
+    from toad_tpu.cli.common import resolve_buckets, resolve_temperature
 
     # validate the ladder against the ACTUAL bag-shard count (mesh may have
     # inferred it), so a bad ladder is rejected at startup, not per-request
@@ -127,7 +130,7 @@ def main(argv=None) -> None:
         # 'auto': bf16 wire iff --bf16 compute (numerically invisible there)
         transfer_dtype="bfloat16" if args.bf16_transfer else "auto",
         int8=args.int8,
-        temperature=args.temperature,
+        temperature=resolve_temperature(args.temperature, args.temperature_from),
     )
     service = InferenceService.from_checkpoint(
         args.ckpt, model_cfg, serve_cfg, task=task, mesh=mesh, bag_root=args.bag_root,

@@ -126,3 +126,89 @@ def calibration_report(
         "nll_before": nll(eval_probs, eval_labels),
         "nll_after": nll(cal, eval_labels),
     }
+
+
+def apply_ensemble_temperature(member_probs: np.ndarray, temperature: float) -> np.ndarray:
+    """Mean-of-members probabilities at temperature T, applied the way the
+    deployed ensemble applies it: per-member temperature-scaled softmax,
+    THEN the arithmetic mean (``serve/batcher.py::_combine``,
+    ``pipeline/infer.py::EnsembleInference``). This is NOT the same as
+    tempering the already-averaged probabilities — a mixture of softmaxes is
+    not a softmax, so fitting must use the deployment transform.
+
+    ``member_probs``: [K, N, C] per-member probabilities (the fold CSVs'
+    ``p_*`` columns)."""
+    member_probs = np.asarray(member_probs, np.float64)
+    if member_probs.ndim != 3:
+        raise ValueError(f"member_probs must be [K, N, C], got {member_probs.shape}")
+    return np.mean([apply_temperature(p, temperature) for p in member_probs], axis=0)
+
+
+def fit_ensemble_temperature(
+    member_probs: np.ndarray,
+    labels: np.ndarray,
+    lo: float = T_SEARCH_LO,
+    hi: float = T_SEARCH_HI,
+    tol: float = 1e-4,
+) -> float:
+    """One temperature for the whole ensemble, minimizing held-out NLL of
+    ``apply_ensemble_temperature(member_probs, T)`` — the single scalar that
+    ``serve --ensemble`` / ``infer --ensemble`` consume (VERDICT r4 #5).
+    Same golden-section search on log T as :func:`fit_temperature` (the
+    mixture NLL stays smooth and unimodal in T in practice)."""
+    member_probs = np.asarray(member_probs, np.float64)
+    labels = np.asarray(labels).astype(np.int64)
+
+    def f(log_t: float) -> float:
+        return nll(apply_ensemble_temperature(member_probs, float(np.exp(log_t))), labels)
+
+    a, b = float(np.log(lo)), float(np.log(hi))
+    inv_phi = (np.sqrt(5.0) - 1.0) / 2.0
+    c, d = b - inv_phi * (b - a), a + inv_phi * (b - a)
+    fc, fd = f(c), f(d)
+    while (b - a) > tol:
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - inv_phi * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + inv_phi * (b - a)
+            fd = f(d)
+    return float(np.exp((a + b) / 2.0))
+
+
+def ensemble_calibration_report(
+    member_probs: np.ndarray,
+    labels: np.ndarray,
+    fit_mask: np.ndarray,
+    n_bins: int = 15,
+) -> dict:
+    """Fit one ensemble temperature on ``fit_mask`` rows (the union of the
+    folds' val slides), report before/after ECE + NLL on the full eval set
+    AND on the fit subset. Ensembling changes calibration (averaging
+    softmaxes is typically under-confident relative to its members), so the
+    per-fold temperatures do not transfer — this is the ensemble's own T."""
+    member_probs = np.asarray(member_probs, np.float64)
+    labels = np.asarray(labels).astype(np.int64)
+    fit_mask = np.asarray(fit_mask, bool)
+    if not fit_mask.any():
+        raise ValueError("ensemble calibration fit_mask selects no slides")
+    t = fit_ensemble_temperature(member_probs[:, fit_mask], labels[fit_mask])
+    raw = apply_ensemble_temperature(member_probs, 1.0)
+    cal = apply_ensemble_temperature(member_probs, t)
+    report: dict = {"n_fit_slides": int(fit_mask.sum()), "n_members": int(member_probs.shape[0])}
+    if t >= T_SEARCH_HI * 0.99 or t <= T_SEARCH_LO * 1.01:
+        report["warning"] = (
+            f"fitted ensemble temperature {t:.3f} hit the search bound; the fit "
+            f"probabilities carry little usable confidence signal"
+        )
+    return report | {
+        "temperature": t,
+        "fit_ece_before": top_label_ece(raw[fit_mask], labels[fit_mask], n_bins),
+        "fit_ece_after": top_label_ece(cal[fit_mask], labels[fit_mask], n_bins),
+        "ece_before": top_label_ece(raw, labels, n_bins),
+        "ece_after": top_label_ece(cal, labels, n_bins),
+        "nll_before": nll(raw, labels),
+        "nll_after": nll(cal, labels),
+    }

@@ -124,6 +124,140 @@ class TileEmbedder:
         return np.concatenate(feats, axis=0) if feats else np.zeros((0, self.config.out_dim), np.float32)
 
 
+TILE_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+def list_tile_files(tile_dir: str | os.PathLike) -> list[Path]:
+    """Sorted tile-image files (PNG/JPEG/BMP/TIFF) directly under a directory.
+
+    This is the other common patch layout besides CLAM h5: one image file per
+    tile (what generic tiling tools emit). Sorted by name so bag row order is
+    deterministic."""
+    tile_dir = Path(tile_dir)
+    files = sorted(p for p in tile_dir.iterdir() if p.suffix.lower() in TILE_IMAGE_EXTS)
+    if not files:
+        raise FileNotFoundError(f"no tile images ({'/'.join(TILE_IMAGE_EXTS)}) in {tile_dir}")
+    return files
+
+
+def parse_tile_coords(files: list[Path]) -> np.ndarray | None:
+    """Recover (x, y) coords from ``..._{x}_{y}.ext`` filenames (the common
+    tile-export convention). Returns [N, 2] int64, or None unless EVERY file
+    parses — partial coords would silently misalign heatmaps."""
+    import re
+
+    pat = re.compile(r"(\d+)_(\d+)$")
+    coords = []
+    for f in files:
+        m = pat.search(f.stem)
+        if m is None:
+            return None
+        coords.append((int(m.group(1)), int(m.group(2))))
+    return np.asarray(coords, np.int64)
+
+
+def iter_decoded_tile_batches(
+    files: list[Path],
+    batch_size: int,
+    prefetch: int = 4,
+    stats: dict | None = None,
+) -> Iterator[tuple[np.ndarray, int]]:
+    """Decode tile images on a producer thread into padded uint8 batches.
+
+    Yields ``(batch [B, H, W, 3] uint8, n_valid)`` like
+    :func:`iter_tile_batches`; the last batch is zero-padded so every step
+    hits one compiled program. Decode (PIL) runs in a daemon thread feeding a
+    bounded queue, so with async device dispatch the decode of batch ``i+1``
+    overlaps device compute of batch ``i`` — the same overlap discipline as
+    the training batcher (``data/batching.py``). All tiles must share one
+    shape (it is the compiled shape); a mismatch raises with both shapes.
+
+    ``stats`` (optional dict) receives ``decode_s`` — cumulative seconds the
+    producer spent in decode — for host-cost decomposition."""
+    import queue
+    import threading
+
+    from PIL import Image
+
+    q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+    _END = object()
+
+    def produce() -> None:
+        try:
+            batch: np.ndarray | None = None
+            filled = 0
+            for f in files:
+                t0 = time.perf_counter()
+                with Image.open(f) as im:
+                    arr = np.asarray(im.convert("RGB"), np.uint8)
+                if stats is not None:
+                    stats["decode_s"] = stats.get("decode_s", 0.0) + (time.perf_counter() - t0)
+                if batch is None:
+                    batch = np.zeros((batch_size, *arr.shape), np.uint8)
+                elif arr.shape != batch.shape[1:]:
+                    raise ValueError(
+                        f"{f}: tile shape {arr.shape} != first tile's {tuple(batch.shape[1:])}"
+                    )
+                batch[filled] = arr
+                filled += 1
+                if filled == batch_size:
+                    q.put((batch, filled))
+                    batch, filled = None, 0
+            if filled:
+                q.put((batch, filled))
+            q.put(_END)
+        except BaseException as e:  # surface decode errors in the consumer
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True, name="toad-tile-decode").start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def featurize_tile_dir(
+    embedder: TileEmbedder,
+    tile_dir: str | os.PathLike,
+    out: str | os.PathLike,
+    progress: Callable[[int, int], None] | None = None,
+    int8: bool = False,
+    prefetch: int = 4,
+) -> dict[str, Any]:
+    """One slide from a directory of tile images: decode (overlapped producer
+    thread) -> encoder -> feature bag on disk. Coords are recovered from
+    ``..._{x}_{y}`` filenames when every tile has them (heatmaps work), else
+    omitted. Pixels-from-disk counterpart of :func:`featurize_patch_file`."""
+    files = list_tile_files(tile_dir)
+    n = len(files)
+    stats: dict[str, float] = {}
+    t0 = time.perf_counter()
+    outs: list[jax.Array] = []
+    valids: list[int] = []
+    done = 0
+    with annotate("toad.featurize.slide_tiles"):
+        for chunk, valid in iter_decoded_tile_batches(files, embedder.batch_size, prefetch, stats):
+            with annotate("toad.featurize.embed_dispatch"):
+                outs.append(embedder(chunk))  # async dispatch; decode overlaps
+            valids.append(valid)
+            done += valid
+            if progress is not None:
+                progress(done, n)
+        feats = np.concatenate([np.asarray(o)[:v] for o, v in zip(outs, valids)], axis=0)
+    dt = time.perf_counter() - t0
+    write_bag(out, feats, parse_tile_coords(files), int8=int8)
+    return {
+        "n_patches": n,
+        "seconds": dt,
+        "patches_per_s": n / dt if dt > 0 else float("inf"),
+        "decode_s": round(stats.get("decode_s", 0.0), 4),
+        "out": str(out),
+    }
+
+
 def write_bag(
     path: str | os.PathLike,
     features: np.ndarray,
