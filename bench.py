@@ -1244,7 +1244,15 @@ def main() -> None:
             round(ours["real_io_host_s_int8_store"], 2)
             if "real_io_host_s_int8_store" in ours else None
         ),
-        "real_io_note": "relay H2D bandwidth is erratic in this environment; number varies run-to-run",
+        # absolutes are INFORMATIONAL only (VERDICT r4 next #6): relay H2D
+        # drift dominates them round-to-round (r3 2.7 -> r4 1.2 slides/s at
+        # io_frac 0.03); compare rounds via the same-run interleaved *_ratio
+        # fields, never via these absolutes
+        "real_io_note": (
+            "absolutes informational only: relay H2D bandwidth is erratic here and "
+            "dominates them run-to-run; round-over-round comparisons must use the "
+            "same-run interleaved *_ratio fields"
+        ),
         **{k: v for k, v in ours.items() if k.endswith("_error")},
         "device": ours["device"],
     }
