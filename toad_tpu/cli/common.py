@@ -151,7 +151,7 @@ def resolve_temperature(temperature: float, temperature_from: str | os.PathLike 
 
     path = os.fspath(temperature_from)
     try:
-        obj = json.loads(open(path).read())
+        obj = json.loads(Path(path).read_text())
     except FileNotFoundError:
         raise SystemExit(f"--temperature_from: {path} does not exist")
     except json.JSONDecodeError as e:

@@ -39,7 +39,8 @@ def make_parser() -> argparse.ArgumentParser:
                    help="mean-of-folds CV ensemble: --ckpt is a training results dir "
                         "(every s_<k>_checkpoint in it joins) or a comma-separated "
                         "checkpoint list; probabilities are the mean of the members' softmax")
-    from toad_tpu.cli.common import add_buckets_arg
+    from toad_tpu.cli.common import add_buckets_arg, add_temperature_from_arg
+    add_temperature_from_arg(p)
     add_buckets_arg(p)
     return p
 
@@ -83,8 +84,9 @@ def main(argv=None):
     from toad_tpu.data.bags import bag_path
     from toad_tpu.pipeline.infer import SlideInference, infer_feature_bag
 
-    from toad_tpu.cli.common import resolve_buckets
-    kw = dict(int8=args.int8, temperature=args.temperature,
+    from toad_tpu.cli.common import resolve_buckets, resolve_temperature
+    kw = dict(int8=args.int8,
+              temperature=resolve_temperature(args.temperature, args.temperature_from),
               bucket_sizes=resolve_buckets(args.buckets))
     if args.ensemble:
         from toad_tpu.pipeline.infer import EnsembleInference
