@@ -52,6 +52,8 @@ def make_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if (args.patch_dir is None) == (args.tile_dir is None):
+        raise SystemExit("give exactly one of --patch_dir (CLAM h5) or --tile_dir (tile images)")
     if args.compile_cache:
         from toad_tpu.cli.common import enable_compile_cache
 
@@ -98,8 +100,6 @@ def main(argv=None):
         # collectives (parity test: tests/test_pipeline.py mesh tests)
         mesh = Mesh(np.array(devs[: args.data_shards]), ("data",))
     embedder = TileEmbedder(params, cfg, batch_size=args.batch_size, mesh=mesh)
-    if (args.patch_dir is None) == (args.tile_dir is None):
-        raise SystemExit("give exactly one of --patch_dir (CLAM h5) or --tile_dir (tile images)")
     feat_dir = Path(args.feat_dir)
     feat_dir.mkdir(parents=True, exist_ok=True)
     if args.tile_dir is not None:
