@@ -104,7 +104,7 @@ def load_fixture(bags: Path):
     return ds, spec
 
 
-def train_ours_fixture(ds, spec, epochs: int, lr: float, seed: int):
+def train_ours_fixture(ds, spec, epochs: int, lr: float, seed: int, batch_size: int = 8):
     from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
     from toad_tpu.train.loop import FoldTrainer
 
@@ -115,9 +115,17 @@ def train_ours_fixture(ds, spec, epochs: int, lr: float, seed: int):
         early_stopping=True,
         model=ModelConfig(in_dim=GEN["dim"], n_classes=18, dropout=True),
         optim=OptimConfig(lr=lr),
-        data=DataConfig(batch_size=8, bucket_sizes=(320, 448, 512)),
+        # batch 8 is OUR canonical recipe; --batch_size 1 reproduces the
+        # reference's bag-at-a-time optimizer granularity as a diagnostic
+        data=DataConfig(batch_size=batch_size, bucket_sizes=(320, 448, 512)),
     )
-    trainer = FoldTrainer(cfg, fold=0, results_dir=DATA_ROOT / f"results_ours_e{epochs}_s{seed}")
+    trainer = FoldTrainer(
+        cfg, fold=0,
+        results_dir=DATA_ROOT / (
+            f"results_ours_e{epochs}_s{seed}"
+            + (f"_b{batch_size}" if batch_size != 8 else "")
+        ),
+    )
     r = trainer.train(
         ds.subset(spec.train), ds.subset(spec.val), ds.subset(spec.test),
         log_fn=lambda s: print(s, flush=True),
@@ -133,6 +141,8 @@ def main():
     ap.add_argument("--seeds", type=str, default="1")
     ap.add_argument("--epochs", type=int, default=200, help="max epochs (early stopping: patience 20 / min-epoch 50)")
     ap.add_argument("--lr", type=float, default=2e-4, help="the README paper recipe (docs/README.md:90)")
+    ap.add_argument("--batch_size", type=int, default=8,
+                    help="ours-side optimizer batch; 1 = reference bag-at-a-time granularity")
     ap.add_argument("--out", type=str, default="experiments/results/fixture_parity.jsonl")
     args = ap.parse_args()
 
@@ -152,18 +162,20 @@ def main():
         for line in out_path.read_text().splitlines():
             r = json.loads(line)
             if "side" in r and r.get("fixture") == GEN["v"] and r.get("epochs") == args.epochs:
-                done.add((r["side"], r["seed"]))
+                # ref has no batch knob; ours records key on theirs (default 8)
+                done.add((r["side"], r["seed"], 8 if r["side"] == "ref" else r.get("batch_size", 8)))
 
     seeds = [int(s) for s in args.seeds.split(",")]
     sides = [args.side] if args.side else ["ours", "ref"]
     for seed in seeds:
         for side in sides:
-            if (side, seed) in done:
+            key_bs = args.batch_size if side == "ours" else 8
+            if (side, seed, key_bs) in done:
                 print(f"skip {side} seed {seed} (already in {out_path})", flush=True)
                 continue
             t0 = time.perf_counter()
             if side == "ours":
-                probs, labels, _ = train_ours_fixture(ds, spec, args.epochs, args.lr, seed)
+                probs, labels, _ = train_ours_fixture(ds, spec, args.epochs, args.lr, seed, args.batch_size)
             else:
                 probs, labels = train_reference(
                     ds, spec, GEN["dim"], args.epochs, args.lr, seed=seed,
@@ -173,6 +185,7 @@ def main():
             rec = {
                 "side": side,
                 "seed": seed,
+                **({"batch_size": args.batch_size} if side == "ours" and args.batch_size != 8 else {}),
                 "fixture": GEN["v"],
                 "epochs": args.epochs,
                 "lr": args.lr,
