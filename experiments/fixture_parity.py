@@ -113,6 +113,10 @@ def train_ours_fixture(ds, spec, epochs: int, lr: float, seed: int, batch_size: 
         seed=seed,
         resume=True,
         early_stopping=True,
+        # the axon relay client leaks every transferred byte host-side
+        # (~2.8 GB/epoch at this scale — the r5 seed-1 first attempt was
+        # OOM-killed at 130 GB); snapshot + re-exec well before that
+        rss_restart_gb=48.0,
         model=ModelConfig(in_dim=GEN["dim"], n_classes=18, dropout=True),
         optim=OptimConfig(lr=lr),
         # batch 8 is OUR canonical recipe; --batch_size 1 reproduces the
@@ -175,7 +179,23 @@ def main():
                 continue
             t0 = time.perf_counter()
             if side == "ours":
-                probs, labels, _ = train_ours_fixture(ds, spec, args.epochs, args.lr, seed, args.batch_size)
+                try:
+                    probs, labels, _ = train_ours_fixture(
+                        ds, spec, args.epochs, args.lr, seed, args.batch_size
+                    )
+                except Exception as e:
+                    from toad_tpu.train.loop import HostRssWatermark
+
+                    if not isinstance(e, HostRssWatermark):
+                        raise
+                    # leaked transfer-client memory cannot be reclaimed
+                    # in-process: re-exec with identical argv — finished
+                    # (side, seed) rows skip via the done-set, the current
+                    # seed resumes from its snapshot
+                    import os
+
+                    print(f"RSS watermark ({e}); re-exec to resume", flush=True)
+                    os.execv(sys.executable, [sys.executable] + sys.argv)
             else:
                 probs, labels = train_reference(
                     ds, spec, GEN["dim"], args.epochs, args.lr, seed=seed,

@@ -216,3 +216,91 @@ def test_early_stopping_checkpoint_roundtrip(dummy_env, tmp_path):
 
     state = restore_checkpoint(trainer.ckpt_path)
     assert "params" in state and "epoch" in state
+
+
+# ---- RSS-watermark restart (leaky transfer-client containment, r5) ---------
+
+
+def test_rss_watermark_snapshots_and_raises(dummy_env, tmp_path, monkeypatch):
+    """Crossing rss_restart_gb at an epoch boundary saves a resume snapshot
+    and raises HostRssWatermark; a fresh trainer then RESUMES (does not start
+    over) and finishes with the same result as an uninterrupted run."""
+    from toad_tpu.train import loop as loop_mod
+    from toad_tpu.train.loop import HostRssWatermark
+
+    splits = _splits(dummy_env)
+    straight = FoldTrainer(_cfg(dummy_env), fold=0, results_dir=tmp_path / "a").train(
+        *splits, log_fn=lambda s: None
+    )
+
+    cfg = _cfg(dummy_env, rss_restart_gb=1e-6)  # any real RSS trips it
+    trainer = FoldTrainer(cfg, fold=0, results_dir=tmp_path / "b")
+    with pytest.raises(HostRssWatermark) as ei:
+        trainer.train(*splits, log_fn=lambda s: None)
+    assert ei.value.epoch == 0 and ei.value.rss_gb > 0
+    assert trainer.resume_path.exists()  # snapshot saved BEFORE raising
+
+    # "re-exec": a fresh process is modeled by a fresh trainer; lift the limit
+    # (the leak is process-level state, gone after exec)
+    cfg2 = _cfg(dummy_env)
+    resumed = FoldTrainer(cfg2, fold=0, results_dir=tmp_path / "b").train(
+        *splits, log_fn=lambda s: None
+    )
+    np.testing.assert_allclose(resumed["cls_test_auc"], straight["cls_test_auc"], atol=1e-6)
+    np.testing.assert_allclose(resumed["cls_val_auc"], straight["cls_val_auc"], atol=1e-6)
+
+
+def test_rss_watermark_requires_resume(dummy_env, tmp_path):
+    cfg = _cfg(dummy_env, rss_restart_gb=1.0)
+    cfg = TrainConfig(**{**cfg.__dict__, "resume": False})
+    with pytest.raises(ValueError, match="requires resume"):
+        FoldTrainer(cfg, fold=0, results_dir=tmp_path).train(
+            *_splits(dummy_env), log_fn=lambda s: None
+        )
+
+
+def test_cli_rss_watermark_reexecs_with_same_args(dummy_env, tmp_path, monkeypatch, capsys):
+    """The train CLI catches HostRssWatermark and re-execs itself with the
+    SAME argv; a real exec would resume (fold summaries + snapshots persist)."""
+    from toad_tpu.cli import create_splits, train as train_cli
+
+    root = dummy_env["root"]
+    task_json = root / "task_rss.json"
+    task_json.write_text(dummy_env["task"].to_json())
+    monkeypatch.chdir(tmp_path)
+    create_splits.main(["--task", str(task_json), "--k", "2", "--seed", "1",
+                        "--val_frac", "0.15", "--test_frac", "0.2"])
+    args = ["--task", str(task_json), "--data_root_dir", str(dummy_env["data_dir"]),
+            "--exp_code", "rsstest", "--k", "2", "--k_end", "1", "--max_epochs", "1",
+            "--encoding_size", str(dummy_env["dim"]), "--batch_size", "4",
+            "--split_dir", str(tmp_path / "splits" / f"{dummy_env['task'].name}_100"),
+            "--results_dir", str(tmp_path / "results"), "--resume",
+            "--rss_restart_gb", "0.000001"]
+    execs = []
+    monkeypatch.setattr(train_cli, "_reexec", lambda argv: execs.append(argv))
+    out_df = train_cli.main(args)
+    assert out_df is None  # watermark path returns after (stubbed) exec
+    assert execs == [args]
+    # the snapshot the watermark saved is on disk for the re-exec'd process
+    assert (tmp_path / "results" / "rsstest_s1" / "s_0_resume").exists()
+
+    # without --resume the flag refuses before any training
+    with pytest.raises(SystemExit, match="requires --resume"):
+        train_cli.main([a for a in args if a != "--resume"])
+
+
+def test_serve_cli_rejects_then_accepts_max_rss_gb():
+    """--max_rss_gb parses; RESTART_EXIT_CODE is a distinct supervisor
+    contract (not 0/1)."""
+    from toad_tpu.cli import serve as serve_cli
+
+    assert serve_cli.RESTART_EXIT_CODE not in (0, 1)
+    args = serve_cli.make_parser().parse_args(["--ckpt", "x", "--max_rss_gb", "40"])
+    assert args.max_rss_gb == 40.0
+
+
+def test_host_rss_gb_reports_positive():
+    from toad_tpu.utils.profiling import host_rss_gb
+
+    rss = host_rss_gb()
+    assert rss > 0.01  # this test process certainly uses >10 MB

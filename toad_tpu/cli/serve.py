@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import argparse
 
+# exit code signalling "restart me" to a supervisor after an RSS-watermark
+# drain (distinct from 0 = clean stop and 1 = error)
+RESTART_EXIT_CODE = 42
+
 
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
@@ -77,6 +81,13 @@ def make_parser() -> argparse.ArgumentParser:
         "--max_body_mb", type=int, default=1024, metavar="MB",
         help="reject POST bodies beyond this size with 413 (default 1024 MB — "
         "fits a 163840x1024 f32 patient bag on the raw octet-stream route)",
+    )
+    p.add_argument(
+        "--max_rss_gb", type=float, default=None, metavar="GB",
+        help="leaky-runtime containment: when host RSS crosses GB, drain "
+        f"gracefully and exit {RESTART_EXIT_CODE} so a supervisor restarts the "
+        "server (this platform's TPU relay client permanently leaks every "
+        "transferred request byte host-side)",
     )
     p.add_argument(
         "--warmup", type=str, default=None, nargs="?", const="all", metavar="BUCKETS",
@@ -162,6 +173,33 @@ def main(argv=None) -> None:
 
     signal.signal(signal.SIGTERM, _stop)
     signal.signal(signal.SIGINT, _stop)
+    rss_tripped = threading.Event()
+    if args.max_rss_gb is not None:
+        # leaky-runtime containment: this platform's TPU relay client leaks
+        # every transferred request byte host-side, so a long-lived server's
+        # RSS only grows. When it crosses the watermark, drain gracefully and
+        # exit RESTART_EXIT_CODE so a supervisor (systemd Restart=on-failure,
+        # k8s restartPolicy) brings up a fresh process — the standard pattern
+        # for unreclaimable runtime leaks.
+        from toad_tpu.utils.profiling import host_rss_gb
+
+        def _rss_watchdog():
+            import time as _t
+
+            while not rss_tripped.is_set():
+                rss = host_rss_gb()
+                if rss >= args.max_rss_gb:
+                    print(
+                        f"host RSS {rss:.1f} GiB >= --max_rss_gb {args.max_rss_gb:.1f}: "
+                        f"draining for supervisor restart (exit {RESTART_EXIT_CODE})",
+                        flush=True,
+                    )
+                    rss_tripped.set()
+                    threading.Thread(target=server.shutdown, daemon=True).start()
+                    return
+                _t.sleep(5.0)
+
+        threading.Thread(target=_rss_watchdog, daemon=True, name="toad-rss-watchdog").start()
     try:
         server.serve_forever()
     finally:
@@ -176,6 +214,8 @@ def main(argv=None) -> None:
             print("server stopped; in-flight requests drained (WARNING: a handler was still writing its response at exit)")
         else:
             print("server stopped; WARNING: dispatch thread still busy after timeout")
+        if rss_tripped.is_set():
+            raise SystemExit(RESTART_EXIT_CODE)
 
 
 if __name__ == "__main__":

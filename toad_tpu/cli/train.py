@@ -18,7 +18,7 @@ import pandas as pd
 
 from toad_tpu.cli.common import add_task_arg, build_dataset, echo_settings, require_data_root
 from toad_tpu.config import DataConfig, ModelConfig, OptimConfig, TrainConfig, fold_range
-from toad_tpu.train.loop import FoldTrainer
+from toad_tpu.train.loop import FoldTrainer, HostRssWatermark
 from toad_tpu.utils.io import save_pkl
 from toad_tpu.utils.logging import make_writer
 from toad_tpu.utils.rng import seed_everything
@@ -62,6 +62,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "Bit-identical per fold to the sequential run; incompatible with "
                         "--data_shards/--bag_shards/--profile")
     p.add_argument("--resume", action="store_true", default=False, help="preemption-tolerant per-epoch state snapshots + resume")
+    p.add_argument("--rss_restart_gb", type=float, default=None, metavar="GB",
+                   help="leaky-runtime containment (requires --resume): when host RSS crosses "
+                        "GB at an epoch boundary, snapshot and re-exec this process, resuming "
+                        "where it left off (this platform's TPU relay client permanently leaks "
+                        "every transferred byte host-side; long trainings OOM without this)")
     p.add_argument("--patient_bags", action="store_true", default=False, help="concat each patient's slides into one bag")
     p.add_argument("--bf16_transfer", action="store_true", default=False, help="force bfloat16 feature transfer even under f32 compute (half the H2D bytes; on automatically with --bf16)")
     p.add_argument("--profile", type=str, default=None, metavar="DIR", help="write a jax.profiler trace of the first train steps to DIR")
@@ -92,6 +97,7 @@ def config_from_args(args, n_classes: int, bucket_sizes: tuple[int, ...] | None 
         k_end=args.k_end,
         early_stopping=args.early_stopping,
         resume=args.resume,
+        rss_restart_gb=args.rss_restart_gb,
         profile_dir=args.profile,
         debug_checks=args.debug_checks,
         log_data=args.log_data,
@@ -122,8 +128,19 @@ def config_from_args(args, n_classes: int, bucket_sizes: tuple[int, ...] | None 
     )
 
 
+def _reexec(argv: list[str]) -> None:
+    """Replace this process with a fresh `python -m toad_tpu.cli.train <argv>`.
+    Factored out so tests can intercept it."""
+    import os
+    import sys
+
+    os.execv(sys.executable, [sys.executable, "-m", "toad_tpu.cli.train", *argv])
+
+
 def main(argv=None):
     args = make_parser().parse_args(argv)
+    if args.rss_restart_gb is not None and not args.resume:
+        raise SystemExit("--rss_restart_gb requires --resume (restart would lose all progress)")
     if args.fold_devices != 1:
         # fail before any dataset/backend work: fold-parallel owns the
         # devices whole, one fold per chip (train/parallel_folds.py)
@@ -198,31 +215,43 @@ def main(argv=None):
         else:
             pending.append(i)
 
-    if args.fold_devices != 1 and pending:
-        # one fold per local device, concurrently (train/parallel_folds.py);
-        # per-fold results are bit-identical to the sequential path
-        from toad_tpu.train.parallel_folds import train_folds_parallel
+    try:
+        if args.fold_devices != 1 and pending:
+            # one fold per local device, concurrently (train/parallel_folds.py);
+            # per-fold results are bit-identical to the sequential path
+            from toad_tpu.train.parallel_folds import train_folds_parallel
 
-        # persist each fold's artifacts the moment it finishes (not after the
-        # whole fan-out): a preemption then loses only in-flight folds, and
-        # --resume restarts skip the completed ones
-        train_folds_parallel(
-            cfg,
-            [(i, load_fold_splits(i)) for i in pending],
-            results_dir,
-            n_devices=args.fold_devices,
-            make_fold_writer=lambda i: make_writer(str(results_dir / str(i)), enabled=args.log_data),
-            on_result=lambda i, r: rows_by_fold.__setitem__(i, finish_fold(i, r)),
-        )
-    else:
-        for i in pending:
-            seed_everything(args.seed)
-            splits = load_fold_splits(i)
-            writer = make_writer(str(results_dir / str(i)), enabled=args.log_data)
-            trainer = FoldTrainer(cfg, fold=i, results_dir=results_dir, writer=writer)
-            r = trainer.train(*splits)
-            writer.close()
-            rows_by_fold[i] = finish_fold(i, r)
+            # persist each fold's artifacts the moment it finishes (not after the
+            # whole fan-out): a preemption then loses only in-flight folds, and
+            # --resume restarts skip the completed ones
+            train_folds_parallel(
+                cfg,
+                [(i, load_fold_splits(i)) for i in pending],
+                results_dir,
+                n_devices=args.fold_devices,
+                make_fold_writer=lambda i: make_writer(str(results_dir / str(i)), enabled=args.log_data),
+                on_result=lambda i, r: rows_by_fold.__setitem__(i, finish_fold(i, r)),
+            )
+        else:
+            for i in pending:
+                seed_everything(args.seed)
+                splits = load_fold_splits(i)
+                writer = make_writer(str(results_dir / str(i)), enabled=args.log_data)
+                trainer = FoldTrainer(cfg, fold=i, results_dir=results_dir, writer=writer)
+                r = trainer.train(*splits)
+                writer.close()
+                rows_by_fold[i] = finish_fold(i, r)
+    except (HostRssWatermark, RuntimeError) as e:
+        # fold-parallel wraps worker errors in RuntimeError (cause chains)
+        wm = e if isinstance(e, HostRssWatermark) else e.__cause__
+        if not isinstance(wm, HostRssWatermark):
+            raise
+        # leaked transfer-client memory is not reclaimable in-process: replace
+        # the process; completed folds skip via fold_<i>_summary.json, the
+        # interrupted fold resumes from the snapshot the watermark just saved
+        print(f"{wm} — re-exec to reclaim leaked transfer-client memory", flush=True)
+        _reexec(list(argv) if argv is not None else __import__("sys").argv[1:])
+        return  # unreachable after execv; present for monkeypatched tests
 
     rows = [rows_by_fold[i] for i in folds]
 

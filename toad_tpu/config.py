@@ -180,6 +180,14 @@ class TrainConfig:
     # on restart — a capability the reference lacks (SURVEY §5 checkpoint row)
     resume: bool = False
     resume_every: int = 1
+    # leaky-runtime containment (requires resume): when host RSS crosses this
+    # many GiB at an epoch boundary, snapshot and raise HostRssWatermark so
+    # the caller can re-exec a fresh process that resumes. Motivated by a
+    # measured platform defect: the axon TPU relay client permanently leaks
+    # every transferred byte host-side (~bytes(batch) per step, both
+    # directions — /tmp/leak_probe r5), so multi-hour trainings OOM without
+    # this. None = off.
+    rss_restart_gb: float | None = None
     profile_dir: str | None = None  # jax.profiler trace of the first steps
     # numerical sanitizer (utils/debug.py): checkified train step that raises
     # on NaN/Inf/out-of-range labels instead of training on garbage

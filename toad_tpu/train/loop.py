@@ -38,6 +38,25 @@ from toad_tpu.train.checkpoint import checkpoint_name, recover_checkpoint, resto
 from toad_tpu.train.optim import make_optimizer
 
 
+class HostRssWatermark(RuntimeError):
+    """Raised at an epoch boundary when host RSS crosses
+    ``TrainConfig.rss_restart_gb``, AFTER a fresh resume snapshot was saved.
+
+    The process is expected to re-exec itself and resume (``cli/train.py``
+    does; so does ``experiments/fixture_parity.py``): in-process recovery is
+    impossible because the leaked memory belongs to the platform's transfer
+    client, not to Python (measured: the axon TPU relay client permanently
+    leaks every H2D/D2H byte host-side — a fixture-scale training run was
+    OOM-killed at 130 GB RSS in round 5)."""
+
+    def __init__(self, rss_gb: float, limit_gb: float, epoch: int):
+        self.rss_gb, self.limit_gb, self.epoch = rss_gb, limit_gb, epoch
+        super().__init__(
+            f"host RSS {rss_gb:.1f} GiB >= rss_restart_gb {limit_gb:.1f} after epoch "
+            f"{epoch}; resume snapshot saved — re-exec this process and resume"
+        )
+
+
 def _ce_with_ints(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels)
 
@@ -222,6 +241,11 @@ class FoldTrainer:
 
     def train(self, train_split, val_split, test_split, log_fn: Callable[[str], None] = print):
         cfg = self.cfg
+        if cfg.rss_restart_gb is not None and not cfg.resume:
+            raise ValueError(
+                "rss_restart_gb requires resume=True — a watermark restart "
+                "without resume snapshots would lose all training progress"
+            )
         n_classes = cfg.model.n_classes
 
         save_split_columnar(
@@ -387,6 +411,20 @@ class FoldTrainer:
 
             if cfg.resume and (epoch + 1) % cfg.resume_every == 0:
                 self._save_resume(params, opt_state, rng, epoch, stopper, best_saved)
+
+            if cfg.rss_restart_gb is not None:
+                from toad_tpu.utils.profiling import host_rss_gb
+
+                rss = host_rss_gb()
+                if rss >= cfg.rss_restart_gb:
+                    # snapshot NOW (resume_every may not have fired this
+                    # epoch) so the re-exec'd process loses nothing
+                    self._save_resume(params, opt_state, rng, epoch, stopper, best_saved)
+                    log_fn(
+                        f"[fold {self.fold}] host RSS {rss:.1f} GiB >= "
+                        f"{cfg.rss_restart_gb:.1f} — snapshotting for restart"
+                    )
+                    raise HostRssWatermark(rss, cfg.rss_restart_gb, epoch)
 
         if stopper is not None and best_saved:
             state = restore_checkpoint(self.ckpt_path, {"params": params, "epoch": np.int64(0)})

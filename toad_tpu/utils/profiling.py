@@ -86,3 +86,20 @@ class StepTracer:
                 print(f"[profile] stop_trace failed: {e}")
             self._active = False
             self.log_dir = None
+
+
+def host_rss_gb() -> float:
+    """This process's resident set size in GiB (Linux ``/proc/self/status``).
+
+    Used by the trainer's leaky-runtime containment
+    (``TrainConfig.rss_restart_gb``) and the server's ``--max_rss_gb``
+    watchdog. Returns 0.0 where /proc is unavailable (non-Linux), which
+    disables both checks gracefully."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
