@@ -431,6 +431,31 @@ def test_heatmap_downscale_validation(http_service, tmp_path):
     assert status == 400 and b">= 1" in data
 
 
+def test_serve_cli_rss_watchdog_drains_and_exits_42(model_and_params, tmp_path, capsys):
+    """``serve --max_rss_gb`` below the process' startup RSS: the watchdog
+    drains the server and the CLI exits ``RESTART_EXIT_CODE`` (42) so a
+    supervisor restarts a fresh process — the containment for this
+    platform's leaky TPU relay client (CLAUDE.md). Driven through the real
+    CLI ``main`` in-process (no subprocess JAX re-init)."""
+    from toad_tpu.cli import serve as serve_cli
+    from toad_tpu.models.torch_interop import export_torch_checkpoint
+
+    cfg, params = model_and_params
+    ckpt = tmp_path / "s_0_checkpoint.pt"
+    export_torch_checkpoint(ckpt, params)
+    with pytest.raises(SystemExit) as ei:
+        serve_cli.main([
+            "--ckpt", str(ckpt), "--port", "0",
+            "--encoding_size", str(cfg.in_dim), "--n_classes", str(cfg.n_classes),
+            # any real process RSS trips the watermark on its first poll
+            "--max_rss_gb", "0.000001",
+        ])
+    assert ei.value.code == serve_cli.RESTART_EXIT_CODE
+    out = capsys.readouterr().out
+    assert "draining for supervisor restart" in out
+    assert "drained" in out
+
+
 def test_serve_cli_rejects_bad_shards():
     from toad_tpu.cli.serve import main
 
