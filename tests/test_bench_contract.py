@@ -46,6 +46,11 @@ def test_bench_json_line_contract(monkeypatch):
     for key in ("baseline_note", "baseline_slides_per_sec", "latency_p50_ms",
                 "pool_tflops", "int8_slides_per_sec", "device"):
         assert key in out, key
+    # cross-round headline stability (VERDICT r4 #6): the pinned denominator
+    # must always ride along so round-over-round swings can't come from
+    # baseline remeasurement noise
+    assert out["pinned_baseline_slides_per_sec"] == 5.5
+    assert abs(out["vs_baseline_pinned"] - 5500.0 / 5.5) < 0.02
     # failing extras must degrade to *_error strings, not kill the line
     assert any(k.endswith("_error") for k in out)
 
