@@ -116,3 +116,36 @@ def test_multi_source_data_dir_routing(tmp_path):
     ds2 = WSIBagDataset(dummy_task(str(csv2)), data_dir={k: str(v) for k, v in dirs.items()}, print_info=False)
     with pytest.raises(ValueError, match="source"):
         ds2.load_bag(0)
+
+
+def test_graded_bags_deterministic_and_learnable(dummy_env, tmp_path):
+    """`write_graded_bags` (the fixture-scale parity generator): one file per
+    manifest row with shapes in range, byte-identical regeneration for the
+    same seed (the parity harness relies on both sides seeing the SAME
+    bags), and an aggregate class-direction signal (graded, not saturated)."""
+    from toad_tpu.data.synthetic import class_direction_matrix, write_graded_bags
+
+    manifest = dummy_env["manifest"].head(40)
+    task = dummy_env["task"]
+    kw = dict(n_patches_range=(64, 128), dim=48, seed=5)
+    a, b = tmp_path / "a", tmp_path / "b"
+    write_graded_bags(a, manifest, task, **kw)
+    write_graded_bags(b, manifest, task, **kw)
+
+    label_map = task.label_dicts[0]
+    dirs = class_direction_matrix(len(set(label_map.values())), 48, seed=5 + 7)
+    own, other = [], []
+    for _, row in manifest.iterrows():
+        fa = np.load(a / f"{row['slide_id']}.npy")
+        np.testing.assert_array_equal(fa, np.load(b / f"{row['slide_id']}.npy"))
+        assert fa.shape[1] == 48 and 64 <= fa.shape[0] <= 128
+        proj = fa @ dirs.T  # [n_patches, n_classes]
+        c = label_map[row["label"]]
+        own.append(proj[:, c].max())
+        other.append(np.delete(proj, c, axis=1).max(axis=1).mean())
+    # aggregate signal along the slide's own class direction (blank slides
+    # and confusable groups keep it graded, but the mean margin is positive)
+    assert np.mean(own) > np.mean(other) + 0.3
+
+    with pytest.raises(ValueError, match="npy"):
+        write_graded_bags(tmp_path / "c", manifest.head(1), task, fmt="h5")
