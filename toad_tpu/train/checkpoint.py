@@ -35,18 +35,28 @@ def save_checkpoint(path: str | os.PathLike, state: dict[str, Any]) -> None:
     whose whole purpose is surviving mid-write kills."""
     import jax
 
+    import uuid
+
     state = jax.tree.map(np.asarray, state)  # orbax rejects bare numpy scalars
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.parent / f".tmp_{path.name}"
+    # UNIQUE tmp dir per save: tensorstore's in-process OCDBT cache keys on
+    # the kvstore path with recheck_cached_data=false, so REUSING one tmp
+    # path across epochs can serve stale btree nodes pointing at data files
+    # from the previous epoch's (renamed-away) tmp — observed as a rare
+    # NOT_FOUND ("Error reading d/<hash>") mid-save under fold-parallel CV
+    tmp = path.parent / f".tmp_{path.name}.{uuid.uuid4().hex[:8]}"
     old = path.parent / f".old_{path.name}"
-    # Also purge Orbax's INTERNAL unfinalized dirs (`<target>.orbax-checkpoint-tmp*`,
-    # created beside the save target): a kill mid-save leaves one behind, and
-    # letting orbax's own "remove unfinalized" handling find it races its async
+    # Purge leftovers from killed saves: prior uniquely-suffixed tmp dirs
+    # (plus their Orbax-internal `*.orbax-checkpoint-tmp*` siblings, matched
+    # by the same glob), the legacy un-suffixed tmp name, and Orbax internals
+    # beside the TARGET: a kill mid-save leaves one behind, and letting
+    # orbax's own "remove unfinalized" handling find it races its async
     # commit thread (observed: ENOENT on the ocdbt lock rename, killing the run)
-    stales = [tmp, old]
-    for base in (tmp, path):
-        stales.extend(path.parent.glob(f"{base.name}.orbax-checkpoint-tmp*"))
+    stales = [old, path.parent / f".tmp_{path.name}"]
+    stales.extend(path.parent.glob(f".tmp_{path.name}.*"))
+    stales.extend(path.parent.glob(f".tmp_{path.name}.orbax-checkpoint-tmp*"))
+    stales.extend(path.parent.glob(f"{path.name}.orbax-checkpoint-tmp*"))
     for stale in stales:
         # orbax normally leaves directories, but guard against a plain file
         # (rmtree on a file raises NotADirectoryError and would kill the very
